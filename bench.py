@@ -1,0 +1,76 @@
+"""Headline benchmark: DeepFM CTR training throughput on one TPU chip.
+
+Criteo-regime shapes (the reference's headline ranking workload, BASELINE.md):
+26 categorical fields with 100k-row vocabularies + 13 numeric fields,
+embedding_dim 64, MLP (1024, 512, 256), batch 8192 — trained with BCE +
+grad-clip 10 + Adam 1e-3, the reference training regime
+(`third_party/recbole/properties/overall.yaml:20-53`,
+`recbox/ranking/pytorch/models/ranking_model.py:137`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the ratio
+to a fixed self-baseline target of 1.0e6 examples/s/chip set in round 1.
+"""
+
+import json
+import time
+
+import numpy as np
+
+SELF_BASELINE_EXAMPLES_PER_SEC = 1.0e6  # round-1 reference point
+
+
+def main():
+    import jax
+
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    num_cat, num_num = 26, 13
+    vocab, dim, batch_size = 100_000, 64, 8192
+    feats = tuple(
+        FeatureSpec(f"c{i}", "categorical", vocab_size=vocab, embedding_dim=dim)
+        for i in range(num_cat)
+    ) + tuple(
+        FeatureSpec(f"n{i}", "numeric", embedding_dim=dim) for i in range(num_num)
+    )
+    fm = FeatureMap("criteo_bench", feats, labels=("click",))
+
+    rng = np.random.default_rng(0)
+    batch = {f"c{i}": rng.integers(0, vocab, size=batch_size).astype(np.int32)
+             for i in range(num_cat)}
+    batch.update({f"n{i}": rng.normal(size=batch_size).astype(np.float32)
+                  for i in range(num_num)})
+    batch["click"] = (rng.random(batch_size) > 0.5).astype(np.float32)
+
+    model = DeepFM(feature_map=fm, embedding_dim=dim,
+                   hidden_units=(1024, 512, 256))
+    cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
+                        monitor="AUC")
+    trainer = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
+
+    # warmup (compile)
+    for _ in range(3):
+        loss = trainer.train_step(batch)
+    jax.block_until_ready(loss)
+
+    steps = 30
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = trainer.train_step(batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = steps * batch_size / dt
+    print(json.dumps({
+        "metric": "deepfm_criteo_train_throughput_per_chip",
+        "value": round(examples_per_sec, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_sec / SELF_BASELINE_EXAMPLES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from recbox_tpu.evaluation.retrieval import (
+    evaluate_retrieval, retrieval_metrics_from_topk, parse_metric,
+)
+from recbox_tpu.evaluation.ctr import (
+    evaluate_ctr, auc_score, log_loss, grouped_auc, auc_jax,
+)
+from recbox_tpu.evaluation.evaluators import RetrievalEvaluator, CTREvaluator
+
+__all__ = [
+    "evaluate_retrieval", "retrieval_metrics_from_topk", "parse_metric",
+    "evaluate_ctr", "auc_score", "log_loss", "grouped_auc", "auc_jax",
+    "RetrievalEvaluator", "CTREvaluator",
+]

@@ -1,0 +1,103 @@
+"""Stage evaluators: callables plugged into Trainer as ``eval_fn``.
+
+* RetrievalEvaluator — the reference matching evaluate() path
+  (`match_model.py:205-225` + `core/metrics.py:11-68`) made TPU-native:
+  encode all unique queries and the whole corpus through the towers in
+  fixed-shape batches, then run the on-device MIPS top-k metric engine.
+* CTREvaluator — the ranking evaluate() path (`ranking_model.py:219-241`):
+  predict probabilities over the validation loader, compute AUC/logloss
+  (exact, host) and grouped gAUC/NDCG.
+* RerankEvaluator lives in `evaluation/rerank.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbox_tpu.data.loader import MASK_KEY, ArrayLoader
+from recbox_tpu.evaluation.ctr import evaluate_ctr
+from recbox_tpu.evaluation.retrieval import evaluate_retrieval
+
+__all__ = ["RetrievalEvaluator", "CTREvaluator"]
+
+
+class RetrievalEvaluator:
+    def __init__(
+        self,
+        user_arrays: Dict[str, np.ndarray],
+        corpus_arrays: Dict[str, np.ndarray],
+        query_indices: np.ndarray,
+        train_user2items: Mapping[int, Sequence[int]],
+        valid_user2items: Mapping[int, Sequence[int]],
+        metrics: Sequence[str] = ("Recall(k=20)", "NDCG(k=10)"),
+        batch_size: int = 4096,
+    ):
+        self.user_loader = ArrayLoader(user_arrays, batch_size=batch_size,
+                                       shuffle=False)
+        self.corpus_loader = ArrayLoader(corpus_arrays, batch_size=batch_size,
+                                         shuffle=False)
+        self.query_indices = np.asarray(query_indices)
+        self.train_user2items = train_user2items
+        self.valid_user2items = valid_user2items
+        self.metrics = list(metrics)
+        self._encode = None
+
+    def _encoders(self, trainer):
+        model = trainer.model
+        if self._encode is None or self._encode[0] is not model:
+            user_fn = jax.jit(lambda v, b: model.apply(
+                v, b, method=model.encode_user))
+            item_fn = jax.jit(lambda v, b: model.apply(
+                v, b, method=model.encode_item))
+            self._encode = (model, user_fn, item_fn)
+        return self._encode[1], self._encode[2]
+
+    def encode_all(self, trainer):
+        user_fn, item_fn = self._encoders(trainer)
+        variables = {"params": trainer.params, **trainer.model_state}
+
+        def run(loader, fn):
+            outs = []
+            for batch in loader:
+                mask = batch.pop(MASK_KEY)
+                emb = np.asarray(fn(variables, trainer._device_batch(batch)))
+                outs.append(emb[mask.astype(bool)])
+            return np.concatenate(outs, axis=0)
+
+        return run(self.user_loader, user_fn), run(self.corpus_loader, item_fn)
+
+    def __call__(self, trainer) -> Dict[str, float]:
+        user_embs, item_embs = self.encode_all(trainer)
+        return evaluate_retrieval(
+            user_embs, item_embs, self.train_user2items, self.valid_user2items,
+            self.query_indices, self.metrics)
+
+
+class CTREvaluator:
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        label: str,
+        metrics: Sequence[str] = ("AUC", "logloss"),
+        group_id: Optional[str] = None,
+        batch_size: int = 4096,
+        from_logits: bool = True,
+    ):
+        self.arrays = arrays
+        self.label = label
+        self.metrics = list(metrics)
+        self.group_id = group_id
+        self.loader = ArrayLoader(arrays, batch_size=batch_size, shuffle=False)
+        self.from_logits = from_logits
+
+    def __call__(self, trainer) -> Dict[str, float]:
+        logits = trainer.predict(self.loader)
+        probs = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))) \
+            if self.from_logits else logits
+        y_true = self.arrays[self.label]
+        gid = self.arrays[self.group_id] if self.group_id else None
+        return evaluate_ctr(y_true, probs, self.metrics, group_id=gid)

@@ -1,0 +1,10 @@
+from recbox_tpu.features.schema import (
+    CATEGORICAL, META, NUMERIC, SEQUENCE, FeatureMap, FeatureSpec,
+)
+from recbox_tpu.features.tokenizer import Normalizer, Tokenizer, pad_sequences
+from recbox_tpu.features.encoder import FeatureEncoder
+
+__all__ = [
+    "FeatureMap", "FeatureSpec", "Tokenizer", "Normalizer", "FeatureEncoder",
+    "pad_sequences", "CATEGORICAL", "NUMERIC", "SEQUENCE", "META",
+]

@@ -1,0 +1,237 @@
+"""FeatureEncoder: fit tokenizers/normalizers from tabular data, emit arrays.
+
+Unified re-design of the reference's two near-duplicate preprocessors
+(`recbox/matching/features.py:61-328` FeatureEncoder and
+`recbox/ranking/preprocess/feature_processor.py:32-335` FeatureProcessor):
+one encoder serves both the matching stage (with an item corpus joined on
+``corpus_index``) and the ranking stage (flat labeled rows).
+
+Feature column configs are dicts in the same spirit as the reference YAMLs:
+
+    {"name": "user_id", "type": "categorical", "source": "user"}
+    {"name": "age",     "type": "numeric", "normalizer": "StandardScaler"}
+    {"name": "hist",    "type": "sequence", "splitter": "^", "max_len": 20,
+     "share_embedding": "item_id"}
+
+`fit` builds deterministic vocabularies; `transform` maps a table to a dict of
+static-shape numpy arrays (the batch layout consumed by every model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from recbox_tpu.features.schema import (
+    CATEGORICAL, META, NUMERIC, SEQUENCE, FeatureMap, FeatureSpec,
+)
+from recbox_tpu.features.tokenizer import Normalizer, Tokenizer
+
+__all__ = ["FeatureEncoder"]
+
+
+def _get_column(table, name: str) -> np.ndarray:
+    """Extract a column from a pandas DataFrame or a mapping of arrays."""
+    if hasattr(table, "columns"):  # pandas
+        return table[name].values
+    return np.asarray(table[name])
+
+
+class FeatureEncoder:
+    """Fits per-feature encoders and materializes model-ready arrays."""
+
+    def __init__(
+        self,
+        feature_cols: Sequence[dict],
+        label_cols: Sequence[str] = (),
+        dataset_id: str = "dataset",
+        query_index: str = "",
+        corpus_index: str = "",
+        group_id: str = "",
+        default_embedding_dim: int = 16,
+        data_root: str = "./data",
+    ):
+        # flatten nested groups (the reference YAML allows a list of lists
+        # with shared attrs, `feature_processor.py:41-48`)
+        flat: List[dict] = []
+        for col in feature_cols:
+            if isinstance(col.get("name"), (list, tuple)):
+                for n in col["name"]:
+                    c = dict(col)
+                    c["name"] = n
+                    flat.append(c)
+            else:
+                flat.append(dict(col))
+        self.feature_cols = flat
+        self.label_cols = list(label_cols)
+        self.dataset_id = dataset_id
+        self.query_index = query_index
+        self.corpus_index = corpus_index
+        self.group_id = group_id
+        self.default_embedding_dim = default_embedding_dim
+        self.data_root = data_root
+        self.tokenizers: Dict[str, Tokenizer] = {}
+        self.normalizers: Dict[str, Normalizer] = {}
+        self.feature_map: Optional[FeatureMap] = None
+
+    # -- fit ----------------------------------------------------------------
+    def fit(self, train_table, item_corpus=None, min_categr_count: int = 1) -> FeatureMap:
+        """Fit encoders from the training table (and optional item corpus).
+
+        For matching datasets, features with source=='item' are fitted from
+        ``item_corpus`` and the corpus_index column becomes the item-id space
+        (reference join semantics: `recbox/matching/features.py:105-156`).
+        """
+        specs: List[FeatureSpec] = []
+        num_items = 0
+        for col in self.feature_cols:
+            name = col["name"]
+            ftype = col.get("type", CATEGORICAL)
+            source = col.get("source", "")
+            table = item_corpus if (item_corpus is not None and source == "item") else train_table
+            values = _get_column(table, name)
+            emb_dim = col.get("embedding_dim", self.default_embedding_dim)
+
+            if ftype == META:
+                specs.append(FeatureSpec(name=name, type=META, source=source))
+                continue
+            if ftype == NUMERIC:
+                norm = Normalizer(col.get("normalizer", "StandardScaler"))
+                norm.fit(values)
+                self.normalizers[name] = norm
+                specs.append(FeatureSpec(
+                    name=name, type=NUMERIC, source=source, embedding_dim=emb_dim))
+                continue
+
+            share = col.get("share_embedding")
+            if ftype == CATEGORICAL:
+                if share and share in self.tokenizers:
+                    tok = self.tokenizers[share]
+                    # grow shared vocab with this column's tokens
+                    aux = Tokenizer(min_freq=col.get("min_categr_count", min_categr_count),
+                                    na_value=col.get("na_value"))
+                    aux.fit(values, use_padding=False)
+                    tok.merge_vocab(aux)
+                else:
+                    tok = Tokenizer(
+                        min_freq=col.get("min_categr_count", min_categr_count),
+                        na_value=col.get("na_value"),
+                        topk_words=col.get("topk_words"),
+                    )
+                    tok.fit(values, use_padding=False)
+                self.tokenizers[name] = tok
+                specs.append(FeatureSpec(
+                    name=name, type=CATEGORICAL, source=source,
+                    vocab_size=tok.vocab_size, embedding_dim=emb_dim,
+                    share_embedding=share))
+            elif ftype == SEQUENCE:
+                tok = Tokenizer(
+                    min_freq=col.get("min_categr_count", min_categr_count),
+                    na_value=col.get("na_value"),
+                    splitter=col.get("splitter", "^"),
+                    max_len=col.get("max_len", 0),
+                    padding=col.get("padding", "pre"),
+                )
+                tok.fit(values, use_padding=True)
+                if share and share in self.tokenizers:
+                    base = self.tokenizers[share]
+                    # share the table: sequence ids must live in the base
+                    # vocab; PAD maps to base vocab_size (extra zero row).
+                    tok.vocab = dict(base.vocab)
+                    tok.vocab[Tokenizer.PAD] = base.vocab_size
+                    tok.vocab_size = base.vocab_size + 1
+                self.tokenizers[name] = tok
+                specs.append(FeatureSpec(
+                    name=name, type=SEQUENCE, source=source,
+                    vocab_size=tok.vocab_size, embedding_dim=emb_dim,
+                    max_len=tok.max_len, share_embedding=share,
+                    padding_idx=tok.padding_idx,
+                    pooling=col.get("pooling", "mean")))
+            else:
+                raise ValueError(f"unknown feature type {ftype!r} for {name}")
+
+        # vocab growth through merges means shared specs need a final pass
+        fixed: List[FeatureSpec] = []
+        for s in specs:
+            if s.name in self.tokenizers:
+                tok = self.tokenizers[s.name]
+                s = FeatureSpec(**{**s.__dict__, "vocab_size": tok.vocab_size,
+                                   "padding_idx": tok.padding_idx})
+            fixed.append(s)
+        specs = fixed
+
+        if item_corpus is not None and self.corpus_index:
+            num_items = len(_get_column(item_corpus, self.corpus_index))
+
+        self.feature_map = FeatureMap(
+            dataset_id=self.dataset_id,
+            features=tuple(specs),
+            labels=tuple(self.label_cols),
+            query_index=self.query_index,
+            corpus_index=self.corpus_index,
+            group_id=self.group_id,
+            num_items=num_items,
+        )
+        return self.feature_map
+
+    # -- transform ----------------------------------------------------------
+    def transform(self, table, columns: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
+        """Encode a table into {name: int32/float32 array} with static shapes."""
+        assert self.feature_map is not None, "call fit() first"
+        out: Dict[str, np.ndarray] = {}
+        wanted = set(columns) if columns is not None else None
+        for spec in self.feature_map.features:
+            if wanted is not None and spec.name not in wanted:
+                continue
+            if not self._has_column(table, spec.name):
+                continue
+            values = _get_column(table, spec.name)
+            if spec.type == META:
+                out[spec.name] = np.asarray(values)
+            elif spec.type == NUMERIC:
+                out[spec.name] = self.normalizers[spec.name].transform(values)
+            elif spec.type == CATEGORICAL:
+                out[spec.name] = self.tokenizers[spec.name].encode_category(values)
+            elif spec.type == SEQUENCE:
+                out[spec.name] = self.tokenizers[spec.name].encode_sequence(values)
+        for label in self.label_cols:
+            if self._has_column(table, label):
+                out[label] = np.asarray(_get_column(table, label), dtype=np.float32)
+        return out
+
+    @staticmethod
+    def _has_column(table, name: str) -> bool:
+        if hasattr(table, "columns"):
+            return name in table.columns
+        return name in table
+
+    # -- persistence --------------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        assert self.feature_map is not None
+        self.feature_map.save(os.path.join(directory, "feature_map.json"))
+        state = {
+            "tokenizers": {k: t.state() for k, t in self.tokenizers.items()},
+            "normalizers": {k: n.state() for k, n in self.normalizers.items()},
+            "feature_cols": self.feature_cols,
+            "label_cols": self.label_cols,
+        }
+        with open(os.path.join(directory, "encoder.pkl"), "wb") as fh:
+            pickle.dump(state, fh)
+
+    @classmethod
+    def load(cls, directory: str) -> "FeatureEncoder":
+        with open(os.path.join(directory, "encoder.pkl"), "rb") as fh:
+            state = pickle.load(fh)
+        fm = FeatureMap.load(os.path.join(directory, "feature_map.json"))
+        enc = cls(state["feature_cols"], state["label_cols"], dataset_id=fm.dataset_id,
+                  query_index=fm.query_index, corpus_index=fm.corpus_index,
+                  group_id=fm.group_id)
+        enc.tokenizers = {k: Tokenizer.from_state(s) for k, s in state["tokenizers"].items()}
+        enc.normalizers = {k: Normalizer.from_state(s) for k, s in state["normalizers"].items()}
+        enc.feature_map = fm
+        return enc

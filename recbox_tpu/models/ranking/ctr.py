@@ -1,0 +1,289 @@
+"""CTR ranking model zoo (single-task, binary click prediction).
+
+TPU-first re-implementations of the reference CTR family — model shapes from
+`third_party/deepctr/models/*` (functional ctors), interaction layers from
+`recbox/ranking/pytorch/layers/interactions/*`, field embedding machinery from
+`third_party/recbole/model/abstract_recommender.py:215-560` (ContextRecommender).
+
+All models consume a FeatureMap and a batch dict, return (B,) logits:
+  LR            — first-order only (`deepctr` linear logit)
+  FM            — LR + second-order factorization machine
+  DNN           — plain deep tower over concat embeddings (FNN shape)
+  WideDeep      — LR wide part + deep tower (`deepctr/models/wdl.py`)
+  DeepFM        — LR + FM + deep tower (`deepctr/models/deepfm.py:22`)
+  NFM           — bi-interaction pooling + MLP (`deepctr/models/nfm.py`)
+  AFM           — attention-weighted pairwise products (`deepctr/models/afm.py`)
+  DCN           — CrossNet ⊕ deep tower (`deepctr/models/dcn.py`)
+  DCNv2         — CrossNetV2 / CrossNetMix variants (`dcnmix.py`)
+  xDeepFM       — CIN + LR + deep (`deepctr/models/xdeepfm.py`)
+  AutoInt       — stacked self-attention interactions (`deepctr/models/autoint.py`)
+  PNN           — inner-product network (`deepctr/models/pnn.py`)
+  FiBiNET       — SENET + bilinear interactions (`deepctr/models/fibinet.py`)
+  ONN/FFM-style — field-aware embeddings are covered by FiBiNET/PNN variants
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recbox_tpu.features.schema import FeatureMap
+from recbox_tpu.models.base import RankingModel
+from recbox_tpu.nn.core import MLP, FactorizationMachine
+from recbox_tpu.nn.embedding import FeatureEmbedding, concat_embeddings, stack_embeddings
+from recbox_tpu.nn.interactions import (
+    BilinearInteraction, CompressedInteractionNet, CrossNet, CrossNetMix,
+    CrossNetV2, InnerProduct, InteractingLayer, SENET,
+)
+
+__all__ = ["LR", "FM", "DNN", "WideDeep", "DeepFM", "NFM", "AFM", "DCN",
+           "DCNv2", "xDeepFM", "AutoInt", "PNN", "FiBiNET"]
+
+
+class _FieldModel(RankingModel):
+    """Shared machinery: uniform-width field embeddings + optional 1-d linear."""
+
+    embedding_dim: int = 16
+
+    def _embedding(self, name="embedding") -> FeatureEmbedding:
+        return FeatureEmbedding(self.feature_map,
+                                embedding_dim=self.embedding_dim, name=name)
+
+    def _linear_embedding(self) -> FeatureEmbedding:
+        # first-order weights = dim-1 embeddings (FM linear term)
+        return FeatureEmbedding(self.feature_map, embedding_dim=1, name="linear")
+
+    def _first_order(self, lin_embs) -> jnp.ndarray:
+        x = stack_embeddings(lin_embs, self.feature_map.input_features)  # (B,F,1)
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        return jnp.sum(x, axis=(1, 2))[:, None] + bias  # (B,1)
+
+
+class LR(_FieldModel):
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        return self._first_order(lin).reshape(-1)
+
+
+class FM(_FieldModel):
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        logit = self._first_order(lin) + FactorizationMachine()(field)
+        return logit.reshape(-1)
+
+
+class DNN(_FieldModel):
+    hidden_units: Sequence[int] = (400, 400, 400)
+    activation: str = "relu"
+    dropout: float = 0.0
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        embs = self._embedding()(batch)
+        x = concat_embeddings(embs, self.feature_map.input_features)
+        logit = MLP(self.hidden_units, activation=self.activation, output_dim=1,
+                    dropout=self.dropout, batch_norm=self.batch_norm)(x, train=train)
+        return logit.reshape(-1)
+
+
+class WideDeep(_FieldModel):
+    hidden_units: Sequence[int] = (400, 400, 400)
+    activation: str = "relu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        x = concat_embeddings(embs, self.feature_map.input_features)
+        deep = MLP(self.hidden_units, activation=self.activation, output_dim=1,
+                   dropout=self.dropout)(x, train=train)
+        return (self._first_order(lin) + deep).reshape(-1)
+
+
+class DeepFM(_FieldModel):
+    hidden_units: Sequence[int] = (400, 400, 400)
+    activation: str = "relu"
+    dropout: float = 0.0
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        flat = field.reshape(field.shape[0], -1)
+        logit = (self._first_order(lin)
+                 + FactorizationMachine()(field)
+                 + MLP(self.hidden_units, activation=self.activation,
+                       output_dim=1, dropout=self.dropout,
+                       batch_norm=self.batch_norm)(flat, train=train))
+        return logit.reshape(-1)
+
+
+class NFM(_FieldModel):
+    hidden_units: Sequence[int] = (128, 128)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        # bi-interaction pooling: 0.5(sum² − sum of squares) kept as a vector
+        bi = 0.5 * (jnp.square(jnp.sum(field, axis=1))
+                    - jnp.sum(jnp.square(field), axis=1))  # (B, D)
+        deep = MLP(self.hidden_units, output_dim=1,
+                   dropout=self.dropout)(bi, train=train)
+        return (self._first_order(lin) + deep).reshape(-1)
+
+
+class AFM(_FieldModel):
+    attention_dim: int = 16
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        F = field.shape[1]
+        iu, ju = jnp.triu_indices(F, k=1)
+        prod = field[:, iu] * field[:, ju]  # (B, P, D)
+        att = nn.Dense(self.attention_dim)(prod)
+        att = jax.nn.relu(att)
+        att = nn.Dense(1, use_bias=False)(att)  # (B, P, 1)
+        att = jax.nn.softmax(att, axis=1)
+        att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        pooled = jnp.sum(att * prod, axis=1)  # (B, D)
+        p = nn.Dense(1, use_bias=False)(pooled)
+        return (self._first_order(lin) + p).reshape(-1)
+
+
+class DCN(_FieldModel):
+    num_cross_layers: int = 3
+    hidden_units: Sequence[int] = (400, 400)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        embs = self._embedding()(batch)
+        x = concat_embeddings(embs, self.feature_map.input_features)
+        cross = CrossNet(self.num_cross_layers)(x)
+        deep = MLP(self.hidden_units, dropout=self.dropout)(x, train=train)
+        logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(
+            jnp.concatenate([cross, deep], axis=-1))
+        return logit.reshape(-1)
+
+
+class DCNv2(_FieldModel):
+    num_cross_layers: int = 3
+    hidden_units: Sequence[int] = (400, 400)
+    dropout: float = 0.0
+    model_structure: str = "parallel"   # 'parallel' | 'stacked' | 'crossnet_only'
+    use_low_rank_mixture: bool = False
+    low_rank: int = 32
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        embs = self._embedding()(batch)
+        x = concat_embeddings(embs, self.feature_map.input_features)
+        if self.use_low_rank_mixture:
+            cross = CrossNetMix(self.num_cross_layers, self.low_rank,
+                                self.num_experts)(x)
+        else:
+            cross = CrossNetV2(self.num_cross_layers)(x)
+        if self.model_structure == "crossnet_only":
+            out = cross
+        elif self.model_structure == "stacked":
+            out = MLP(self.hidden_units, dropout=self.dropout)(cross, train=train)
+        else:
+            deep = MLP(self.hidden_units, dropout=self.dropout)(x, train=train)
+            out = jnp.concatenate([cross, deep], axis=-1)
+        logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)
+        return logit.reshape(-1)
+
+
+class xDeepFM(_FieldModel):
+    cin_layer_sizes: Sequence[int] = (16, 16)
+    hidden_units: Sequence[int] = (400, 400)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        flat = field.reshape(field.shape[0], -1)
+        cin = CompressedInteractionNet(tuple(self.cin_layer_sizes))(field)
+        deep = MLP(self.hidden_units, output_dim=1,
+                   dropout=self.dropout)(flat, train=train)
+        return (self._first_order(lin) + cin + deep).reshape(-1)
+
+
+class AutoInt(_FieldModel):
+    num_attention_layers: int = 3
+    attention_dim: int = 16
+    num_heads: int = 2
+    hidden_units: Sequence[int] = ()    # optional parallel DNN
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        x = field
+        for _ in range(self.num_attention_layers):
+            x = InteractingLayer(self.attention_dim, self.num_heads)(x)
+        logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(
+            x.reshape(x.shape[0], -1))
+        if self.hidden_units:
+            flat = field.reshape(field.shape[0], -1)
+            logit = logit + MLP(tuple(self.hidden_units), output_dim=1,
+                                dropout=self.dropout)(flat, train=train)
+        return logit.reshape(-1)
+
+
+class PNN(_FieldModel):
+    hidden_units: Sequence[int] = (400, 400)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        flat = field.reshape(field.shape[0], -1)
+        inner = InnerProduct()(field)
+        x = jnp.concatenate([flat, inner], axis=-1)
+        logit = MLP(self.hidden_units, output_dim=1,
+                    dropout=self.dropout)(x, train=train)
+        return logit.reshape(-1)
+
+
+class FiBiNET(_FieldModel):
+    hidden_units: Sequence[int] = (400, 400)
+    reduction_ratio: int = 3
+    bilinear_type: str = "field_interaction"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
+        embs = self._embedding()(batch)
+        field = stack_embeddings(embs, self.feature_map.input_features)
+        senet_field = SENET(self.reduction_ratio)(field)
+        bi_raw = BilinearInteraction(self.bilinear_type, name="bilinear_raw")(field)
+        bi_se = BilinearInteraction(self.bilinear_type, name="bilinear_se")(senet_field)
+        x = jnp.concatenate([bi_raw, bi_se], axis=-1)
+        deep = MLP(self.hidden_units, output_dim=1,
+                   dropout=self.dropout)(x, train=train)
+        return (self._first_order(lin) + deep).reshape(-1)

@@ -1,0 +1,173 @@
+"""Feature embedding engine (flax.linen).
+
+TPU-first re-design of the reference's embedding layers
+(`recbox/core/pytorch/layers/embedding.py:10-138` EmbeddingLayer /
+EmbeddingDictLayer and `third_party/rechub/basic/layers.py:29-150`):
+
+* one table per *table_name* — `share_embedding` features alias the same
+  parameter (reference `embedding.py:44-55`);
+* categorical → row lookup; numeric → value × learned d-vector (equivalent to
+  the reference's bias-free Linear(1, d)); sequence → lookup + masked
+  mean/sum pooling or raw (B, L, D) for attention models;
+* `padding_idx` rows are zeroed by masking at lookup time (instead of relying
+  on a zeroed parameter row, which an optimizer would un-zero);
+* tables carry flax partitioning metadata ``('model', None)`` so a pjit over a
+  Mesh(('data','model')) row-shards every vocabulary across the model axis —
+  XLA then emits the gather + collectives over ICI (the reference has no
+  analog; its tables are replicated nn.Embedding).
+
+Lookups stay plain `jnp.take` so XLA can fuse them; a Pallas gather path for
+very large tables lives in `recbox_tpu/ops/pallas`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbox_tpu.features.schema import (
+    CATEGORICAL, NUMERIC, SEQUENCE, FeatureMap, FeatureSpec,
+)
+
+__all__ = ["FeatureEmbedding", "concat_embeddings", "stack_embeddings", "masked_pool"]
+
+
+def emb_init(std: float = 1e-4):
+    """normal(std=1e-4) — the reference regime (`match_model.py:91-114`)."""
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def masked_pool(seq_emb: jnp.ndarray, mask: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Pool (B, L, D) under a (B, L) validity mask.
+
+    Reference: MaskedAveragePooling / MaskedSumPooling
+    (`recbox/core/pytorch/layers/sequence.py:4-19`).
+    """
+    mask = mask.astype(seq_emb.dtype)[..., None]
+    summed = jnp.sum(seq_emb * mask, axis=1)
+    if mode == "sum":
+        return summed
+    if mode == "mean":
+        counts = jnp.maximum(jnp.sum(mask, axis=1), 1e-12)
+        return summed / counts
+    raise ValueError(f"unknown pooling mode {mode!r}")
+
+
+class FeatureEmbedding(nn.Module):
+    """Embeds a batch dict into {feature_name: (B, D) or (B, L, D)} arrays.
+
+    Attributes:
+      feature_map: schema.
+      source: restrict to one tower ('user'/'item'); None embeds everything.
+      embedding_dim: override all per-feature dims with one width (needed by
+        field-interaction models that stack fields into (B, F, D)).
+      sequence_pooling: if False, sequence features stay (B, L, D) regardless
+        of their spec pooling (used by DIN/SASRec-style attention models).
+      param_dtype / dtype: storage vs compute precision (bfloat16 compute by
+        default keeps MXU-friendly math; params stay fp32 for optimizer
+        stability).
+    """
+
+    feature_map: FeatureMap
+    source: Optional[str] = None
+    embedding_dim: Optional[int] = None
+    sequence_pooling: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    shard_tables: bool = True
+
+    def _features(self) -> Tuple[FeatureSpec, ...]:
+        if self.source is None:
+            return self.feature_map.input_features
+        return self.feature_map.by_source(self.source)
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        feats = self._features()
+        # one param per distinct table; shared features resolve to it
+        tables: Dict[str, jnp.ndarray] = {}
+        out: Dict[str, jnp.ndarray] = {}
+
+        def get_table(spec: FeatureSpec, dim: int) -> jnp.ndarray:
+            tname = spec.table_name
+            if tname in tables:
+                return tables[tname]
+            owner = self.feature_map.feature_dict.get(tname, spec)
+            # shared sequence features add a PAD row beyond the base vocab
+            rows = max(owner.vocab_size, spec.vocab_size)
+            for f in self.feature_map.features:
+                if f.table_name == tname:
+                    rows = max(rows, f.vocab_size)
+            init = emb_init()
+            if self.shard_tables:
+                init = nn.with_partitioning(init, ("model", None))
+            table = self.param(f"emb_{tname}", init, (rows, dim), self.param_dtype)
+            tables[tname] = table
+            return table
+
+        for spec in feats:
+            dim = self.embedding_dim or spec.embedding_dim
+            name = spec.name
+            if name not in batch:
+                continue
+            x = batch[name]
+            if spec.type == NUMERIC:
+                w = self.param(f"num_{name}", nn.initializers.xavier_normal(),
+                               (1, dim), self.param_dtype)
+                out[name] = (x.astype(self.dtype)[:, None]
+                             * jnp.asarray(w, self.dtype))
+            elif spec.type == CATEGORICAL:
+                table = jnp.asarray(get_table(spec, dim), self.dtype)
+                emb = jnp.take(table, x, axis=0)
+                if spec.padding_idx is not None:
+                    emb = emb * (x != spec.padding_idx).astype(self.dtype)[..., None]
+                out[name] = emb
+            elif spec.type == SEQUENCE:
+                table = jnp.asarray(get_table(spec, dim), self.dtype)
+                emb = jnp.take(table, x, axis=0)  # (B, L, D)
+                pad = spec.padding_idx if spec.padding_idx is not None else spec.vocab_size - 1
+                mask = (x != pad)
+                emb = emb * mask.astype(self.dtype)[..., None]
+                if self.sequence_pooling and spec.pooling in ("mean", "sum"):
+                    out[name] = masked_pool(emb, mask, spec.pooling)
+                elif self.sequence_pooling and spec.pooling == "concat":
+                    out[name] = emb.reshape(emb.shape[0], -1)
+                else:
+                    out[name] = emb
+        return out
+
+
+def concat_embeddings(emb_dict: Dict[str, jnp.ndarray], feats: Tuple[FeatureSpec, ...]) -> jnp.ndarray:
+    """Concatenate per-feature embeddings into one flat (B, sum_dim) tensor.
+
+    Deterministic feature order (schema order) — reference `dict2tensor`
+    (`embedding.py:120-138`). 3-D entries are flattened.
+    """
+    parts = []
+    for spec in feats:
+        if spec.name not in emb_dict:
+            continue
+        e = emb_dict[spec.name]
+        if e.ndim == 3:
+            e = e.reshape(e.shape[0], -1)
+        parts.append(e)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def stack_embeddings(emb_dict: Dict[str, jnp.ndarray], feats: Tuple[FeatureSpec, ...]) -> jnp.ndarray:
+    """Stack equal-width field embeddings into (B, F, D) for interaction layers."""
+    parts = []
+    for spec in feats:
+        if spec.name not in emb_dict:
+            continue
+        e = emb_dict[spec.name]
+        if e.ndim == 3:  # a pooled view is required for field stacking
+            e = jnp.mean(e, axis=1)
+        parts.append(e)
+    return jnp.stack(parts, axis=1)

@@ -1,0 +1,273 @@
+"""Feature-interaction layers for CTR models.
+
+Re-designed TPU equivalents of the reference interaction zoo
+(`recbox/ranking/pytorch/layers/interactions/*`,
+`third_party/deepctr/layers/interaction.py:33-1559`): every layer operates on
+stacked field embeddings ``(B, F, D)`` using batched einsums that XLA tiles
+onto the MXU — no Python pair loops, no Conv1d tricks.
+
+Layers: CrossNet (DCN), CrossNetV2 (DCNv2), CrossNetMix (DCN-Mix low-rank
+MoE), CompressedInteractionNet (xDeepFM CIN), InnerProduct (PNN), SENET
+(FiBiNET squeeze-excitation), BilinearInteraction (FiBiNET), Holographic
+(HFM), InteractionMachine (IM), InteractingLayer (AutoInt self-attention).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "CrossNet", "CrossNetV2", "CrossNetMix", "CompressedInteractionNet",
+    "InnerProduct", "SENET", "BilinearInteraction", "HolographicInteraction",
+    "InteractionMachine", "InteractingLayer",
+]
+
+
+class CrossNet(nn.Module):
+    """DCN cross layers: x_{l+1} = x0 * (x_l · w_l) + b_l + x_l.
+
+    Reference: `recbox/ranking/pytorch/layers/interactions/cross_net.py:23-40`.
+    Input/output: (B, D_in) flat concat of all embeddings.
+    """
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+        d = x0.shape[-1]
+        x = x0
+        for i in range(self.num_layers):
+            w = self.param(f"w{i}", nn.initializers.xavier_normal(), (d, 1))
+            b = self.param(f"b{i}", nn.initializers.zeros, (d,))
+            xl_w = x @ w  # (B, 1)
+            x = x0 * xl_w + b + x
+        return x
+
+
+class CrossNetV2(nn.Module):
+    """DCNv2 cross layers: x_{l+1} = x0 ⊙ (W_l x_l + b_l) + x_l.
+
+    Reference: `cross_net.py:43-60` (CrossNetV2).
+    """
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+        d = x0.shape[-1]
+        x = x0
+        for i in range(self.num_layers):
+            x = x0 * nn.Dense(d, kernel_init=nn.initializers.xavier_normal(),
+                              name=f"dense{i}")(x) + x
+        return x
+
+
+class CrossNetMix(nn.Module):
+    """DCN-Mix: low-rank cross experts with softmax gating.
+
+    E_i(x) = x0 ⊙ U_i·tanh(C_i·tanh(V_iᵀ x)); out = Σ_i g_i(x)·E_i(x) + x.
+    Reference: `third_party/deepctr/layers/interaction.py:432-530` (CrossNetMix).
+    """
+    num_layers: int = 3
+    low_rank: int = 32
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+        d = x0.shape[-1]
+        x = x0
+        for l in range(self.num_layers):
+            U = self.param(f"U{l}", nn.initializers.xavier_normal(),
+                           (self.num_experts, d, self.low_rank))
+            V = self.param(f"V{l}", nn.initializers.xavier_normal(),
+                           (self.num_experts, d, self.low_rank))
+            C = self.param(f"C{l}", nn.initializers.xavier_normal(),
+                           (self.num_experts, self.low_rank, self.low_rank))
+            b = self.param(f"b{l}", nn.initializers.zeros, (d,))
+            gate_w = self.param(f"g{l}", nn.initializers.xavier_normal(),
+                                (d, self.num_experts))
+            # (B, E, r) = x (B,d) @ V (E,d,r)
+            v_x = jnp.tanh(jnp.einsum("bd,edr->ber", x, V))
+            v_x = jnp.tanh(jnp.einsum("ber,ers->bes", v_x, C))
+            uv_x = jnp.einsum("bes,eds->bed", v_x, U)  # (B, E, d)
+            expert_out = x0[:, None, :] * (uv_x + b)   # (B, E, d)
+            gate = jax.nn.softmax(x @ gate_w, axis=-1)  # (B, E)
+            x = jnp.einsum("bed,be->bd", expert_out, gate) + x
+        return x
+
+
+class CompressedInteractionNet(nn.Module):
+    """xDeepFM CIN over (B, F, D) → (B, 1) logit contribution.
+
+    X^k = W^k · (X^{k−1} ⊗ X^0) along fields; output = Dense(concat of
+    Σ_D X^k). Reference: `compressed_interaction_net.py:22-48` — the Conv1d
+    there is re-expressed as a single einsum per layer (MXU-friendly).
+    """
+    layer_sizes: Sequence[int] = (16, 16)
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        B, F, D = field_emb.shape
+        x0 = field_emb
+        xk = field_emb
+        pooled = []
+        for i, h in enumerate(self.layer_sizes):
+            prev_maps = xk.shape[1]
+            w = self.param(f"w{i}", nn.initializers.xavier_normal(),
+                           (h, prev_maps, F))
+            # outer product over fields, contracted with the filter:
+            # (B,m,D),(B,F,D),(h,m,F) -> (B,h,D)
+            xk = jnp.einsum("bmd,bfd,hmf->bhd", xk, x0, w)
+            pooled.append(jnp.sum(xk, axis=-1))  # (B, h)
+        out = jnp.concatenate(pooled, axis=-1)
+        return nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)
+
+
+class InnerProduct(nn.Module):
+    """All pairwise field dot products → (B, F(F−1)/2).
+
+    Reference: `recbox/ranking/pytorch/layers/interactions/inner_product.py`.
+    Computed as a full (B, F, F) gram matrix (one batched matmul) then the
+    upper triangle is gathered — faster on MXU than pair indexing.
+    """
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        F = field_emb.shape[1]
+        gram = jnp.einsum("bfd,bgd->bfg", field_emb, field_emb)
+        iu, ju = jnp.triu_indices(F, k=1)
+        return gram[:, iu, ju]
+
+
+class SENET(nn.Module):
+    """Squeeze-excitation over fields: reweight each field embedding.
+
+    Reference: `deepctr/layers/interaction.py:1061-1112` (SENETLayer) with
+    reduction_ratio, mean squeeze, relu excitation.
+    """
+    reduction_ratio: int = 3
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        F = field_emb.shape[1]
+        z = jnp.mean(field_emb, axis=-1)  # (B, F)
+        reduced = max(1, F // self.reduction_ratio)
+        a = nn.Dense(reduced, use_bias=False)(z)
+        a = jax.nn.relu(a)
+        a = nn.Dense(F, use_bias=False)(a)
+        a = jax.nn.relu(a)
+        return field_emb * a[..., None]
+
+
+class BilinearInteraction(nn.Module):
+    """FiBiNET bilinear pair interaction: (v_i · W) ⊙ v_j for i<j.
+
+    bilinear_type: 'field_all' (one W), 'field_each' (W per field i),
+    'field_interaction' (W per pair). Reference:
+    `recbox/ranking/pytorch/layers/interactions/bilinear_interaction.py`.
+    """
+    bilinear_type: str = "field_interaction"
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        B, F, D = field_emb.shape
+        iu, ju = jnp.triu_indices(F, k=1)
+        n_pairs = len(iu)
+        if self.bilinear_type == "field_all":
+            W = self.param("w", nn.initializers.xavier_normal(), (D, D))
+            left = jnp.einsum("bfd,de->bfe", field_emb, W)[:, iu]
+        elif self.bilinear_type == "field_each":
+            W = self.param("w", nn.initializers.xavier_normal(), (F, D, D))
+            left = jnp.einsum("bfd,fde->bfe", field_emb, W)[:, iu]
+        elif self.bilinear_type == "field_interaction":
+            W = self.param("w", nn.initializers.xavier_normal(), (n_pairs, D, D))
+            left = jnp.einsum("bpd,pde->bpe", field_emb[:, iu], W)
+        else:
+            raise ValueError(self.bilinear_type)
+        out = left * field_emb[:, ju]  # (B, P, D)
+        return out.reshape(B, -1)
+
+
+class HolographicInteraction(nn.Module):
+    """HFM circular convolution/correlation of field pairs via rFFT.
+
+    Reference: `recbox/ranking/pytorch/layers/interactions/holographic_interaction.py`.
+    """
+    interaction_type: str = "circular_convolution"
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        B, F, D = field_emb.shape
+        iu, ju = jnp.triu_indices(F, k=1)
+        a = field_emb[:, iu]
+        b = field_emb[:, ju]
+        if self.interaction_type == "elementwise_product":
+            out = a * b
+        else:
+            fa = jnp.fft.rfft(a, axis=-1)
+            fb = jnp.fft.rfft(b, axis=-1)
+            if self.interaction_type == "circular_correlation":
+                fa = jnp.conj(fa)
+            out = jnp.fft.irfft(fa * fb, n=D, axis=-1)
+        return out.reshape(B, -1)
+
+
+class InteractionMachine(nn.Module):
+    """IM higher-order interactions from power sums (Newton's identities).
+
+    Reference: `recbox/ranking/pytorch/layers/interactions/interaction_machine.py`
+    — orders 1..5 of elementary symmetric aggregates over fields, each a
+    cheap (B, D) elementwise expression.
+    """
+    order: int = 2
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        assert 1 <= self.order <= 5, "IM supports order 1..5"
+        p1 = jnp.sum(field_emb, axis=1)
+        outs = [p1]
+        if self.order >= 2:
+            p2 = jnp.sum(field_emb ** 2, axis=1)
+            outs.append((p1 ** 2 - p2) / 2)
+        if self.order >= 3:
+            p3 = jnp.sum(field_emb ** 3, axis=1)
+            outs.append((p1 ** 3 - 3 * p1 * p2 + 2 * p3) / 6)
+        if self.order >= 4:
+            p4 = jnp.sum(field_emb ** 4, axis=1)
+            outs.append((p1 ** 4 - 6 * p1 ** 2 * p2 + 3 * p2 ** 2
+                         + 8 * p1 * p3 - 6 * p4) / 24)
+        if self.order >= 5:
+            p5 = jnp.sum(field_emb ** 5, axis=1)
+            outs.append((p1 ** 5 - 10 * p1 ** 3 * p2 + 20 * p1 ** 2 * p3
+                         - 30 * p1 * p4 - 20 * p2 * p3 + 15 * p1 * p2 ** 2
+                         + 24 * p5) / 120)
+        out = jnp.concatenate(outs, axis=-1)
+        return nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)
+
+
+class InteractingLayer(nn.Module):
+    """AutoInt multi-head self-attention over fields with residual projection.
+
+    Reference: `deepctr/layers/interaction.py:691-780` (InteractingLayer).
+    Input (B, F, D) → output (B, F, att_dim·heads).
+    """
+    att_dim: int = 16
+    num_heads: int = 2
+    use_residual: bool = True
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
+        H, A = self.num_heads, self.att_dim
+        q = nn.DenseGeneral((H, A), use_bias=False, name="q")(field_emb)
+        k = nn.DenseGeneral((H, A), use_bias=False, name="k")(field_emb)
+        v = nn.DenseGeneral((H, A), use_bias=False, name="v")(field_emb)
+        att = jnp.einsum("bfha,bgha->bhfg", q, k)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhfg,bgha->bfha", att, v)
+        out = out.reshape(*out.shape[:2], H * A)
+        if self.use_residual:
+            res = nn.Dense(H * A, use_bias=False, name="res")(field_emb)
+            out = out + res
+        return jax.nn.relu(out)

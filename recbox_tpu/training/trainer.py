@@ -1,0 +1,337 @@
+"""Unified trainer: one compile-once train step for every stage.
+
+Replaces the reference's five trainer stacks (fit() methods in
+`match_model.py:162-203` / `ranking_model.py:136-217`, recbole
+`trainer/trainer.py:96-1496`, rechub `trainers/*`, daisy fit loops) with a
+single functional trainer:
+
+* the train step — forward, loss (+ split embedding/net regularization,
+  `match_model.py:71-89`), global-norm gradient clip (default 10,
+  `ranking_model.py:137`), optax update — is one jitted XLA program; batches
+  stream onto device, nothing else leaves it;
+* reduce-lr-on-plateau with best-weight reload, early stopping with patience,
+  best-only checkpointing: exact semantics of `checkpoint_and_earlystop`
+  (`match_model.py:138-160`);
+* checkpoint/resume carries {params, model_state, opt_state, epoch, monitor}
+  like recbole's full training-state checkpoint (`trainer.py:287-340`);
+* optional device mesh: when given a Mesh(('data','model')) the same step is
+  pjit-sharded — batch over 'data', embedding tables row-sharded over 'model'
+  via their flax partitioning metadata; XLA emits the grad all-reduce the
+  reference gets from DDP (`trainer.py:60-93`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Mapping, Optional, Union
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze, unfreeze
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from recbox_tpu.data.loader import MASK_KEY
+from recbox_tpu.ops.losses import embedding_reg_loss
+from recbox_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from recbox_tpu.training.monitor import Monitor
+
+logger = logging.getLogger("recbox_tpu")
+
+__all__ = ["Trainer", "TrainerConfig"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 10.0
+    epochs: int = 10
+    patience: int = 2
+    monitor: Union[str, Mapping[str, float]] = "AUC"
+    monitor_mode: str = "max"
+    lr_decay_factor: float = 0.1        # reduce-lr-on-plateau multiplier
+    min_lr: float = 1e-6
+    reload_best_on_plateau: bool = True
+    embedding_regularizer: float = 0.0  # p2 penalty on emb_* tables
+    net_regularizer: float = 0.0        # p2 penalty on everything else
+    eval_steps: Optional[int] = None    # eval every N steps (None = per epoch)
+    workdir: Optional[str] = None
+    seed: int = 2024
+    log_every: int = 100
+
+
+def _make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    def build(learning_rate):
+        opts = {
+            "adam": lambda: optax.adam(learning_rate),
+            "adamw": lambda: optax.adamw(learning_rate, weight_decay=cfg.weight_decay),
+            "adagrad": lambda: optax.adagrad(learning_rate),
+            "sgd": lambda: optax.sgd(learning_rate),
+            "rmsprop": lambda: optax.rmsprop(learning_rate),
+        }
+        if cfg.optimizer.lower() not in opts:
+            raise NotImplementedError(f"optimizer={cfg.optimizer}")
+        tx = opts[cfg.optimizer.lower()]()
+        if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+        return tx
+    return optax.inject_hyperparams(build)(learning_rate=cfg.learning_rate)
+
+
+class Trainer:
+    """Generic trainer over a flax model + a loss adapter + an evaluator.
+
+    Args:
+      model: flax module; ``model.apply(variables, batch, train=...)``.
+      loss_fn: ``loss_fn(outputs, batch) -> scalar loss`` (pure jnp).
+      eval_fn: ``eval_fn(trainer) -> {metric: value}`` on the validation set.
+      config: TrainerConfig.
+      mesh: optional jax Mesh(('data','model')) for sharded training.
+    """
+
+    def __init__(
+        self,
+        model,
+        loss_fn: Callable,
+        config: TrainerConfig,
+        eval_fn: Optional[Callable] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.config = config
+        self.eval_fn = eval_fn
+        self.mesh = mesh
+        self.tx = _make_optimizer(config)
+        self.monitor = Monitor(config.monitor, config.monitor_mode,
+                               patience=config.patience)
+        self.params = None
+        self.model_state = {}  # mutable collections (batch_stats, …)
+        self.opt_state = None
+        self.step = 0
+        self.epoch = 0
+        self._rng = jax.random.PRNGKey(config.seed)
+        self._train_step = None
+        self._best_params = None
+        self._best_model_state = None
+        self._stopped = False
+
+    # -- init ----------------------------------------------------------------
+    def init(self, sample_batch: Dict[str, np.ndarray]) -> None:
+        rng, self._rng = jax.random.split(self._rng)
+        batch = self._device_batch(sample_batch)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, batch, train=True)
+        variables = unfreeze(variables)
+        params = variables.pop("params")
+        # extract flax partitioning metadata (embedding tables → ('model', None))
+        # then unbox to plain arrays for optax
+        self.param_specs = flax.linen.get_partition_spec(params)
+        params = flax.linen.meta.unbox(params)
+        if self.mesh is not None:
+            from recbox_tpu.parallel.mesh import shard_params
+            params = shard_params(params, self.mesh, self.param_specs)
+        self.params = params
+        self.model_state = flax.linen.meta.unbox(variables)
+        self.opt_state = self.tx.init(self.params)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+        logger.info("initialized model: %s params", f"{n_params:,}")
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.mesh is not None:
+            from recbox_tpu.parallel.mesh import shard_batch
+            return shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # -- the compiled train step ---------------------------------------------
+    def _build_train_step(self):
+        cfg = self.config
+        model = self.model
+        loss_fn = self.loss_fn
+        mutable_keys = list(self.model_state.keys())
+
+        def step_fn(params, model_state, opt_state, batch, rng):
+            def compute_loss(p):
+                variables = {"params": p, **model_state}
+                if mutable_keys:
+                    outputs, new_state = model.apply(
+                        variables, batch, train=True,
+                        rngs={"dropout": rng}, mutable=mutable_keys)
+                else:
+                    outputs = model.apply(variables, batch, train=True,
+                                          rngs={"dropout": rng})
+                    new_state = model_state
+                loss = loss_fn(outputs, batch)
+                if cfg.embedding_regularizer:
+                    loss = loss + cfg.embedding_regularizer * embedding_reg_loss(p)
+                if cfg.net_regularizer:
+                    reg = embedding_reg_loss(p, prefix="")  # all params
+                    reg = reg - embedding_reg_loss(p)       # minus emb tables
+                    loss = loss + cfg.net_regularizer * reg
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(params)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt_state, loss
+
+        donate = (0, 1, 2)
+        if self.mesh is not None:
+            # shard params by their flax partitioning metadata; batch by 'data'
+            return jax.jit(step_fn, donate_argnums=donate)
+        return jax.jit(step_fn, donate_argnums=donate)
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> float:
+        if self.params is None:
+            self.init(batch)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        rng, self._rng = jax.random.split(self._rng)
+        dbatch = self._device_batch(batch)
+        self.params, self.model_state, self.opt_state, loss = self._train_step(
+            self.params, self.model_state, self.opt_state, dbatch, rng)
+        self.step += 1
+        return loss  # device scalar; block only when logged
+
+    # -- lr plateau ----------------------------------------------------------
+    @property
+    def learning_rate(self) -> float:
+        return float(self.opt_state.hyperparams["learning_rate"])
+
+    def _set_learning_rate(self, lr: float) -> None:
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+    def _on_plateau(self) -> None:
+        new_lr = max(self.learning_rate * self.config.lr_decay_factor,
+                     self.config.min_lr)
+        logger.info("plateau: reducing lr %.3g -> %.3g", self.learning_rate, new_lr)
+        if self.config.reload_best_on_plateau and self._best_params is not None:
+            self.params = jax.tree_util.tree_map(jnp.asarray, self._best_params)
+            if self._best_model_state:
+                self.model_state = jax.tree_util.tree_map(
+                    jnp.asarray, self._best_model_state)
+        self._set_learning_rate(new_lr)
+
+    # -- fit loop ------------------------------------------------------------
+    def fit(self, train_loader, epochs: Optional[int] = None,
+            valid_loader=None) -> Dict[str, float]:
+        epochs = epochs or self.config.epochs
+        if self.params is None:
+            sample = next(iter(train_loader))
+            self.init(sample)
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(self.epoch, epochs):
+            self.epoch = epoch
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_loader):
+                batch.pop(MASK_KEY, None)
+                loss = self.train_step(batch)
+                losses.append(loss)
+                if self.config.eval_steps and self.step % self.config.eval_steps == 0:
+                    last_metrics = self._evaluate_and_checkpoint()
+                    if self._stopped:
+                        break
+            mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            if np.isnan(mean_loss):
+                raise ValueError(f"nan loss at epoch {epoch}")
+            logger.info("epoch %d: loss %.6f (%.1fs, %d steps)",
+                        epoch, mean_loss, time.time() - t0, len(losses))
+            if not self.config.eval_steps:
+                last_metrics = self._evaluate_and_checkpoint()
+            if self._stopped:
+                logger.info("early stop at epoch %d (best epoch %d)",
+                            epoch, self.monitor.best_epoch)
+                break
+        # restore best weights at the end (`ranking_model.py:160-161`)
+        if self._best_params is not None:
+            self.params = self._best_params
+            if self._best_model_state:
+                self.model_state = self._best_model_state
+        return last_metrics
+
+    def _evaluate_and_checkpoint(self) -> Dict[str, float]:
+        if self.eval_fn is None:
+            return {}
+        metrics = self.eval_fn(self)
+        value, improved, should_stop = self.monitor.update(metrics, self.epoch)
+        logger.info("eval @ epoch %d step %d: %s -> monitor %.6f%s",
+                    self.epoch, self.step,
+                    " ".join(f"{k}={v:.6f}" for k, v in metrics.items()),
+                    value, " *best*" if improved else "")
+        if improved:
+            self._best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), self.params)
+            self._best_model_state = jax.tree_util.tree_map(
+                lambda x: np.asarray(x), self.model_state)
+            if self.config.workdir:
+                self.save(f"{self.config.workdir}/best.ckpt")
+        elif not should_stop:
+            self._on_plateau()
+        self._stopped = should_stop
+        return metrics
+
+    # -- inference -----------------------------------------------------------
+    def apply(self, batch: Dict[str, np.ndarray], method=None, train: bool = False):
+        variables = {"params": self.params, **self.model_state}
+        kwargs = {} if method is not None else {"train": train}
+        return self.model.apply(variables, self._device_batch(batch),
+                                method=method, **kwargs)
+
+    def _forward(self):
+        """Cached jitted inference function (variables passed as an arg so the
+        compilation survives across eval rounds)."""
+        if not hasattr(self, "_fwd_fn"):
+            model = self.model
+            self._fwd_fn = jax.jit(
+                lambda variables, batch: model.apply(variables, batch, train=False))
+        return self._fwd_fn
+
+    def predict(self, loader, output_key: Optional[Callable] = None) -> np.ndarray:
+        """Run forward over a loader, honoring tail-batch masks."""
+        outs = []
+        variables = {"params": self.params, **self.model_state}
+        fwd = self._forward()
+        for batch in loader:
+            mask = batch.pop(MASK_KEY, None)
+            out = np.asarray(fwd(variables, self._device_batch(batch)))
+            if mask is not None:
+                out = out[mask.astype(bool)] if mask.ndim == 1 else out
+            outs.append(out)
+        return np.concatenate(outs, axis=0)
+
+    # -- checkpointing -------------------------------------------------------
+    def save(self, path: str) -> None:
+        save_checkpoint(path, {
+            "params": self.params,
+            "model_state": self.model_state,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "epoch": self.epoch,
+            "monitor": self.monitor.state(),
+        })
+
+    def load(self, path: str) -> None:
+        if self.params is None:
+            raise RuntimeError("call init()/fit() before load() so shapes exist")
+        state = load_checkpoint(path, {
+            "params": self.params,
+            "model_state": self.model_state,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "epoch": self.epoch,
+            "monitor": self.monitor.state(),
+        })
+        self.params = state["params"]
+        self.model_state = state["model_state"]
+        self.opt_state = state["opt_state"]
+        self.step = int(state["step"])
+        self.epoch = int(state["epoch"])
+        self.monitor.restore(state["monitor"])

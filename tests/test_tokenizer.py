@@ -1,0 +1,156 @@
+"""Tokenizer / Normalizer / FeatureEncoder unit tests (hand-computed values)."""
+
+import numpy as np
+import pytest
+
+from recbox_tpu.features import (
+    FeatureEncoder, FeatureMap, FeatureSpec, Normalizer, Tokenizer,
+    pad_sequences,
+)
+
+
+class TestTokenizer:
+    def test_vocab_order_deterministic(self):
+        # freq desc, then token asc — reference preprocess.py:46-47
+        tok = Tokenizer()
+        tok.fit(["b", "a", "b", "c", "a", "b"])
+        assert tok.vocab["b"] == 1       # freq 3
+        assert tok.vocab["a"] == 2       # freq 2
+        assert tok.vocab["c"] == 3       # freq 1
+        assert tok.vocab["__OOV__"] == 0
+        assert tok.vocab_size == 4       # 3 tokens + OOV
+
+    def test_oov_encoding(self):
+        tok = Tokenizer().fit(["a", "b"])
+        enc = tok.encode_category(["a", "zzz", "b", None])
+        np.testing.assert_array_equal(enc, [tok.vocab["a"], 0, tok.vocab["b"], 0])
+
+    def test_min_freq_filter(self):
+        tok = Tokenizer(min_freq=2)
+        tok.fit(["a", "a", "b"])
+        assert "b" not in tok.vocab
+        assert tok.vocab_size == 2
+
+    def test_sequence_padding_pre(self):
+        tok = Tokenizer(splitter="^", max_len=4)
+        tok.fit(["a^b^c", "b^c"], use_padding=True)
+        pad_idx = tok.padding_idx
+        assert pad_idx == tok.vocab_size - 1
+        enc = tok.encode_sequence(["a^b"])
+        # pre-padding: pads on the left
+        assert list(enc[0][:2]) == [pad_idx, pad_idx]
+        assert enc[0][2] == tok.vocab["a"]
+
+    def test_sequence_truncation(self):
+        tok = Tokenizer(splitter="^", max_len=2, padding="post")
+        tok.fit(["a^b^c^d"], use_padding=True)
+        enc = tok.encode_sequence(["a^b^c^d"])
+        # post truncating keeps the first max_len tokens
+        assert list(enc[0]) == [tok.vocab["a"], tok.vocab["b"]]
+
+    def test_roundtrip_state(self):
+        tok = Tokenizer(splitter="^", max_len=3).fit(["a^b", "b"], use_padding=True)
+        tok2 = Tokenizer.from_state(tok.state())
+        np.testing.assert_array_equal(
+            tok.encode_sequence(["a^b"]), tok2.encode_sequence(["a^b"]))
+
+
+class TestPadSequences:
+    def test_shapes_and_values(self):
+        out = pad_sequences([[1, 2], [3]], maxlen=3, value=9, padding="post")
+        np.testing.assert_array_equal(out, [[1, 2, 9], [3, 9, 9]])
+
+    def test_pre_truncate_keeps_tail(self):
+        out = pad_sequences([[1, 2, 3, 4]], maxlen=2, value=0, truncating="pre")
+        np.testing.assert_array_equal(out, [[3, 4]])
+
+
+class TestNormalizer:
+    def test_standard(self):
+        x = np.array([1.0, 2.0, 3.0, np.nan])
+        n = Normalizer("StandardScaler").fit(x)
+        out = n.transform(np.array([2.0]))
+        assert abs(out[0]) < 1e-6
+
+    def test_minmax(self):
+        n = Normalizer("MinMaxScaler").fit(np.array([0.0, 10.0]))
+        np.testing.assert_allclose(n.transform(np.array([5.0])), [0.5])
+
+    def test_unknown_raises(self):
+        with pytest.raises(NotImplementedError):
+            Normalizer("RobustScaler")
+
+
+class TestFeatureEncoder:
+    def _tables(self):
+        train = {
+            "user_id": np.array(["u1", "u2", "u1", "u3"]),
+            "item_id": np.array([0, 1, 2, 1]),
+            "age": np.array([10.0, 20.0, 30.0, 40.0]),
+            "click": np.array([1, 0, 1, 1]),
+        }
+        corpus = {
+            "item_id": np.arange(3),
+            "category": np.array(["x", "y", "x"]),
+        }
+        return train, corpus
+
+    def test_fit_transform(self):
+        train, corpus = self._tables()
+        enc = FeatureEncoder(
+            feature_cols=[
+                {"name": "user_id", "type": "categorical", "source": "user"},
+                {"name": "age", "type": "numeric", "source": "user"},
+                {"name": "category", "type": "categorical", "source": "item"},
+            ],
+            label_cols=["click"],
+            dataset_id="t", query_index="user_id", corpus_index="item_id",
+        )
+        fm = enc.fit(train, item_corpus=corpus)
+        assert fm.num_items == 3
+        assert fm["user_id"].vocab_size == 4  # 3 users + OOV
+        arrays = enc.transform(train)
+        assert arrays["user_id"].shape == (4,)
+        assert arrays["click"].dtype == np.float32
+        item_arrays = enc.transform(corpus)
+        assert item_arrays["category"].shape == (3,)
+
+    def test_save_load(self, tmp_path):
+        train, corpus = self._tables()
+        enc = FeatureEncoder(
+            [{"name": "user_id", "type": "categorical", "source": "user"}],
+            dataset_id="t")
+        enc.fit(train)
+        enc.save(str(tmp_path))
+        enc2 = FeatureEncoder.load(str(tmp_path))
+        np.testing.assert_array_equal(
+            enc.transform(train)["user_id"], enc2.transform(train)["user_id"])
+
+
+class TestFeatureMap:
+    def test_json_roundtrip(self, tmp_path):
+        fm = FeatureMap(
+            dataset_id="d",
+            features=(
+                FeatureSpec("uid", "categorical", "user", vocab_size=10, embedding_dim=8),
+                FeatureSpec("hist", "sequence", "user", vocab_size=5,
+                            embedding_dim=8, max_len=4, padding_idx=4),
+            ),
+            labels=("y",), query_index="uid", num_items=5,
+        )
+        p = str(tmp_path / "fm.json")
+        fm.save(p)
+        fm2 = FeatureMap.load(p)
+        assert fm2 == fm
+
+    def test_duplicate_names_rejected(self):
+        with pytest.raises(ValueError):
+            FeatureMap("d", (FeatureSpec("a"), FeatureSpec("a")))
+
+    def test_sum_emb_out_dim(self):
+        fm = FeatureMap("d", (
+            FeatureSpec("a", "categorical", vocab_size=3, embedding_dim=8),
+            FeatureSpec("s", "sequence", vocab_size=3, embedding_dim=4,
+                        max_len=5, pooling="concat"),
+        ))
+        assert fm.sum_emb_out_dim() == 8 + 4 * 5
