@@ -22,7 +22,7 @@ from recbox_tpu.data.loader import MASK_KEY, ArrayLoader
 from recbox_tpu.evaluation.ctr import evaluate_ctr
 from recbox_tpu.evaluation.retrieval import evaluate_retrieval
 
-__all__ = ["RetrievalEvaluator", "CTREvaluator"]
+__all__ = ["RetrievalEvaluator", "CTREvaluator", "MultiTaskEvaluator"]
 
 
 class RetrievalEvaluator:
@@ -101,3 +101,34 @@ class CTREvaluator:
         y_true = self.arrays[self.label]
         gid = self.arrays[self.group_id] if self.group_id else None
         return evaluate_ctr(y_true, probs, self.metrics, group_id=gid)
+
+
+class MultiTaskEvaluator:
+    """Per-task AUC/logloss + arithmetic mean over tasks.
+
+    Mirrors the reference MultiTaskModel.evaluate protocol
+    (`recbox/ranking/pytorch/models/multitask_model.py:95-130`): metric keys
+    are '<label>_<metric>' plus the averaged '<metric>' used for monitoring.
+    """
+
+    def __init__(self, arrays, labels, metrics=("AUC", "logloss"),
+                 batch_size: int = 4096, from_logits: bool = True):
+        self.arrays = arrays
+        self.labels = list(labels)
+        self.metrics = list(metrics)
+        self.loader = ArrayLoader(arrays, batch_size=batch_size, shuffle=False)
+        self.from_logits = from_logits
+
+    def __call__(self, trainer):
+        outputs = trainer.predict(self.loader)  # (N, T)
+        if self.from_logits:
+            outputs = np.asarray(jax.nn.sigmoid(jnp.asarray(outputs)))
+        results = {}
+        for metric in self.metrics:
+            vals = []
+            for t, label in enumerate(self.labels):
+                out = evaluate_ctr(self.arrays[label], outputs[:, t], [metric])
+                results[f"{label}_{metric}"] = out[metric]
+                vals.append(out[metric])
+            results[metric] = float(np.mean(vals))
+        return results

@@ -113,6 +113,14 @@ def embedding_reg_loss(params, p: int = 2, prefix: str = "emb_") -> jnp.ndarray:
     return sum(jnp.sum(jnp.abs(l) ** p) for l in leaves)
 
 
+def full_softmax_loss(full_scores: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndarray:
+    """CE over the full item vocabulary (recbole loss_type='CE',
+    `sasrec.py:144-150`): full_scores (B, vocab), target_ids (B,) int."""
+    logp = jax.nn.log_softmax(full_scores, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(
+        logp, target_ids[:, None].astype(jnp.int32), axis=1))
+
+
 _MATCHING_LOSSES = {
     "CosineContrastiveLoss": cosine_contrastive_loss,
     "MSELoss": lambda y, **kw: mse_matching_loss(y),

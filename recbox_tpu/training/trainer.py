@@ -103,12 +103,17 @@ class Trainer:
         config: TrainerConfig,
         eval_fn: Optional[Callable] = None,
         mesh: Optional[Mesh] = None,
+        train_method: Optional[str] = None,
     ):
         self.model = model
         self.loss_fn = loss_fn
         self.config = config
         self.eval_fn = eval_fn
         self.mesh = mesh
+        # name of the model method driven by the train step; None = __call__.
+        # e.g. 'full_scores' for the full-softmax CE protocol of sequential
+        # models (recbole loss_type='CE')
+        self.train_method = train_method
         self.tx = _make_optimizer(config)
         self.monitor = Monitor(config.monitor, config.monitor_mode,
                                patience=config.patience)
@@ -127,8 +132,11 @@ class Trainer:
     def init(self, sample_batch: Dict[str, np.ndarray]) -> None:
         rng, self._rng = jax.random.split(self._rng)
         batch = self._device_batch(sample_batch)
+        init_kwargs = {}
+        if self.train_method is not None:
+            init_kwargs["method"] = getattr(self.model, self.train_method)
         variables = self.model.init(
-            {"params": rng, "dropout": rng}, batch, train=True)
+            {"params": rng, "dropout": rng}, batch, train=True, **init_kwargs)
         variables = unfreeze(variables)
         params = variables.pop("params")
         # extract flax partitioning metadata (embedding tables → ('model', None))
@@ -156,6 +164,9 @@ class Trainer:
         model = self.model
         loss_fn = self.loss_fn
         mutable_keys = list(self.model_state.keys())
+        apply_kwargs = {}
+        if self.train_method is not None:
+            apply_kwargs["method"] = getattr(model, self.train_method)
 
         def step_fn(params, model_state, opt_state, batch, rng):
             def compute_loss(p):
@@ -163,10 +174,11 @@ class Trainer:
                 if mutable_keys:
                     outputs, new_state = model.apply(
                         variables, batch, train=True,
-                        rngs={"dropout": rng}, mutable=mutable_keys)
+                        rngs={"dropout": rng}, mutable=mutable_keys,
+                        **apply_kwargs)
                 else:
                     outputs = model.apply(variables, batch, train=True,
-                                          rngs={"dropout": rng})
+                                          rngs={"dropout": rng}, **apply_kwargs)
                     new_state = model_state
                 loss = loss_fn(outputs, batch)
                 if cfg.embedding_regularizer:
