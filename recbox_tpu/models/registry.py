@@ -1,0 +1,67 @@
+"""Model registry: name → (class, stage), the `get_model` analog.
+
+Replaces recbole's dynamic module-file scan (`utils/utils.py:55-85`) with an
+explicit registry — importable names beat filename magic under jit tracing.
+Lookup is case-insensitive like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Type
+
+from recbox_tpu.models.matching.two_tower import MF, DSSM, YoutubeDNN
+from recbox_tpu.models.matching.graph import LightGCN, NGCF
+from recbox_tpu.models.ranking.ctr import (
+    AFM, AutoInt, DCN, DCNv2, DNN, DeepFM, FM, FiBiNET, LR, NFM, PNN,
+    WideDeep, xDeepFM,
+)
+from recbox_tpu.models.multitask.models import AITM, ESMM, MMOE, PLE, SharedBottom
+from recbox_tpu.models.sequential.models import (
+    Caser, GRU4Rec, NARM, NextItNet, SASRec, STAMP,
+)
+from recbox_tpu.models.reranking.models import DLCM, GSF, MiDNN, PRM, SetRank
+
+__all__ = ["MODEL_REGISTRY", "get_model", "register_model", "list_models"]
+
+MODEL_REGISTRY = {}
+
+
+def register_model(name: str, cls: Type, stage: str) -> None:
+    MODEL_REGISTRY[name.lower()] = (cls, stage)
+
+
+def get_model(name: str) -> Tuple[Type, str]:
+    key = name.lower()
+    if key not in MODEL_REGISTRY:
+        raise KeyError(
+            f"model {name!r} not registered; known: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[key]
+
+
+def list_models(stage: str = None):
+    return sorted(n for n, (_, s) in MODEL_REGISTRY.items()
+                  if stage is None or s == stage)
+
+
+for _name, _cls in [("MF", MF), ("DSSM", DSSM), ("YoutubeDNN", YoutubeDNN),
+                    ("LightGCN", LightGCN), ("NGCF", NGCF)]:
+    register_model(_name, _cls, "matching")
+for _name, _cls in [("LR", LR), ("FM", FM), ("DNN", DNN), ("WideDeep", WideDeep),
+                    ("DeepFM", DeepFM), ("NFM", NFM), ("AFM", AFM), ("DCN", DCN),
+                    ("DCNv2", DCNv2), ("xDeepFM", xDeepFM), ("AutoInt", AutoInt),
+                    ("PNN", PNN), ("FiBiNET", FiBiNET)]:
+    register_model(_name, _cls, "ranking")
+for _name, _cls in [("SharedBottom", SharedBottom), ("ESMM", ESMM),
+                    ("MMOE", MMOE), ("PLE", PLE), ("AITM", AITM)]:
+    register_model(_name, _cls, "multitask")
+for _name, _cls in [("SASRec", SASRec), ("GRU4Rec", GRU4Rec), ("NARM", NARM),
+                    ("STAMP", STAMP), ("Caser", Caser), ("NextItNet", NextItNet)]:
+    register_model(_name, _cls, "sequential")
+for _name, _cls in [("PRM", PRM), ("DLCM", DLCM), ("SetRank", SetRank),
+                    ("MiDNN", MiDNN), ("GSF", GSF)]:
+    register_model(_name, _cls, "reranking")
+
+from recbox_tpu.models.ranking.sequence_ctr import BST, DIN  # noqa: E402
+
+register_model("DIN", DIN, "ranking")
+register_model("BST", BST, "ranking")

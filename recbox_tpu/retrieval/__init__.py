@@ -1,0 +1,3 @@
+from recbox_tpu.retrieval.index import BruteForceMIPS, chunked_topk
+
+__all__ = ["BruteForceMIPS", "chunked_topk"]

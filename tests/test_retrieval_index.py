@@ -1,0 +1,79 @@
+"""BruteForceMIPS: exactness vs numpy argsort, sharded merge, cosine metric."""
+
+import numpy as np
+import pytest
+
+from recbox_tpu.parallel import make_mesh
+from recbox_tpu.retrieval import BruteForceMIPS, chunked_topk
+
+
+@pytest.fixture
+def data(rng):
+    items = rng.normal(size=(1000, 16)).astype(np.float32)
+    queries = rng.normal(size=(37, 16)).astype(np.float32)
+    return items, queries
+
+
+def _oracle(queries, items, topk):
+    scores = queries @ items.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :topk]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_single_device_exact(data):
+    items, queries = data
+    index = BruteForceMIPS(items, chunk_size=128)
+    s, i = index.search(queries, topk=25)
+    es, ei = _oracle(queries, items, 25)
+    np.testing.assert_allclose(s, es, rtol=1e-4)
+    # indices may differ on exact ties; scores must match — verify by score
+    np.testing.assert_allclose(
+        np.take_along_axis(queries @ items.T, i, axis=1), es, rtol=1e-4)
+
+
+def test_topk_larger_than_chunk(data):
+    items, queries = data
+    index = BruteForceMIPS(items, chunk_size=64)
+    s, i = index.search(queries, topk=100)
+    es, _ = _oracle(queries, items, 100)
+    np.testing.assert_allclose(s, es, rtol=1e-4)
+
+
+def test_sharded_matches_oracle(data):
+    items, queries = data
+    mesh = make_mesh(num_model_shards=8)
+    index = BruteForceMIPS(items, mesh=mesh)
+    s, i = index.search(queries, topk=25)
+    es, _ = _oracle(queries, items, 25)
+    np.testing.assert_allclose(s, es, rtol=1e-4)
+
+
+def test_sharded_uneven_items(rng):
+    # 1003 items over 8 shards → padding rows must never be returned
+    items = rng.normal(size=(1003, 8)).astype(np.float32)
+    queries = rng.normal(size=(5, 8)).astype(np.float32)
+    mesh = make_mesh(num_model_shards=8)
+    index = BruteForceMIPS(items, mesh=mesh)
+    s, i = index.search(queries, topk=50)
+    assert (i < 1003).all()
+    es, _ = _oracle(queries, items, 50)
+    np.testing.assert_allclose(s, es, rtol=1e-4)
+
+
+def test_cosine_metric(rng):
+    items = rng.normal(size=(100, 8)).astype(np.float32)
+    queries = rng.normal(size=(4, 8)).astype(np.float32)
+    index = BruteForceMIPS(items, metric="cosine")
+    s, i = index.search(queries, topk=10)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    inn = items / np.linalg.norm(items, axis=1, keepdims=True)
+    es, _ = _oracle(qn, inn, 10)
+    np.testing.assert_allclose(s, es, rtol=1e-4)
+    assert np.all(s <= 1 + 1e-5)
+
+
+def test_topk_capped_to_corpus(rng):
+    items = rng.normal(size=(10, 4)).astype(np.float32)
+    index = BruteForceMIPS(items)
+    s, i = index.search(rng.normal(size=(2, 4)).astype(np.float32), topk=500)
+    assert s.shape == (2, 10)
