@@ -2,7 +2,8 @@
 
 Criteo-regime shapes (the reference's headline ranking workload, BASELINE.md):
 26 categorical fields with 100k-row vocabularies + 13 numeric fields,
-embedding_dim 64, MLP (1024, 512, 256), batch 8192 — trained with BCE +
+embedding_dim 64, MLP (1024, 512, 256), batch 32768, bfloat16 compute
+(fp32 params/loss) — trained with BCE +
 grad-clip 10 + Adam 1e-3, the reference training regime
 (`third_party/recbole/properties/overall.yaml:20-53`,
 `recbox/ranking/pytorch/models/ranking_model.py:137`).
@@ -29,7 +30,7 @@ def main():
     from recbox_tpu.training import Trainer, TrainerConfig
 
     num_cat, num_num = 26, 13
-    vocab, dim, batch_size = 100_000, 64, 8192
+    vocab, dim, batch_size = 100_000, 64, 32768
     feats = tuple(
         FeatureSpec(f"c{i}", "categorical", vocab_size=vocab, embedding_dim=dim)
         for i in range(num_cat)
@@ -46,7 +47,7 @@ def main():
     batch["click"] = (rng.random(batch_size) > 0.5).astype(np.float32)
 
     model = DeepFM(feature_map=fm, embedding_dim=dim,
-                   hidden_units=(1024, 512, 256))
+                   hidden_units=(1024, 512, 256), compute_dtype="bfloat16")
     cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
                         monitor="AUC")
     trainer = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)

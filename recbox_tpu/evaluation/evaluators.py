@@ -58,7 +58,9 @@ class RetrievalEvaluator:
 
     def encode_all(self, trainer):
         user_fn, item_fn = self._encoders(trainer)
-        variables = {"params": trainer.params, **trainer.model_state}
+        params = trainer.full_params() if hasattr(trainer, "full_params") \
+            else trainer.params
+        variables = {"params": params, **trainer.model_state}
 
         def run(loader, fn):
             outs = []

@@ -51,8 +51,16 @@ def _pad_lists(list_of_lists: Sequence[Sequence[int]], pad: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("max_topk",))
 def _topk_chunk(user_embs, item_embs, train_items, max_topk: int):
-    """scores = U·Iᵀ, mask train items, return top-k item ids."""
-    scores = jnp.dot(user_embs, item_embs.T, preferred_element_type=jnp.float32)
+    """scores = U·Iᵀ, mask train items, return top-k item ids.
+
+    Multi-interest users (MIND/ComiRec) pass (U, K, D) embeddings; the item
+    score is the max over the K interests — exactly the per-interest
+    retrieve-and-merge protocol (`rechub/models/matching/mind.py`)."""
+    if user_embs.ndim == 3:
+        scores = jnp.einsum("ukd,id->uki", user_embs, item_embs).max(axis=1)
+    else:
+        scores = jnp.dot(user_embs, item_embs.T,
+                         preferred_element_type=jnp.float32)
     # scatter −1e9 at train-clicked items; padded entries (= num_items) drop
     rows = jnp.arange(scores.shape[0])[:, None]
     scores = scores.at[rows, train_items].add(NEG_INF, mode="drop")
@@ -140,7 +148,7 @@ def evaluate_retrieval(
         cv = true_padded[start:end]
         pad_rows = chunk_size - (end - start)
         if pad_rows:
-            cu = np.pad(cu, ((0, pad_rows), (0, 0)))
+            cu = np.pad(cu, ((0, pad_rows),) + ((0, 0),) * (cu.ndim - 1))
             ct = np.pad(ct, ((0, pad_rows), (0, 0)), constant_values=num_items)
             cv = np.pad(cv, ((0, pad_rows), (0, 0)), constant_values=-1)
         topk = _topk_chunk(jnp.asarray(cu), item_embs, jnp.asarray(ct), max_topk)

@@ -44,13 +44,27 @@ __all__ = ["LR", "FM", "DNN", "WideDeep", "DeepFM", "NFM", "AFM", "DCN",
 
 
 class _FieldModel(RankingModel):
-    """Shared machinery: uniform-width field embeddings + optional 1-d linear."""
+    """Shared machinery: uniform-width field embeddings + optional 1-d linear.
+
+    ``compute_dtype='bfloat16'`` runs embeddings/MLPs in bf16 (params stay
+    fp32; the loss/logits come back fp32) — the MXU-native precision, ~2×
+    step throughput on TPU at equal quality for CTR workloads.
+    """
 
     embedding_dim: int = 16
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     def _embedding(self, name="embedding") -> FeatureEmbedding:
         return FeatureEmbedding(self.feature_map,
-                                embedding_dim=self.embedding_dim, name=name)
+                                embedding_dim=self.embedding_dim,
+                                dtype=self._dtype, name=name)
+
+    def _mlp(self, hidden_units, name="dnn", **kw) -> MLP:
+        return MLP(hidden_units, dtype=self._dtype, name=name, **kw)
 
     def _linear_embedding(self) -> FeatureEmbedding:
         # first-order weights = dim-1 embeddings (FM linear term)
@@ -121,11 +135,12 @@ class DeepFM(_FieldModel):
         embs = self._embedding()(batch)
         field = stack_embeddings(embs, self.feature_map.input_features)
         flat = field.reshape(field.shape[0], -1)
-        logit = (self._first_order(lin)
-                 + FactorizationMachine()(field)
-                 + MLP(self.hidden_units, activation=self.activation,
-                       output_dim=1, dropout=self.dropout,
-                       batch_norm=self.batch_norm)(flat, train=train))
+        logit = (self._first_order(lin).astype(jnp.float32)
+                 + FactorizationMachine()(field).astype(jnp.float32)
+                 + self._mlp(self.hidden_units, activation=self.activation,
+                             output_dim=1, dropout=self.dropout,
+                             batch_norm=self.batch_norm)(
+                     flat, train=train).astype(jnp.float32))
         return logit.reshape(-1)
 
 

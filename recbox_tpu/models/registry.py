@@ -65,3 +65,12 @@ from recbox_tpu.models.ranking.sequence_ctr import BST, DIN  # noqa: E402
 
 register_model("DIN", DIN, "ranking")
 register_model("BST", BST, "ranking")
+
+from recbox_tpu.models.matching.multi_interest import (  # noqa: E402
+    MIND, ComiRec, SimpleX, YoutubeSBC,
+)
+
+register_model("MIND", MIND, "matching")
+register_model("ComiRec", ComiRec, "matching")
+register_model("SimpleX", SimpleX, "matching")
+register_model("YoutubeSBC", YoutubeSBC, "matching")

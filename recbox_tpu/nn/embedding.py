@@ -33,7 +33,23 @@ from recbox_tpu.features.schema import (
     CATEGORICAL, NUMERIC, SEQUENCE, FeatureMap, FeatureSpec,
 )
 
-__all__ = ["FeatureEmbedding", "concat_embeddings", "stack_embeddings", "masked_pool"]
+__all__ = ["FeatureEmbedding", "concat_embeddings", "stack_embeddings",
+           "masked_pool", "ROWS_PREFIX", "rows_key_for"]
+
+# Sparse-update protocol: when a batch contains
+# f"{ROWS_PREFIX}{module_path}:{feature}", the layer uses those pre-gathered
+# embedding rows instead of creating/gathering its table param. Keys are
+# scoped by the FeatureEmbedding module path because one model can embed the
+# same feature through several modules of different widths (e.g. DeepFM's
+# dim-D 'embedding' and dim-1 'linear'). The sparse trainer
+# (`training/sparse.py`) gathers rows outside the differentiated function, so
+# the backward pass produces compact (B, D) row gradients instead of a dense
+# vocab-sized scatter.
+ROWS_PREFIX = "__rows__"
+
+
+def rows_key_for(module_path, feature_name: str) -> str:
+    return ROWS_PREFIX + "/".join(module_path) + ":" + feature_name
 
 
 def emb_init(std: float = 1e-4):
@@ -123,14 +139,24 @@ class FeatureEmbedding(nn.Module):
                 out[name] = (x.astype(self.dtype)[:, None]
                              * jnp.asarray(w, self.dtype))
             elif spec.type == CATEGORICAL:
-                table = jnp.asarray(get_table(spec, dim), self.dtype)
-                emb = jnp.take(table, x, axis=0)
+                rows_key = rows_key_for(self.path, name)
+                if rows_key in batch:
+                    emb = batch[rows_key].astype(self.dtype)
+                else:
+                    # gather in param dtype, cast the (small) result — casting
+                    # the whole table first would stream every row via the VPU
+                    emb = jnp.take(jnp.asarray(get_table(spec, dim)), x,
+                                   axis=0).astype(self.dtype)
                 if spec.padding_idx is not None:
                     emb = emb * (x != spec.padding_idx).astype(self.dtype)[..., None]
                 out[name] = emb
             elif spec.type == SEQUENCE:
-                table = jnp.asarray(get_table(spec, dim), self.dtype)
-                emb = jnp.take(table, x, axis=0)  # (B, L, D)
+                rows_key = rows_key_for(self.path, name)
+                if rows_key in batch:
+                    emb = batch[rows_key].astype(self.dtype)  # (B, L, D)
+                else:
+                    emb = jnp.take(jnp.asarray(get_table(spec, dim)), x,
+                                   axis=0).astype(self.dtype)  # (B, L, D)
                 pad = spec.padding_idx if spec.padding_idx is not None else spec.vocab_size - 1
                 mask = (x != pad)
                 emb = emb * mask.astype(self.dtype)[..., None]

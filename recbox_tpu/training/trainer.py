@@ -221,15 +221,26 @@ class Trainer:
     def _set_learning_rate(self, lr: float) -> None:
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
 
+    def _capture_best(self) -> None:
+        self._best_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x), self.params)
+        self._best_model_state = jax.tree_util.tree_map(
+            lambda x: np.asarray(x), self.model_state)
+
+    def _restore_best(self) -> None:
+        if self._best_params is None:
+            return
+        self.params = jax.tree_util.tree_map(jnp.asarray, self._best_params)
+        if self._best_model_state:
+            self.model_state = jax.tree_util.tree_map(
+                jnp.asarray, self._best_model_state)
+
     def _on_plateau(self) -> None:
         new_lr = max(self.learning_rate * self.config.lr_decay_factor,
                      self.config.min_lr)
         logger.info("plateau: reducing lr %.3g -> %.3g", self.learning_rate, new_lr)
-        if self.config.reload_best_on_plateau and self._best_params is not None:
-            self.params = jax.tree_util.tree_map(jnp.asarray, self._best_params)
-            if self._best_model_state:
-                self.model_state = jax.tree_util.tree_map(
-                    jnp.asarray, self._best_model_state)
+        if self.config.reload_best_on_plateau:
+            self._restore_best()
         self._set_learning_rate(new_lr)
 
     # -- fit loop ------------------------------------------------------------
@@ -264,10 +275,7 @@ class Trainer:
                             epoch, self.monitor.best_epoch)
                 break
         # restore best weights at the end (`ranking_model.py:160-161`)
-        if self._best_params is not None:
-            self.params = self._best_params
-            if self._best_model_state:
-                self.model_state = self._best_model_state
+        self._restore_best()
         return last_metrics
 
     def _evaluate_and_checkpoint(self) -> Dict[str, float]:
@@ -280,9 +288,7 @@ class Trainer:
                     " ".join(f"{k}={v:.6f}" for k, v in metrics.items()),
                     value, " *best*" if improved else "")
         if improved:
-            self._best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), self.params)
-            self._best_model_state = jax.tree_util.tree_map(
-                lambda x: np.asarray(x), self.model_state)
+            self._capture_best()
             if self.config.workdir:
                 self.save(f"{self.config.workdir}/best.ckpt")
         elif not should_stop:

@@ -1,0 +1,133 @@
+"""Sparse embedding training: correctness vs dense, dupes, checkpointing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recbox_tpu.data import ArrayLoader
+from recbox_tpu.evaluation import CTREvaluator
+from recbox_tpu.features import FeatureMap, FeatureSpec
+from recbox_tpu.models.ranking.ctr import DeepFM
+from recbox_tpu.ops import binary_crossentropy
+from recbox_tpu.training import Trainer, TrainerConfig
+from recbox_tpu.training.sparse import SparseEmbeddingTrainer, split_sparse_params
+
+
+def _fixture(rng, n=4000, vocab=64):
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    y = (((a % 2) == (b % 2))).astype(np.float32)
+    arrays = {"cat_a": a, "cat_b": b, "click": y}
+    fm = FeatureMap("sp", (
+        FeatureSpec("cat_a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("cat_b", "categorical", vocab_size=vocab, embedding_dim=8),
+    ), labels=("click",))
+    return fm, arrays
+
+
+def test_split_params():
+    params = {"embedding": {"emb_cat_a": np.zeros((4, 2)),
+                            "num_x": np.zeros((1, 2))},
+              "dnn": {"Dense_0": {"kernel": np.zeros((2, 2))}}}
+    dense, tables, paths = split_sparse_params(params)
+    assert "embedding/emb_cat_a" in tables
+    assert "emb_cat_a" not in dense.get("embedding", {})
+    assert dense["embedding"]["num_x"] is not None
+    assert dense["dnn"]["Dense_0"]["kernel"] is not None
+
+
+def test_sparse_only_touched_rows_change(rng):
+    fm, arrays = _fixture(rng)
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    t = SparseEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]),
+        TrainerConfig(learning_rate=1e-2, monitor="AUC"))
+    batch = {"cat_a": np.array([3, 3, 5], np.int32),
+             "cat_b": np.array([7, 8, 9], np.int32),
+             "click": np.array([1, 0, 1], np.float32)}
+    t.init(batch)
+    table_key = [k for k in t.tables if "emb_cat_a" in k][0]
+    before = np.asarray(t.tables[table_key]).copy()
+    t.train_step(dict(batch))
+    after = np.asarray(t.tables[table_key])
+    changed = np.where(np.abs(after - before).sum(-1) > 0)[0]
+    assert set(changed) <= {3, 5}
+    assert 3 in changed  # duplicated id updated once, accumulated grads
+    # accumulator touched only at those rows
+    acc = np.asarray(t.accumulators[table_key])
+    assert (acc[changed] > 0).all()
+    untouched = np.setdiff1d(np.arange(len(acc)), changed)
+    assert (acc[untouched] == 0).all()
+
+
+def test_sparse_learns_like_dense(rng):
+    fm, arrays = _fixture(rng)
+    split = int(len(arrays["click"]) * 0.8)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+
+    def make(cls):
+        return cls(DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,)),
+                   lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+                   eval_fn=ev)
+
+    m_sparse = make(SparseEmbeddingTrainer).fit(
+        ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    m_dense = make(Trainer).fit(
+        ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m_sparse["AUC"] > 0.95, m_sparse
+    assert m_dense["AUC"] > 0.95, m_dense
+
+
+def test_sparse_checkpoint_roundtrip(rng, tmp_path):
+    fm, arrays = _fixture(rng, n=600)
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    cfg = TrainerConfig(learning_rate=1e-2, monitor="AUC")
+    t1 = SparseEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
+    loader = ArrayLoader(arrays, batch_size=128, drop_last=True)
+    for batch in loader:
+        batch.pop("__mask__", None)
+        t1.train_step(batch)
+    path = str(tmp_path / "sparse.ckpt")
+    t1.save(path)
+
+    t2 = SparseEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
+    t2.init(next(iter(loader)))
+    t2.load(path)
+    k = list(t1.tables)[0]
+    np.testing.assert_allclose(np.asarray(t1.tables[k]),
+                               np.asarray(t2.tables[k]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1.accumulators[k]),
+                               np.asarray(t2.accumulators[k]), rtol=1e-6)
+
+
+def test_sparse_with_sequence_features(rng):
+    vocab, L, n = 32, 4, 800
+    hist = rng.integers(1, vocab, size=(n, L)).astype(np.int32)
+    target = rng.integers(1, vocab, n).astype(np.int32)
+    y = (target % 2).astype(np.float32)
+    fm = FeatureMap("seqsp", (
+        FeatureSpec("item_id", "categorical", vocab_size=vocab + 1,
+                    embedding_dim=8),
+        FeatureSpec("hist", "sequence", vocab_size=vocab + 1, embedding_dim=8,
+                    max_len=L, padding_idx=vocab, share_embedding="item_id"),
+    ), labels=("click",))
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    t = SparseEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]),
+        TrainerConfig(learning_rate=1e-2, monitor="AUC"))
+    arrays = {"item_id": target, "hist": hist, "click": y}
+    for batch in ArrayLoader(arrays, batch_size=128, drop_last=True):
+        batch.pop("__mask__", None)
+        loss = t.train_step(batch)
+    assert np.isfinite(float(loss))
+    # shared table: hist and item_id both route to embedding/emb_item_id
+    # (plus DeepFM's separate dim-1 linear table)
+    emb_tables = [k for k in t.tables if k.startswith("embedding/")]
+    assert emb_tables == ["embedding/emb_item_id"]
