@@ -22,7 +22,7 @@ def _oracle(queries, items, topk):
 
 def test_single_device_exact(data):
     items, queries = data
-    index = BruteForceMIPS(items, chunk_size=128)
+    index = BruteForceMIPS(items, chunk_size=128, method="exact_sort")
     s, i = index.search(queries, topk=25)
     es, ei = _oracle(queries, items, 25)
     np.testing.assert_allclose(s, es, rtol=1e-4)
@@ -33,7 +33,7 @@ def test_single_device_exact(data):
 
 def test_topk_larger_than_chunk(data):
     items, queries = data
-    index = BruteForceMIPS(items, chunk_size=64)
+    index = BruteForceMIPS(items, chunk_size=64, method="exact_sort")
     s, i = index.search(queries, topk=100)
     es, _ = _oracle(queries, items, 100)
     np.testing.assert_allclose(s, es, rtol=1e-4)
@@ -42,7 +42,7 @@ def test_topk_larger_than_chunk(data):
 def test_sharded_matches_oracle(data):
     items, queries = data
     mesh = make_mesh(num_model_shards=8)
-    index = BruteForceMIPS(items, mesh=mesh)
+    index = BruteForceMIPS(items, mesh=mesh, method="exact_sort")
     s, i = index.search(queries, topk=25)
     es, _ = _oracle(queries, items, 25)
     np.testing.assert_allclose(s, es, rtol=1e-4)
@@ -53,7 +53,7 @@ def test_sharded_uneven_items(rng):
     items = rng.normal(size=(1003, 8)).astype(np.float32)
     queries = rng.normal(size=(5, 8)).astype(np.float32)
     mesh = make_mesh(num_model_shards=8)
-    index = BruteForceMIPS(items, mesh=mesh)
+    index = BruteForceMIPS(items, mesh=mesh, method="exact_sort")
     s, i = index.search(queries, topk=50)
     assert (i < 1003).all()
     es, _ = _oracle(queries, items, 50)
@@ -63,7 +63,7 @@ def test_sharded_uneven_items(rng):
 def test_cosine_metric(rng):
     items = rng.normal(size=(100, 8)).astype(np.float32)
     queries = rng.normal(size=(4, 8)).astype(np.float32)
-    index = BruteForceMIPS(items, metric="cosine")
+    index = BruteForceMIPS(items, metric="cosine", method="exact_sort")
     s, i = index.search(queries, topk=10)
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
     inn = items / np.linalg.norm(items, axis=1, keepdims=True)
@@ -77,3 +77,33 @@ def test_topk_capped_to_corpus(rng):
     index = BruteForceMIPS(items)
     s, i = index.search(rng.normal(size=(2, 4)).astype(np.float32), topk=500)
     assert s.shape == (2, 10)
+
+
+def test_refined_two_phase_matches_oracle(rng):
+    items = rng.normal(size=(5000, 16)).astype(np.float32)
+    queries = rng.normal(size=(64, 16)).astype(np.float32)
+    index = BruteForceMIPS(items, method="refined")
+    s, i = index.search(queries, topk=20)
+    es, _ = _oracle(queries, items, 20)
+    np.testing.assert_allclose(s, es, rtol=1e-4)
+
+
+def test_approx_high_recall(rng):
+    items = rng.normal(size=(20000, 16)).astype(np.float32)
+    queries = rng.normal(size=(64, 16)).astype(np.float32)
+    index = BruteForceMIPS(items, method="approx", recall_target=0.95)
+    s, i = index.search(queries, topk=50)
+    _, ei = _oracle(queries, items, 50)
+    recall = np.mean([len(set(i[r]) & set(ei[r])) / 50 for r in range(64)])
+    assert recall > 0.85, recall
+
+
+def test_sharded_approx_mode(rng):
+    items = rng.normal(size=(4096, 16)).astype(np.float32)
+    queries = rng.normal(size=(32, 16)).astype(np.float32)
+    mesh = make_mesh(num_model_shards=8)
+    index = BruteForceMIPS(items, mesh=mesh, method="approx", bf16=False)
+    s, i = index.search(queries, topk=20)
+    _, ei = _oracle(queries, items, 20)
+    recall = np.mean([len(set(i[r]) & set(ei[r])) / 20 for r in range(32)])
+    assert recall > 0.85, recall
