@@ -19,7 +19,10 @@ All models consume a FeatureMap and a batch dict, return (B,) logits:
   AutoInt       — stacked self-attention interactions (`deepctr/models/autoint.py`)
   PNN           — inner-product network (`deepctr/models/pnn.py`)
   FiBiNET       — SENET + bilinear interactions (`deepctr/models/fibinet.py`)
-  ONN/FFM-style — field-aware embeddings are covered by FiBiNET/PNN variants
+
+The field-aware / input-aware / convolutional / graph families live in
+`ctr_extended.py` (FFM, FwFM, FmFM, FEFM, DeepFEFM, ONN, CCPM, FGCNN, FLEN,
+IFM, DIFM, EDCN, MLR, FiGNN, EulerNet, DeepIM, HFM, DCNMix, FNN).
 """
 
 from __future__ import annotations

@@ -61,10 +61,26 @@ for _name, _cls in [("PRM", PRM), ("DLCM", DLCM), ("SetRank", SetRank),
                     ("MiDNN", MiDNN), ("GSF", GSF)]:
     register_model(_name, _cls, "reranking")
 
-from recbox_tpu.models.ranking.sequence_ctr import BST, DIN  # noqa: E402
+from recbox_tpu.models.ranking.sequence_ctr import BST, DIEN, DIN, DSIN  # noqa: E402
 
 register_model("DIN", DIN, "ranking")
 register_model("BST", BST, "ranking")
+register_model("DIEN", DIEN, "ranking")
+register_model("DSIN", DSIN, "ranking")
+
+from recbox_tpu.models.ranking.ctr_extended import (  # noqa: E402
+    CCPM, DCNMix, DeepFEFM, DeepIM, DIFM, EDCN, EulerNet, FEFM, FFM, FGCNN,
+    FiGNN, FLEN, FmFM, FNN, FwFM, HFM, IFM, MLR, ONN,
+)
+
+for _name, _cls in [("FFM", FFM), ("FwFM", FwFM), ("FmFM", FmFM),
+                    ("FEFM", FEFM), ("DeepFEFM", DeepFEFM), ("ONN", ONN),
+                    ("CCPM", CCPM), ("FGCNN", FGCNN), ("FLEN", FLEN),
+                    ("IFM", IFM), ("DIFM", DIFM), ("EDCN", EDCN),
+                    ("MLR", MLR), ("FiGNN", FiGNN), ("EulerNet", EulerNet),
+                    ("DeepIM", DeepIM), ("HFM", HFM), ("DCNMix", DCNMix),
+                    ("FNN", FNN), ("WDL", WideDeep)]:
+    register_model(_name, _cls, "ranking")
 
 from recbox_tpu.models.matching.multi_interest import (  # noqa: E402
     MIND, ComiRec, SimpleX, YoutubeSBC,
@@ -74,3 +90,17 @@ register_model("MIND", MIND, "matching")
 register_model("ComiRec", ComiRec, "matching")
 register_model("SimpleX", SimpleX, "matching")
 register_model("YoutubeSBC", YoutubeSBC, "matching")
+
+from recbox_tpu.models.sequential.extended import (  # noqa: E402
+    BERT4Rec, CORE, FDSA, FOSSIL, FPMC, HGN, HRM, NPE, RepeatNet, SHAN, SINE,
+    LightSANs, TransRec,
+)
+from recbox_tpu.models.sequential.session_graph import GCSAN, SRGNN  # noqa: E402
+
+for _name, _cls in [("BERT4Rec", BERT4Rec), ("FPMC", FPMC),
+                    ("TransRec", TransRec), ("HGN", HGN), ("SHAN", SHAN),
+                    ("FOSSIL", FOSSIL), ("HRM", HRM), ("NPE", NPE),
+                    ("CORE", CORE), ("LightSANs", LightSANs), ("FDSA", FDSA),
+                    ("RepeatNet", RepeatNet), ("SINE", SINE),
+                    ("SRGNN", SRGNN), ("GCSAN", GCSAN)]:
+    register_model(_name, _cls, "sequential")

@@ -1,0 +1,159 @@
+"""Extended CTR zoo: every model fits the planted XOR interaction signal
+(AUC well above chance) or at least runs finite; interaction-capable models
+must beat the linear-model ceiling."""
+
+import numpy as np
+import pytest
+
+from recbox_tpu.data import ArrayLoader
+from recbox_tpu.evaluation import CTREvaluator
+from recbox_tpu.features import FeatureMap, FeatureSpec
+from recbox_tpu.models.ranking.ctr_extended import (
+    CCPM, DCNMix, DeepFEFM, DeepIM, DIFM, EDCN, EulerNet, FEFM, FFM, FGCNN,
+    FiGNN, FLEN, FmFM, FNN, FwFM, HFM, IFM, MLR, ONN,
+)
+from recbox_tpu.models.ranking.sequence_ctr import DIEN, DSIN
+from recbox_tpu.ops import binary_crossentropy
+from recbox_tpu.training import Trainer, TrainerConfig
+from tests.test_ranking_e2e import make_ctr_data
+
+
+@pytest.fixture(scope="module")
+def ctr_data():
+    rng = np.random.default_rng(11)
+    fm, arrays = make_ctr_data(rng, n=6000)
+    n = len(arrays["click"])
+    split = int(n * 0.8)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    return fm, train, valid
+
+
+def _fit(model, train, valid, epochs=6, lr=1e-2):
+    loader = ArrayLoader(train, batch_size=256, drop_last=True, seed=1)
+    evaluator = CTREvaluator(valid, label="click", metrics=["AUC", "logloss"])
+    cfg = TrainerConfig(learning_rate=lr, epochs=epochs, patience=8,
+                        monitor={"AUC": 1}, monitor_mode="max",
+                        lr_decay_factor=1.0, reload_best_on_plateau=False)
+    trainer = Trainer(model,
+                      lambda out, batch: binary_crossentropy(out, batch["click"]),
+                      cfg, eval_fn=evaluator)
+    return trainer.fit(loader)
+
+
+# interaction-capable models must crack the XOR signal; pure-factorization
+# models (no xavier'd DNN path) need more steps to grow the 1e-4-init
+# embedding products, so they run longer at higher lr
+PURE_FACTORIZATION = [
+    (FFM, {}),
+    (FwFM, {}),
+    (FmFM, {}),
+    (FEFM, {}),
+]
+
+INTERACTION_MODELS = [
+    (DeepFEFM, {"hidden_units": (64, 32)}),
+    (ONN, {"hidden_units": (64, 32)}),
+    (FGCNN, {"conv_filters": (4,), "conv_kernel_widths": (3,),
+             "new_maps": (2,), "pooling_widths": (2,),
+             "hidden_units": (64, 32)}),
+    (FLEN, {"hidden_units": (64, 32)}),
+    (IFM, {"fen_hidden_units": (32,)}),
+    (DIFM, {"fen_hidden_units": (32,)}),
+    (EDCN, {"num_layers": 2}),
+    (FiGNN, {"gnn_steps": 2}),
+    (DeepIM, {"hidden_units": (64, 32)}),
+    (DCNMix, {"hidden_units": (64, 32)}),
+    (FNN, {"hidden_units": (64, 32)}),
+]
+
+# mostly-multiplicative paths: need longer to grow tiny-init products
+SLOW_INTERACTION_MODELS = [
+    (EulerNet, {"order_layers": (8,)}),
+    (HFM, {"deep": True, "hidden_units": (64, 32)}),
+]
+
+
+@pytest.mark.parametrize("model_cls,kwargs", INTERACTION_MODELS,
+                         ids=[c.__name__ for c, _ in INTERACTION_MODELS])
+def test_learns_interaction(ctr_data, model_cls, kwargs):
+    fm, train, valid = ctr_data
+    model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
+    metrics = _fit(model, train, valid)
+    assert metrics["AUC"] > 0.75, metrics
+
+
+@pytest.mark.parametrize("model_cls,kwargs", SLOW_INTERACTION_MODELS,
+                         ids=[c.__name__ for c, _ in SLOW_INTERACTION_MODELS])
+def test_slow_interaction_models(ctr_data, model_cls, kwargs):
+    fm, train, valid = ctr_data
+    model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
+    metrics = _fit(model, train, valid, epochs=12, lr=2e-2)
+    assert metrics["AUC"] > 0.75, metrics
+
+
+@pytest.mark.parametrize("model_cls,kwargs", PURE_FACTORIZATION,
+                         ids=[c.__name__ for c, _ in PURE_FACTORIZATION])
+def test_pure_factorization_learns_interaction(ctr_data, model_cls, kwargs):
+    fm, train, valid = ctr_data
+    model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
+    metrics = _fit(model, train, valid, epochs=8, lr=2e-2)
+    assert metrics["AUC"] > 0.75, metrics
+
+
+@pytest.mark.parametrize("model_cls,kwargs", [
+    (CCPM, {"conv_kernel_widths": (3,), "conv_filters": (3,),
+            "hidden_units": (32,)}),
+    (MLR, {"num_regions": 4}),
+], ids=["CCPM", "MLR"])
+def test_weaker_models_run_and_learn_something(ctr_data, model_cls, kwargs):
+    """CCPM/MLR have weak interaction inductive bias on 2 fields; require
+    finite learning above chance rather than full XOR recovery."""
+    fm, train, valid = ctr_data
+    model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
+    metrics = _fit(model, train, valid, epochs=4)
+    assert metrics["AUC"] > 0.55, metrics
+
+
+@pytest.fixture(scope="module")
+def din_data():
+    from tests.test_sequence_ctr import make_din_data
+    rng = np.random.default_rng(9)
+    fm, arrays = make_din_data(rng)
+    split = int(len(arrays["click"]) * 0.85)
+    return fm, {k: v[:split] for k, v in arrays.items()}, \
+        {k: v[split:] for k, v in arrays.items()}
+
+
+def test_dien_learns_membership(din_data):
+    """Balanced target-in-history task (same as the DIN test). DIEN routes
+    the membership signal through GRU states + a scalar attention gate, so
+    its bar is lower than DIN's direct target attention."""
+    fm, train, valid = din_data
+    model = DIEN(feature_map=fm, embedding_dim=16, gru_hidden=16,
+                 hidden_units=(64, 32))
+    metrics = _fit(model, train, valid, epochs=10, lr=1e-2)
+    assert metrics["AUC"] > 0.7, metrics
+
+
+def test_dsin_learns_membership(din_data):
+    """DSIN dilutes membership further through session pooling + Bi-GRU;
+    require clear learning above chance."""
+    fm, train, valid = din_data
+    model = DSIN(feature_map=fm, embedding_dim=16, session_count=2,
+                 hidden_units=(64, 32))
+    metrics = _fit(model, train, valid, epochs=15, lr=2e-2)
+    assert metrics["AUC"] > 0.6, metrics
+
+
+def test_dien_auxiliary_logits_shape(din_data):
+    import jax
+    import jax.numpy as jnp
+    fm, train, _ = din_data
+    model = DIEN(feature_map=fm, embedding_dim=16, gru_hidden=16)
+    db = {k: jnp.asarray(v[:32]) for k, v in train.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, db,
+                           method=model.auxiliary_logits)
+    out = model.apply(variables, db, method=model.auxiliary_logits)
+    assert out.shape == (32, 7, 2)
+    assert np.isfinite(np.asarray(out)).all()
