@@ -1,0 +1,206 @@
+"""Autoencoder recommenders: MultiVAE, MacridVAE, RecVAE, CDAE.
+
+TPU-native re-designs of recbole's AE family
+(`third_party/recbole/model/general_recommender/{multivae,macridvae,recvae,
+cdae}.py`). These consume the user's full interaction row (multi-hot
+`history` (B, N)) and reconstruct scores over all items, trained by
+reconstruction objectives (multinomial CE + KL for the VAEs, pointwise
+logistic for CDAE) — no negative sampling, no towers.
+
+Conventions:
+  * `__call__(batch, train, rng via 'reparam' collection) -> (B, N) logits`
+  * losses are free functions (`multivae_loss`, `cdae_loss`) so the Trainer
+    wires them like any other loss_fn;
+  * the multi-hot rows come from `build_history_matrix` (host-side, once).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["MultiVAE", "MacridVAE", "RecVAE", "CDAE",
+           "multivae_loss", "cdae_loss", "build_history_matrix"]
+
+
+def build_history_matrix(user_ids, item_ids, num_users: int,
+                         num_items: int) -> np.ndarray:
+    """Dense multi-hot (num_users, num_items) float32 interaction rows."""
+    X = np.zeros((num_users, num_items), dtype=np.float32)
+    X[np.asarray(user_ids), np.asarray(item_ids)] = 1.0
+    return X
+
+
+def _normalize(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+class MultiVAE(nn.Module):
+    """Variational AE with multinomial likelihood (`multivae.py`):
+    encoder MLP → (μ, logσ²) → z → decoder MLP → logits."""
+
+    num_items: int
+    hidden_units: Sequence[int] = (600,)
+    latent_dim: int = 128
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        x = _normalize(batch["history"])
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        for i, hu in enumerate(self.hidden_units):
+            x = jnp.tanh(nn.Dense(hu, name=f"enc{i}")(x))
+        mu = nn.Dense(self.latent_dim, name="mu")(x)
+        logvar = nn.Dense(self.latent_dim, name="logvar")(x)
+        if train:
+            eps = jax.random.normal(self.make_rng("reparam"), mu.shape)
+            z = mu + eps * jnp.exp(0.5 * logvar)
+        else:
+            z = mu
+        h = z
+        for i, hu in enumerate(reversed(self.hidden_units)):
+            h = jnp.tanh(nn.Dense(hu, name=f"dec{i}")(h))
+        logits = nn.Dense(self.num_items, name="out")(h)
+        self.sow("intermediates", "kl",
+                 -0.5 * jnp.mean(jnp.sum(
+                     1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)))
+        return logits
+
+    def full_scores(self, batch, train: bool = False):
+        return self(batch, train)
+
+
+def multivae_loss(logits, batch, kl, beta: float = 0.2) -> jnp.ndarray:
+    """Multinomial CE + β·KL (`multivae.py` calculate_loss; β annealing is
+    the caller's job via the beta argument)."""
+    log_softmax = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.mean(jnp.sum(log_softmax * batch["history"], axis=-1))
+    return ce + beta * kl
+
+
+class MacridVAE(nn.Module):
+    """Macro-micro disentangled VAE (`macridvae.py`): K concept prototypes;
+    items softly assigned to concepts; per-concept encoders produce one
+    z_k each; scores = Σ_k assignment_ik · ⟨z_k, e_i⟩/τ (cosine space)."""
+
+    num_items: int
+    latent_dim: int = 64
+    k_factors: int = 4
+    tau: float = 0.1
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        x = batch["history"]                               # (B, N)
+        items = self.param("emb_item", nn.initializers.normal(0.05),
+                           (self.num_items, self.latent_dim))
+        protos = self.param("emb_proto", nn.initializers.normal(0.05),
+                            (self.k_factors, self.latent_dim))
+        items_n = _normalize(items)
+        cates = jax.nn.softmax(
+            jnp.dot(items_n, _normalize(protos).T) / self.tau, axis=-1)  # (N, K)
+        xd = nn.Dropout(self.dropout, deterministic=not train)(_normalize(x))
+        mus, logvars, zs = [], [], []
+        enc_mu = nn.Dense(self.latent_dim, name="enc_mu")
+        enc_lv = nn.Dense(self.latent_dim, name="enc_lv")
+        for k in range(self.k_factors):
+            xk = xd * cates[None, :, k]
+            h = jnp.tanh(nn.Dense(2 * self.latent_dim, name=f"enc{k}")(xk))
+            mu = _normalize(enc_mu(h))
+            lv = enc_lv(h)
+            if train:
+                eps = jax.random.normal(self.make_rng("reparam"), mu.shape)
+                z = mu + eps * jnp.exp(0.5 * lv)
+            else:
+                z = mu
+            mus.append(mu); logvars.append(lv); zs.append(_normalize(z))
+        probs = sum(
+            jax.nn.softmax(jnp.dot(zs[k], items_n.T) / self.tau, axis=-1)
+            * cates[None, :, k]
+            for k in range(self.k_factors))
+        kl = sum(-0.5 * jnp.mean(jnp.sum(
+            1 + lv - mu ** 2 - jnp.exp(lv), axis=1))
+            for mu, lv in zip(mus, logvars)) / self.k_factors
+        self.sow("intermediates", "kl", kl)
+        return jnp.log(probs + 1e-12)
+
+    def full_scores(self, batch, train: bool = False):
+        return self(batch, train)
+
+
+class RecVAE(nn.Module):
+    """RecVAE (`recvae.py` shape): denoising encoder with swish layers +
+    LayerNorm; the composite-prior term is approximated by the standard
+    normal component (the dominant term; alternating enc/dec training is a
+    Trainer concern)."""
+
+    num_items: int
+    hidden_dim: int = 600
+    latent_dim: int = 200
+    n_enc_layers: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        x = _normalize(batch["history"])
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        h = nn.Dense(self.hidden_dim, name="enc_in")(x)
+        h = nn.LayerNorm()(jax.nn.swish(h))
+        for i in range(self.n_enc_layers - 1):
+            h2 = nn.Dense(self.hidden_dim, name=f"enc{i}")(h)
+            h = nn.LayerNorm()(jax.nn.swish(h2) + h)
+        mu = nn.Dense(self.latent_dim, name="mu")(h)
+        logvar = nn.Dense(self.latent_dim, name="logvar")(h)
+        if train:
+            eps = jax.random.normal(self.make_rng("reparam"), mu.shape)
+            z = mu + eps * jnp.exp(0.5 * logvar)
+        else:
+            z = mu
+        logits = nn.Dense(self.num_items, name="dec")(z)
+        self.sow("intermediates", "kl",
+                 -0.5 * jnp.mean(jnp.sum(
+                     1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)))
+        return logits
+
+    def full_scores(self, batch, train: bool = False):
+        return self(batch, train)
+
+
+class CDAE(nn.Module):
+    """Collaborative denoising AE (`cdae.py`): h = act(Wᵀx̃ + V_u + b),
+    out = Wᵒh + bᵒ — per-user bias embedding in the bottleneck."""
+
+    num_users: int
+    num_items: int
+    hidden_dim: int = 64
+    corruption: float = 0.5
+    hidden_activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        x = batch["history"]
+        if train:
+            keep = jax.random.bernoulli(
+                self.make_rng("reparam"), 1.0 - self.corruption, x.shape)
+            x = x * keep / (1.0 - self.corruption)
+        h = nn.Dense(self.hidden_dim, name="enc")(x)
+        u = nn.Embed(self.num_users, self.hidden_dim, name="user_bias")(
+            batch["user_id"])
+        act = jax.nn.relu if self.hidden_activation == "relu" else jnp.tanh
+        h = act(h + u)
+        return nn.Dense(self.num_items, name="dec")(h)
+
+    def full_scores(self, batch, train: bool = False):
+        return self(batch, train)
+
+
+def cdae_loss(logits, batch) -> jnp.ndarray:
+    """Pointwise logistic reconstruction over all items (`cdae.py`)."""
+    y = batch["history"]
+    return jnp.mean(jnp.sum(
+        jnp.maximum(logits, 0) - logits * y
+        + jnp.log1p(jnp.exp(-jnp.abs(logits))), axis=-1))

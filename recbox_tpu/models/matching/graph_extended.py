@@ -1,0 +1,334 @@
+"""Extended graph collaborative filtering: SGL, NCL, DGCF, SpectralCF, GCMC,
+LINE.
+
+TPU-native re-designs of recbole's remaining graph models
+(`third_party/recbole/model/general_recommender/{sgl,ncl,dgcf,spectralcf,
+gcmc,line}.py`), built on the static padded-edge-list machinery of
+`graph.py` (`_GraphBase`): every propagation is gather → scale →
+`segment_sum`, no scipy sparse, no dynamic shapes.
+
+Self-supervised pieces are exposed as model methods returning loss terms
+(`ssl_loss`, `structural_loss`, `prototype_loss`) so the training loop
+composes them with the main BPR objective; edge dropout uses a bernoulli
+mask over the static edge arrays (the graph never changes shape —
+dropped edges contribute zero, matching the reference's resampled subgraph
+in expectation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbox_tpu.models.base import similarity_scores
+from recbox_tpu.models.matching.graph import LightGCN, _GraphBase
+from recbox_tpu.nn.embedding import emb_init
+
+__all__ = ["SGL", "NCL", "DGCF", "SpectralCF", "GCMC", "LINE",
+           "kmeans_prototypes", "infonce"]
+
+
+def infonce(a: jnp.ndarray, b: jnp.ndarray, tau: float = 0.2) -> jnp.ndarray:
+    """InfoNCE with in-batch negatives: positives are matching rows."""
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    logits = jnp.dot(a, b.T) / tau
+    labels = jnp.arange(a.shape[0])
+    return jnp.mean(
+        -jax.nn.log_softmax(logits, axis=-1)[labels, labels])
+
+
+def kmeans_prototypes(emb: np.ndarray, k: int, n_iters: int = 20,
+                      seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side k-means (NCL's periodic E-step, `ncl.py` e_step): returns
+    (centers (k, D), assignments (N,))."""
+    rng = np.random.default_rng(seed)
+    centers = emb[rng.choice(len(emb), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        d = ((emb[:, None, :] - centers[None]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = emb[assign == j]
+            if len(sel):
+                centers[j] = sel.mean(0)
+    return centers, assign
+
+
+class SGL(LightGCN):
+    """Self-supervised graph learning (`sgl.py`): LightGCN + InfoNCE between
+    two edge-dropout views of the propagated embeddings."""
+
+    ssl_tau: float = 0.2
+    drop_ratio: float = 0.1
+
+    def _propagate_with_mask(self, edge_keep: Optional[jnp.ndarray]):
+        u, i, c = self._edges()
+        if edge_keep is not None:
+            c = c * edge_keep / (1.0 - self.drop_ratio)
+        ue = jnp.asarray(self.user_table)
+        ie = jnp.asarray(self.item_table)
+        user_layers, item_layers = [ue], [ie]
+        for _ in range(self.n_layers):
+            msg_u = jax.ops.segment_sum(ie[i] * c[:, None], u,
+                                        num_segments=self.num_users)
+            msg_i = jax.ops.segment_sum(ue[u] * c[:, None], i,
+                                        num_segments=self.num_items)
+            ue, ie = msg_u, msg_i
+            user_layers.append(ue)
+            item_layers.append(ie)
+        return (jnp.mean(jnp.stack(user_layers), axis=0),
+                jnp.mean(jnp.stack(item_layers), axis=0))
+
+    def ssl_loss(self, batch) -> jnp.ndarray:
+        """InfoNCE over two dropout views, restricted to the batch's users
+        and positive items (`sgl.py` calc_ssl_loss); dropout masks come from
+        the 'dropout' rng stream."""
+        n_edges = len(self.edge_users)
+        k1 = self.make_rng("dropout")
+        k2 = self.make_rng("dropout")
+        m1 = jax.random.bernoulli(k1, 1.0 - self.drop_ratio, (n_edges,))
+        m2 = jax.random.bernoulli(k2, 1.0 - self.drop_ratio, (n_edges,))
+        u1, i1 = self._propagate_with_mask(m1.astype(jnp.float32))
+        u2, i2 = self._propagate_with_mask(m2.astype(jnp.float32))
+        users = batch[self.feature_map.query_index]
+        pos_items = batch["__item_ids__"][:, 0]
+        return (infonce(u1[users], u2[users], self.ssl_tau)
+                + infonce(i1[pos_items], i2[pos_items], self.ssl_tau))
+
+
+class NCL(LightGCN):
+    """Neighborhood-enriched contrastive learning (`ncl.py`): LightGCN +
+    structural contrast (hop-2h vs hop-0 of the same node) + prototype
+    contrast against periodically refreshed k-means centers."""
+
+    ssl_tau: float = 0.1
+    hyper_layers: int = 1
+
+    def layer_outputs(self):
+        ue = jnp.asarray(self.user_table)
+        ie = jnp.asarray(self.item_table)
+        user_layers, item_layers = [ue], [ie]
+        for _ in range(max(self.n_layers, 2 * self.hyper_layers)):
+            ue, ie = self._propagate_hop(ue, ie)
+            user_layers.append(ue)
+            item_layers.append(ie)
+        return user_layers, item_layers
+
+    def structural_loss(self, batch) -> jnp.ndarray:
+        ul, il = self.layer_outputs()
+        users = batch[self.feature_map.query_index]
+        pos_items = batch["__item_ids__"][:, 0]
+        k = 2 * self.hyper_layers
+        return (infonce(ul[k][users], ul[0][users], self.ssl_tau)
+                + infonce(il[k][pos_items], il[0][pos_items], self.ssl_tau))
+
+    def prototype_loss(self, batch, user_protos, item_protos,
+                       user_assign, item_assign) -> jnp.ndarray:
+        """Contrast nodes against their k-means prototype (`ncl.py`
+        ProtoNCE); centers/assignments are host-refreshed via
+        `kmeans_prototypes` between epochs."""
+        users = batch[self.feature_map.query_index]
+        pos_items = batch["__item_ids__"][:, 0]
+        ue = jnp.asarray(self.user_table)[users]
+        ie = jnp.asarray(self.item_table)[pos_items]
+
+        def proto_nce(emb, protos, assign):
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            protos = protos / jnp.maximum(
+                jnp.linalg.norm(protos, axis=-1, keepdims=True), 1e-12)
+            logits = jnp.dot(emb, protos.T) / self.ssl_tau
+            return jnp.mean(-jax.nn.log_softmax(logits, axis=-1)[
+                jnp.arange(emb.shape[0]), assign])
+
+        return (proto_nce(ue, jnp.asarray(user_protos),
+                          jnp.asarray(user_assign)[users])
+                + proto_nce(ie, jnp.asarray(item_protos),
+                            jnp.asarray(item_assign)[pos_items]))
+
+
+class DGCF(_GraphBase):
+    """Disentangled GCF (`dgcf.py`): the embedding is split into K intent
+    chunks; per-intent edge weights are refined by routing iterations
+    (neighbor-softmaxed affinities), each intent propagating independently."""
+
+    n_intents: int = 4
+    n_routing: int = 2
+
+    def setup(self):
+        init = nn.with_partitioning(emb_init(), ("model", None))
+        self.user_table = self.param("emb_user", init,
+                                     (self.num_users, self.embedding_dim))
+        self.item_table = self.param("emb_item", init,
+                                     (self.num_items, self.embedding_dim))
+
+    def _segment_softmax(self, logits, segments, num_segments):
+        m = jax.ops.segment_max(logits, segments, num_segments=num_segments)
+        e = jnp.exp(logits - m[segments])
+        z = jax.ops.segment_sum(e, segments, num_segments=num_segments)
+        return e / jnp.maximum(z[segments], 1e-12)
+
+    def propagated(self):
+        K = self.n_intents
+        D = self.embedding_dim
+        dk = D // K
+        u, i, _ = self._edges()
+        E = u.shape[0]
+        ue = jnp.asarray(self.user_table).reshape(self.num_users, K, dk)
+        ie = jnp.asarray(self.item_table).reshape(self.num_items, K, dk)
+        logits = jnp.zeros((E, K))
+        out_u, out_i = ue, ie
+        for _ in range(self.n_layers):
+            hu, hi = out_u, out_i
+            for _ in range(self.n_routing):
+                # neighbor-normalized weights per intent
+                w = jnp.stack([self._segment_softmax(logits[:, k], u,
+                                                     self.num_users)
+                               for k in range(K)], axis=1)       # (E, K)
+                msg_u = jax.ops.segment_sum(
+                    hi[i] * w[..., None], u, num_segments=self.num_users)
+                msg_i = jax.ops.segment_sum(
+                    hu[u] * w[..., None], i, num_segments=self.num_items)
+                # routing update: affinity of tanh'd messages along edges
+                logits = logits + jnp.sum(
+                    jnp.tanh(msg_u[u]) * hi[i], axis=-1)
+            out_u, out_i = out_u + msg_u, out_i + msg_i
+        return (out_u.reshape(self.num_users, D),
+                out_i.reshape(self.num_items, D))
+
+    def user_tower(self, batch, train: bool = False):
+        ue, _ = self.propagated()
+        return ue[batch[self.feature_map.query_index]]
+
+    def item_tower(self, batch, train: bool = False):
+        _, ie = self.propagated()
+        return ie[batch[self.feature_map.corpus_index]]
+
+    def __call__(self, batch, train: bool = False):
+        ue, ie = self.propagated()
+        user_emb = ue[batch[self.feature_map.query_index]]
+        item_ids = batch["__item_ids__"]
+        item_emb = ie[item_ids.reshape(-1)]
+        return similarity_scores(user_emb, item_emb, item_ids.shape[1],
+                                 self.similarity, self.temperature)
+
+
+class SpectralCF(_GraphBase):
+    """Spectral CF (`spectralcf.py` shape): polynomial spectral filters —
+    e_{l+1} = σ((e_l + Â e_l) W_l), concatenating layer outputs. The (I + Â)
+    form is recbole's eigen-free implementation of the spectral convolution."""
+
+    def setup(self):
+        init = nn.with_partitioning(emb_init(), ("model", None))
+        self.user_table = self.param("emb_user", init,
+                                     (self.num_users, self.embedding_dim))
+        self.item_table = self.param("emb_item", init,
+                                     (self.num_items, self.embedding_dim))
+        self.filters = [nn.Dense(self.embedding_dim, use_bias=False,
+                                 kernel_init=nn.initializers.normal(0.01),
+                                 name=f"filter{k}")
+                        for k in range(self.n_layers)]
+
+    def propagated(self):
+        ue = jnp.asarray(self.user_table)
+        ie = jnp.asarray(self.item_table)
+        user_layers, item_layers = [ue], [ie]
+        for f in self.filters:
+            su, si = self._propagate_hop(ue, ie)
+            ue = jax.nn.sigmoid(f(ue + su))
+            ie = jax.nn.sigmoid(f(ie + si))
+            user_layers.append(ue)
+            item_layers.append(ie)
+        return (jnp.concatenate(user_layers, axis=-1),
+                jnp.concatenate(item_layers, axis=-1))
+
+    def user_tower(self, batch, train: bool = False):
+        ue, _ = self.propagated()
+        return ue[batch[self.feature_map.query_index]]
+
+    def item_tower(self, batch, train: bool = False):
+        _, ie = self.propagated()
+        return ie[batch[self.feature_map.corpus_index]]
+
+    def __call__(self, batch, train: bool = False):
+        ue, ie = self.propagated()
+        user_emb = ue[batch[self.feature_map.query_index]]
+        item_ids = batch["__item_ids__"]
+        item_emb = ie[item_ids.reshape(-1)]
+        return similarity_scores(user_emb, item_emb, item_ids.shape[1],
+                                 self.similarity, self.temperature)
+
+
+class GCMC(_GraphBase):
+    """Graph convolutional matrix completion (`gcmc.py` shape, binary
+    ratings): one message-passing layer → dense encoder; bilinear decoder
+    score = h_uᵀ Q h_i, folded into the user tower so retrieval stays MIPS."""
+
+    hidden_dim: int = 64
+
+    def setup(self):
+        init = nn.with_partitioning(emb_init(0.01), ("model", None))
+        self.user_table = self.param("emb_user", init,
+                                     (self.num_users, self.embedding_dim))
+        self.item_table = self.param("emb_item", init,
+                                     (self.num_items, self.embedding_dim))
+        self.enc_u = nn.Dense(self.hidden_dim, name="enc_u")
+        self.enc_i = nn.Dense(self.hidden_dim, name="enc_i")
+        self.decoder_q = self.param("decoder_q",
+                                    nn.initializers.orthogonal(),
+                                    (self.hidden_dim, self.hidden_dim))
+
+    def encoded(self):
+        ue = jnp.asarray(self.user_table)
+        ie = jnp.asarray(self.item_table)
+        su, si = self._propagate_hop(ue, ie)
+        hu = self.enc_u(jax.nn.relu(su))
+        hi = self.enc_i(jax.nn.relu(si))
+        return hu @ jnp.asarray(self.decoder_q), hi
+
+    def user_tower(self, batch, train: bool = False):
+        hu, _ = self.encoded()
+        return hu[batch[self.feature_map.query_index]]
+
+    def item_tower(self, batch, train: bool = False):
+        _, hi = self.encoded()
+        return hi[batch[self.feature_map.corpus_index]]
+
+    def __call__(self, batch, train: bool = False):
+        hu, hi = self.encoded()
+        user_emb = hu[batch[self.feature_map.query_index]]
+        item_ids = batch["__item_ids__"]
+        item_emb = hi[item_ids.reshape(-1)]
+        return similarity_scores(user_emb, item_emb, item_ids.shape[1],
+                                 self.similarity, self.temperature)
+
+
+class LINE(_GraphBase):
+    """Large-scale information network embedding (`line.py`): first-order
+    proximity scores ⟨u, i⟩; second-order scores ⟨u, ctx_i⟩ against context
+    embeddings. `order` picks the objective; both train with the sampled
+    negatives of the matching pipeline."""
+
+    order: int = 2
+
+    def setup(self):
+        init = nn.with_partitioning(emb_init(), ("model", None))
+        self.user_table = self.param("emb_user", init,
+                                     (self.num_users, self.embedding_dim))
+        self.item_table = self.param("emb_item", init,
+                                     (self.num_items, self.embedding_dim))
+        if self.order == 2:
+            self.item_ctx = self.param("emb_item_ctx", init,
+                                       (self.num_items, self.embedding_dim))
+
+    def user_tower(self, batch, train: bool = False):
+        return jnp.asarray(self.user_table)[batch[self.feature_map.query_index]]
+
+    def item_tower(self, batch, train: bool = False):
+        table = (jnp.asarray(self.item_ctx) if self.order == 2
+                 else jnp.asarray(self.item_table))
+        return table[batch[self.feature_map.corpus_index]]

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Pop", "ItemKNN", "EASE", "build_interaction_matrix"]
+__all__ = ["Pop", "ItemKNN", "EASE", "PureSVD", "SLIM", "ADMMSLIM",
+           "build_interaction_matrix"]
 
 
 def build_interaction_matrix(user_ids, item_ids, num_users: int,
@@ -105,3 +106,125 @@ def topk_items(model, user_rows: np.ndarray, topk: int,
         scores = jnp.where(mask_seen > 0, -1e9, scores)
     s, i = jax.lax.top_k(scores, topk)
     return np.asarray(s), np.asarray(i)
+
+
+class PureSVD:
+    """Truncated-SVD CF (`third_party/daisy/model/PureSVDRecommender.py`):
+    X ≈ U_k Σ_k V_kᵀ; scores = (X V_k) V_kᵀ."""
+
+    def __init__(self, factors: int = 64):
+        self.factors = factors
+
+    def fit(self, user_ids, item_ids, num_users: int, num_items: int) -> "PureSVD":
+        X = build_interaction_matrix(user_ids, item_ids, num_users, num_items)
+        # full SVD on the dense matrix — benchmark scales; TPU-side matmul serve
+        _, _, vt = np.linalg.svd(X, full_matrices=False)
+        V = vt[: self.factors].T                     # (N, k)
+        self.X = jnp.asarray(X)
+        self.V = jnp.asarray(V.astype(np.float32))
+        return self
+
+    def full_scores(self, user_rows: np.ndarray) -> jnp.ndarray:
+        proj = jnp.dot(self.X[jnp.asarray(user_rows)], self.V,
+                       preferred_element_type=jnp.float32)
+        return jnp.dot(proj, self.V.T, preferred_element_type=jnp.float32)
+
+
+class SLIM:
+    """Sparse linear item model (`third_party/daisy/model/SLiMRecommender.py`,
+    recbole `slimelastic.py`): per-item ElasticNet regressions
+    X_i ≈ X W_i with W_ii = 0, W ≥ 0.
+
+    Solved by batched proximal coordinate descent on the Gram matrix — one
+    (N, N) formulation updating a full coordinate row at a time across all
+    targets, instead of sklearn's per-column Python loop."""
+
+    def __init__(self, l1_reg: float = 1e-3, l2_reg: float = 1e-3,
+                 n_iters: int = 30, positive_only: bool = True):
+        self.l1 = l1_reg
+        self.l2 = l2_reg
+        self.n_iters = n_iters
+        self.positive_only = positive_only
+
+    def fit(self, user_ids, item_ids, num_users: int, num_items: int) -> "SLIM":
+        X = jnp.asarray(build_interaction_matrix(
+            user_ids, item_ids, num_users, num_items))
+        G = jnp.dot(X.T, X, preferred_element_type=jnp.float32)   # (N, N)
+        diag = jnp.diagonal(G)
+        l1 = self.l1 * num_users
+        l2 = self.l2 * num_users
+        eye = jnp.eye(num_items, dtype=bool)
+
+        def coord_pass(W, _):
+            def update_row(j, W):
+                # residual correlation for coordinate j against every target
+                r = G[j] - G[j] @ W                   # (N,)
+                w_j = W[j]
+                rho = r + diag[j] * w_j
+                w_new = jnp.sign(rho) * jnp.maximum(jnp.abs(rho) - l1, 0.0) \
+                    / (diag[j] + l2 + 1e-9)
+                if self.positive_only:
+                    w_new = jnp.maximum(w_new, 0.0)
+                w_new = jnp.where(eye[j], 0.0, w_new)  # zero diagonal
+                return W.at[j].set(w_new)
+
+            W = jax.lax.fori_loop(0, num_items, update_row, W)
+            return W, None
+
+        W0 = jnp.zeros((num_items, num_items), jnp.float32)
+        W, _ = jax.lax.scan(coord_pass, W0, None, length=self.n_iters)
+        self.X = X
+        self.W = W
+        return self
+
+    def full_scores(self, user_rows: np.ndarray) -> jnp.ndarray:
+        return jnp.dot(self.X[jnp.asarray(user_rows)], self.W,
+                       preferred_element_type=jnp.float32)
+
+
+class ADMMSLIM:
+    """ADMM-SLIM (recbole `admmslim.py`): item-item weights by ADMM splitting
+    with L1 + L2 + zero-diagonal constraints — all (N, N) matmuls."""
+
+    def __init__(self, lambda1: float = 1.0, lambda2: float = 10.0,
+                 rho: float = 100.0, n_iters: int = 50,
+                 positive_only: bool = True):
+        self.l1 = lambda1
+        self.l2 = lambda2
+        self.rho = rho
+        self.n_iters = n_iters
+        self.positive_only = positive_only
+
+    def fit(self, user_ids, item_ids, num_users: int, num_items: int) -> "ADMMSLIM":
+        X = jnp.asarray(build_interaction_matrix(
+            user_ids, item_ids, num_users, num_items))
+        G = jnp.dot(X.T, X, preferred_element_type=jnp.float32)
+        P = jnp.linalg.inv(G + (self.l2 + self.rho)
+                           * jnp.eye(num_items, dtype=jnp.float32))
+        eye = jnp.eye(num_items, dtype=jnp.float32)
+
+        def step(carry, _):
+            C, Z, Y = carry
+            # B-update with zero-diagonal via lagrangian gamma
+            B_hat = P @ (G + self.rho * (Z - Y))
+            gamma = jnp.diagonal(B_hat) / jnp.maximum(jnp.diagonal(P), 1e-9)
+            B = B_hat - P * gamma[None, :]
+            # Z-update: soft threshold
+            U = B + Y
+            Z = jnp.sign(U) * jnp.maximum(jnp.abs(U) - self.l1 / self.rho, 0.0)
+            if self.positive_only:
+                Z = jnp.maximum(Z, 0.0)
+            Z = Z * (1.0 - eye)
+            Y = Y + B - Z
+            return (B, Z, Y), None
+
+        Z0 = jnp.zeros((num_items, num_items), jnp.float32)
+        (B, Z, _), _ = jax.lax.scan(
+            step, (Z0, Z0, Z0), None, length=self.n_iters)
+        self.X = X
+        self.W = Z
+        return self
+
+    def full_scores(self, user_rows: np.ndarray) -> jnp.ndarray:
+        return jnp.dot(self.X[jnp.asarray(user_rows)], self.W,
+                       preferred_element_type=jnp.float32)

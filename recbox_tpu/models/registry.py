@@ -96,6 +96,34 @@ from recbox_tpu.models.sequential.extended import (  # noqa: E402
     LightSANs, TransRec,
 )
 from recbox_tpu.models.sequential.session_graph import GCSAN, SRGNN  # noqa: E402
+from recbox_tpu.models.matching.neural_cf import (  # noqa: E402
+    ConvNCF, ENMF, FISM, NAIS, NeuMF,
+)
+from recbox_tpu.models.matching.autoencoder import (  # noqa: E402
+    CDAE, MacridVAE, MultiVAE, RecVAE,
+)
+from recbox_tpu.models.matching.traditional import (  # noqa: E402
+    ADMMSLIM, EASE, ItemKNN, Pop, PureSVD, SLIM,
+)
+
+for _name, _cls in [("NeuMF", NeuMF), ("ConvNCF", ConvNCF), ("NAIS", NAIS),
+                    ("FISM", FISM), ("ENMF", ENMF), ("MultiVAE", MultiVAE),
+                    ("MacridVAE", MacridVAE), ("RecVAE", RecVAE),
+                    ("CDAE", CDAE)]:
+    register_model(_name, _cls, "matching")
+for _name, _cls in [("Pop", Pop), ("ItemKNN", ItemKNN), ("EASE", EASE),
+                    ("PureSVD", PureSVD), ("SLIM", SLIM),
+                    ("ADMMSLIM", ADMMSLIM)]:
+    register_model(_name, _cls, "traditional")
+
+from recbox_tpu.models.matching.graph_extended import (  # noqa: E402
+    DGCF, GCMC, LINE, NCL, SGL, SpectralCF,
+)
+
+for _name, _cls in [("SGL", SGL), ("NCL", NCL), ("DGCF", DGCF),
+                    ("SpectralCF", SpectralCF), ("GCMC", GCMC),
+                    ("LINE", LINE)]:
+    register_model(_name, _cls, "matching")
 
 for _name, _cls in [("BERT4Rec", BERT4Rec), ("FPMC", FPMC),
                     ("TransRec", TransRec), ("HGN", HGN), ("SHAN", SHAN),
