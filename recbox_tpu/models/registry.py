@@ -125,6 +125,15 @@ for _name, _cls in [("SGL", SGL), ("NCL", NCL), ("DGCF", DGCF),
                     ("LINE", LINE)]:
     register_model(_name, _cls, "matching")
 
+from recbox_tpu.models.knowledge import (  # noqa: E402
+    CFKG, CKE, KGAT, KGCN, KGNNLS, KTUP, MKR, RippleNet,
+)
+
+for _name, _cls in [("CKE", CKE), ("CFKG", CFKG), ("KTUP", KTUP),
+                    ("MKR", MKR), ("KGCN", KGCN), ("KGNNLS", KGNNLS),
+                    ("KGAT", KGAT), ("RippleNet", RippleNet)]:
+    register_model(_name, _cls, "knowledge")
+
 for _name, _cls in [("BERT4Rec", BERT4Rec), ("FPMC", FPMC),
                     ("TransRec", TransRec), ("HGN", HGN), ("SHAN", SHAN),
                     ("FOSSIL", FOSSIL), ("HRM", HRM), ("NPE", NPE),

@@ -69,8 +69,10 @@ def _train_pairwise(model, users, items, rng, steps=300, lr=1e-2,
                     batch=256, extra_batch=None):
     """BPR training on (user, pos, sampled-neg) triples via model.score."""
     import optax
+    init_ids = jnp.asarray(items[:8])[:, None].repeat(2, 1)
     init_batch = {"user_id": jnp.asarray(users[:8]),
-                  "__item_ids__": jnp.asarray(items[:8])[:, None].repeat(2, 1)}
+                  "__item_ids__": init_ids,
+                  "item::item_id": init_ids}
     if extra_batch:
         init_batch.update({k: jnp.asarray(v[:8]) for k, v in extra_batch.items()})
     variables = model.init({"params": jax.random.PRNGKey(0),
@@ -94,9 +96,9 @@ def _train_pairwise(model, users, items, rng, steps=300, lr=1e-2,
     for _ in range(steps):
         idx = rng_np.integers(0, n, size=batch)
         neg = rng_np.integers(0, N_ITEMS, size=batch)
+        ids = jnp.asarray(np.stack([items[idx], neg], axis=1))
         b = {"user_id": jnp.asarray(users[idx]),
-             "__item_ids__": jnp.asarray(
-                 np.stack([items[idx], neg], axis=1))}
+             "__item_ids__": ids, "item::item_id": ids}
         if extra_batch:
             b.update({k: jnp.asarray(v[idx]) for k, v in extra_batch.items()})
         params, opt_state, loss = step(params, opt_state, b)
