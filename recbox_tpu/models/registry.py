@@ -141,3 +141,14 @@ for _name, _cls in [("BERT4Rec", BERT4Rec), ("FPMC", FPMC),
                     ("RepeatNet", RepeatNet), ("SINE", SINE),
                     ("SRGNN", SRGNN), ("GCSAN", GCSAN)]:
     register_model(_name, _cls, "sequential")
+
+from recbox_tpu.models.reranking.rl import (  # noqa: E402
+    EGRDiscriminator, EGREvaluator, PPOReranker,
+)
+from recbox_tpu.models.reranking.lambdamart import LambdaMART  # noqa: E402
+
+register_model("EGREvaluator", EGREvaluator, "reranking")
+register_model("EGRDiscriminator", EGRDiscriminator, "reranking")
+register_model("PPOReranker", PPOReranker, "reranking")
+register_model("EGR", EGREvaluator, "reranking")
+register_model("LambdaMART", LambdaMART, "ranker")
