@@ -85,3 +85,34 @@ def profile_step(log_dir: Optional[str] = None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class WandbLogger:
+    """Weights & Biases hook (reference: `recbole/utils/wandblogger.py:12-60`):
+    no-ops gracefully when wandb isn't installed or `enabled=False`, so the
+    trainer can call it unconditionally."""
+
+    def __init__(self, enabled: bool = False, project: str = "recbox_tpu",
+                 config: Optional[Dict] = None, **init_kw):
+        self._run = None
+        if not enabled:
+            return
+        try:
+            import wandb  # optional dependency — absent in this image
+            self._run = wandb.init(project=project, config=config or {},
+                                   **init_kw)
+        except Exception:
+            logging.getLogger("recbox_tpu").warning(
+                "wandb unavailable; WandbLogger disabled")
+
+    def log_metrics(self, metrics: Dict[str, float],
+                    step: Optional[int] = None,
+                    head: str = "train") -> None:
+        if self._run is None:
+            return
+        tagged = {f"{head}/{k}": v for k, v in metrics.items()}
+        self._run.log(tagged, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()

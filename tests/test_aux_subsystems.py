@@ -1,0 +1,182 @@
+"""Aux subsystems: HyperTuning (random/bayes/exhaustive + early stop),
+atomic dataset loading (typed TSVs, remap, filters, KG bridge), model/env
+introspection, WandbLogger no-op."""
+
+import os
+
+import numpy as np
+import pytest
+
+from recbox_tpu.config.hyper_tuning import HyperTuning
+from recbox_tpu.data.atomic import (
+    filter_by_value, label_by_threshold, load_atomic_dataset,
+    load_atomic_file, remap_tokens,
+)
+from recbox_tpu.utils.introspection import (
+    count_params, estimate_cost, get_environment,
+)
+from recbox_tpu.utils.logging import WandbLogger
+
+
+def _quadratic(params):
+    # optimum at x=0.3, y='b'
+    score = -(params["x"] - 0.3) ** 2 - (0.0 if params["y"] == "b" else 0.5)
+    return {"metric": score}
+
+
+class TestHyperTuning:
+    def test_random_finds_good_region(self):
+        ht = HyperTuning(_quadratic,
+                         {"x": ("uniform", 0.0, 1.0),
+                          "y": ("choice", ["a", "b", "c"])},
+                         algo="random", max_evals=60, early_stop=60, seed=1)
+        res = ht.run()
+        assert res["best_score"] > -0.05
+        assert res["best_params"]["y"] == "b"
+
+    def test_bayes_concentrates_near_optimum(self):
+        ht = HyperTuning(_quadratic,
+                         {"x": ("uniform", 0.0, 1.0),
+                          "y": ("choice", ["a", "b", "c"])},
+                         algo="bayes", max_evals=30, early_stop=30,
+                         seed=2, n_startup=8)
+        res = ht.run()
+        assert res["best_score"] > -0.05
+        # TPE proposals after startup should sit closer to x*=0.3 than the
+        # uniform startup samples on average
+        xs = [t["params"]["x"] for t in ht.trials]
+        startup = np.abs(np.array(xs[:8]) - 0.3).mean()
+        guided = np.abs(np.array(xs[8:]) - 0.3).mean()
+        assert guided < startup, (startup, guided)
+
+    def test_exhaustive_covers_grid(self):
+        ht = HyperTuning(_quadratic,
+                         {"x": ("choice", [0.1, 0.3, 0.5]),
+                          "y": ("choice", ["a", "b"])},
+                         algo="exhaustive", max_evals=100, early_stop=100)
+        res = ht.run()
+        assert res["n_trials"] == 6
+        assert res["best_params"] == {"x": 0.3, "y": "b"}
+
+    def test_exhaustive_rejects_continuous(self):
+        ht = HyperTuning(_quadratic, {"x": ("uniform", 0, 1)},
+                         algo="exhaustive")
+        with pytest.raises(ValueError):
+            ht.run()
+
+    def test_early_stop(self):
+        calls = []
+
+        def obj(p):
+            calls.append(p)
+            return {"metric": 0.0}   # never improves after the first
+
+        ht = HyperTuning(obj, {"x": ("uniform", 0, 1)}, algo="random",
+                         max_evals=100, early_stop=5)
+        ht.run()
+        assert len(calls) == 6   # first + 5 non-improving
+
+    def test_loguniform_and_quniform(self):
+        ht = HyperTuning(lambda p: {"metric": 0.0},
+                         {"lr": ("loguniform", 1e-5, 1e-1),
+                          "bs": ("quniform", 32, 256, 32)},
+                         algo="random", max_evals=10, early_stop=100)
+        ht.run()
+        for t in ht.trials:
+            assert 1e-5 <= t["params"]["lr"] <= 1e-1
+            assert t["params"]["bs"] % 32 == 0
+
+    def test_export(self, tmp_path):
+        ht = HyperTuning(lambda p: {"metric": -p["x"] ** 2},
+                         {"x": ("uniform", 0, 1)},
+                         algo="random", max_evals=3, early_stop=10)
+        ht.run()
+        p = str(tmp_path / "trials.jsonl")
+        ht.export_result(p)
+        assert len(open(p).readlines()) == 3
+
+
+@pytest.fixture()
+def atomic_dir(tmp_path):
+    d = tmp_path
+    (d / "toy.inter").write_text(
+        "user_id:token\titem_id:token\trating:float\ttimestamp:float\n"
+        "u1\ti1\t5\t100\nu1\ti2\t2\t101\nu2\ti1\t4\t102\nu2\ti3\t1\t103\n")
+    (d / "toy.item").write_text(
+        "item_id:token\tgenres:token_seq\n"
+        "i1\taction comedy\ni2\tdrama\ni3\taction\n")
+    (d / "toy.kg").write_text(
+        "head_id:token\trelation_id:token\ttail_id:token\n"
+        "e1\tdirected_by\te9\ne2\tdirected_by\te9\n")
+    (d / "toy.link").write_text(
+        "item_id:token\tentity_id:token\ni1\te1\ni2\te2\ni3\te3\n")
+    return str(d)
+
+
+class TestAtomic:
+    def test_typed_parsing(self, atomic_dir):
+        cols = load_atomic_file(os.path.join(atomic_dir, "toy.inter"))
+        assert cols["rating"].dtype == np.float32
+        assert cols["user_id"][0] == "u1"
+        item = load_atomic_file(os.path.join(atomic_dir, "toy.item"))
+        assert list(item["genres"][0]) == ["action", "comedy"]
+
+    def test_bad_header_raises(self, tmp_path):
+        p = tmp_path / "x.inter"
+        p.write_text("user_id:token\tbad_col\nu1\t3\n")
+        with pytest.raises(ValueError):
+            load_atomic_file(str(p))
+
+    def test_remap_contiguous_from_one(self):
+        (a, b), vocab = remap_tokens([np.array(["x", "y", "x"], object),
+                                      np.array(["y", "z"], object)])
+        assert a.tolist() == [1, 2, 1]
+        assert b.tolist() == [2, 3]
+        assert vocab == {"x": 1, "y": 2, "z": 3}
+
+    def test_full_load_and_bridges(self, atomic_dir):
+        ds = load_atomic_dataset(atomic_dir, "toy")
+        assert ds.num_users == 3 and ds.num_items == 4
+        inter = ds.to_interactions(rating_field="rating",
+                                   time_field="timestamp")
+        assert len(inter) == 4
+        kg = ds.to_knowledge_graph()
+        # linked entities e1/e2 inherit item ids of i1/i2
+        assert kg.heads.tolist() == [ds.item_vocab["i1"],
+                                     ds.item_vocab["i2"]]
+        assert kg.n_items == 4
+
+    def test_filters_and_label(self, atomic_dir):
+        cols = load_atomic_file(os.path.join(atomic_dir, "toy.inter"))
+        kept = filter_by_value(cols, {"rating": (2, None)})
+        assert len(kept["rating"]) == 3
+        lab = label_by_threshold(kept, "rating", 4.0)
+        assert lab["label"].tolist() == [1.0, 0.0, 1.0]
+
+
+class TestIntrospection:
+    def test_cost_and_params(self):
+        import jax.numpy as jnp
+
+        def f(x, w):
+            return jnp.dot(x, w)
+
+        x = jnp.ones((8, 16))
+        w = jnp.ones((16, 4))
+        cost = estimate_cost(f, x, w)
+        assert cost["flops"] >= 2 * 8 * 16 * 4 * 0.5  # ≥ one MAC per output
+        assert count_params({"a": x, "b": {"c": w}}) == 8 * 16 + 16 * 4
+
+    def test_environment(self):
+        env = get_environment()
+        assert env["backend"] in ("cpu", "tpu", "axon")
+        assert int(env["num_devices"]) >= 1
+
+
+def test_wandb_logger_noop():
+    wl = WandbLogger(enabled=False)
+    wl.log_metrics({"a": 1.0}, step=0)   # must not raise
+    wl.finish()
+    wl2 = WandbLogger(enabled=True)      # wandb not installed → disabled
+    wl2.log_metrics({"a": 1.0})
+    wl2.finish()
