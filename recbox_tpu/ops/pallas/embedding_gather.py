@@ -13,13 +13,14 @@ and accumulates into a (TILE_B, D) VMEM output block; the inner
 ``fori_loop`` keeps NBUF row DMAs in flight (guide: "Patterns: Double
 Buffering").
 
-Measured (v5e, V=1M, D=128, B=8192, L=50): this kernel 52 ms vs XLA
-gather+pool 40 ms — both are HBM-latency-bound on 512-byte random rows, and
-XLA's gather engine pipelines across output tiles while a Pallas grid runs
-its programs sequentially per core. The kernel therefore stays an optional
-path (`force_pallas=True`) and a template for fused-gather variants (e.g.
-gather + feature-cross) where XLA cannot fuse; the default dispatch uses
-XLA. Mosaic also requires lane-aligned rows: D % 128 == 0.
+Measured (v5e, V=1M, D=128, B=8192, L=50, synchronous per-call timing
+which includes ~40 ms of axon-tunnel latency): this kernel ~50 ms vs XLA
+gather+pool ~1 ms of device time — one DMA per (row, position) serializes
+on HBM latency, while XLA's gather pipelines across output tiles. The
+kernel therefore stays an opt-in path (`force_pallas=True`) and a template
+for fused-gather variants (e.g. gather + feature-cross) where XLA cannot
+fuse; the default dispatch uses XLA on every backend. Mosaic also requires
+lane-aligned rows: D % 128 == 0.
 
 Use `seq_embedding_pool(..., interpret=True)` on CPU for tests.
 """
@@ -96,7 +97,7 @@ def _pallas_pool(table, ids, pad_id: int, mode: str, interpret: bool):
         in_specs=[
             pl.BlockSpec((TILE_B, L), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE_B, D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
@@ -131,6 +132,8 @@ def seq_embedding_pool(table, ids, pad_id: int, mode: str = "mean",
     eligible = (table.shape[1] % 128 == 0 and ids.shape[0] % TILE_B == 0)
     if interpret:
         return _pallas_pool(table, ids, pad_id, mode, True)
-    if not eligible or (not force_pallas and backend != "tpu"):
-        return seq_embedding_pool_xla(table, ids, pad_id, mode)
-    return _pallas_pool(table, ids, pad_id, mode, False)
+    # default = XLA on every backend (measured faster — see module docstring);
+    # the Pallas path is opt-in for fused-variant experiments
+    if force_pallas and eligible and backend == "tpu":
+        return _pallas_pool(table, ids, pad_id, mode, False)
+    return seq_embedding_pool_xla(table, ids, pad_id, mode)
