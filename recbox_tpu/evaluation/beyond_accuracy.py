@@ -1,0 +1,92 @@
+"""Beyond-accuracy recommendation metrics.
+
+Re-design of recbole's non-accuracy evaluator family
+(`third_party/recbole/evaluator/metrics.py:560-766`): ItemCoverage,
+AveragePopularity, ShannonEntropy, GiniIndex, TailPercentage — all computed
+from the recommended top-k id matrix (U, K) plus corpus statistics, as pure
+numpy reductions (they run once per eval on tiny data; no device work)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["item_coverage", "average_popularity", "shannon_entropy",
+           "gini_index", "tail_percentage", "evaluate_beyond_accuracy"]
+
+
+def item_coverage(topk_items: np.ndarray, num_items: int) -> float:
+    """Fraction of the catalog that appears in any user's top-k
+    (`metrics.py` ItemCoverage)."""
+    return len(np.unique(topk_items)) / float(num_items)
+
+
+def average_popularity(topk_items: np.ndarray,
+                       item_counts: np.ndarray) -> float:
+    """Mean training-interaction count of recommended items
+    (`metrics.py` AveragePopularity) — lower = less popularity bias."""
+    pops = item_counts[np.clip(topk_items, 0, len(item_counts) - 1)]
+    return float(np.mean(pops))
+
+
+def shannon_entropy(topk_items: np.ndarray) -> float:
+    """Entropy of the recommended-item distribution
+    (`metrics.py` ShannonEntropy) — higher = more diverse."""
+    _, counts = np.unique(topk_items, return_counts=True)
+    p = counts / counts.sum()
+    return float(-np.sum(p * np.log(p)))
+
+
+def gini_index(topk_items: np.ndarray, num_items: int) -> float:
+    """Gini of recommendation exposure over the catalog
+    (`metrics.py` GiniIndex) — 0 = perfectly even exposure."""
+    counts = np.bincount(topk_items.reshape(-1), minlength=num_items)
+    sorted_counts = np.sort(counts)
+    n = num_items
+    idx = np.arange(1, n + 1)
+    total = sorted_counts.sum()
+    if total == 0:
+        return 0.0
+    return float(np.sum((2 * idx - n - 1) * sorted_counts) / (n * total))
+
+
+def tail_percentage(topk_items: np.ndarray, item_counts: np.ndarray,
+                    tail_ratio: float = 0.1) -> float:
+    """Share of recommended items from the long tail — the least-popular
+    `tail_ratio` of the catalog (`metrics.py` TailPercentage)."""
+    order = np.argsort(item_counts)
+    n_tail = max(1, int(len(item_counts) * tail_ratio))
+    tail = np.zeros(len(item_counts), bool)
+    tail[order[:n_tail]] = True
+    flat = np.clip(topk_items.reshape(-1), 0, len(item_counts) - 1)
+    return float(np.mean(tail[flat]))
+
+
+def evaluate_beyond_accuracy(
+        topk_items: np.ndarray, num_items: int,
+        item_counts: Optional[np.ndarray] = None,
+        metrics: Sequence[str] = ("ItemCoverage", "ShannonEntropy",
+                                  "GiniIndex"),
+        tail_ratio: float = 0.1) -> Dict[str, float]:
+    """Dispatch over the beyond-accuracy metric names (recbole spelling)."""
+    out: Dict[str, float] = {}
+    for m in metrics:
+        key = m.lower()
+        if key == "itemcoverage":
+            out[m] = item_coverage(topk_items, num_items)
+        elif key == "averagepopularity":
+            if item_counts is None:
+                raise ValueError("AveragePopularity needs item_counts")
+            out[m] = average_popularity(topk_items, item_counts)
+        elif key == "shannonentropy":
+            out[m] = shannon_entropy(topk_items)
+        elif key == "giniindex":
+            out[m] = gini_index(topk_items, num_items)
+        elif key == "tailpercentage":
+            if item_counts is None:
+                raise ValueError("TailPercentage needs item_counts")
+            out[m] = tail_percentage(topk_items, item_counts, tail_ratio)
+        else:
+            raise NotImplementedError(f"unknown beyond-accuracy metric {m}")
+    return out

@@ -164,3 +164,25 @@ def retrieval_metrics_from_topk(topk_items, true_items, metrics) -> Dict[str, fl
     parsed = tuple(parse_metric(m) for m in metrics)
     vals = _metrics_chunk(jnp.asarray(topk_items), jnp.asarray(true_items), parsed)
     return {m: float(jnp.mean(vals[f"{n}(k={k})"])) for m, (n, k) in zip(metrics, parsed)}
+
+
+def full_sort_topk(user_embs, item_embs, k: int,
+                   train_items=None):
+    """Case-study top-k (`third_party/recbole/utils/case_study.py:78-119`
+    full_sort_topk analog): scores every corpus item for the given users,
+    optionally masking train-clicked items (padded with num_items), and
+    returns (scores, item_ids) — the offline inspection/serving helper."""
+    import numpy as np
+    user_embs = jnp.asarray(user_embs)
+    item_embs = jnp.asarray(item_embs)
+    if train_items is None:
+        train_items = jnp.full((user_embs.shape[0], 1), item_embs.shape[0],
+                               dtype=jnp.int32)
+    ids = _topk_chunk(user_embs, item_embs, jnp.asarray(train_items), k)
+    if user_embs.ndim == 3:
+        scores = jnp.einsum("ukd,id->uki", user_embs, item_embs).max(axis=1)
+    else:
+        scores = jnp.dot(user_embs, item_embs.T,
+                         preferred_element_type=jnp.float32)
+    top_scores = jnp.take_along_axis(scores, ids, axis=1)
+    return np.asarray(top_scores), np.asarray(ids)

@@ -1,0 +1,108 @@
+"""Beyond-accuracy metrics, MetaBalance gradient balancing, and the
+case-study full_sort_topk helper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recbox_tpu.evaluation import full_sort_topk
+from recbox_tpu.evaluation.beyond_accuracy import (
+    average_popularity, evaluate_beyond_accuracy, gini_index, item_coverage,
+    shannon_entropy, tail_percentage,
+)
+from recbox_tpu.training.metabalance import (
+    metabalance_combine, metabalance_init,
+)
+
+
+class TestBeyondAccuracy:
+    def test_item_coverage(self):
+        topk = np.array([[0, 1], [1, 2]])
+        assert item_coverage(topk, num_items=6) == pytest.approx(0.5)
+
+    def test_average_popularity(self):
+        counts = np.array([10.0, 0.0, 2.0])
+        topk = np.array([[0, 2], [0, 0]])
+        assert average_popularity(topk, counts) == pytest.approx(
+            (10 + 2 + 10 + 10) / 4)
+
+    def test_entropy_uniform_beats_skewed(self):
+        uniform = np.arange(16).reshape(4, 4)
+        skewed = np.zeros((4, 4), int)
+        assert shannon_entropy(uniform) > shannon_entropy(skewed)
+        assert shannon_entropy(skewed) == pytest.approx(0.0)
+
+    def test_gini_bounds(self):
+        even = np.arange(8).reshape(2, 4)     # each of 8 items once
+        assert gini_index(even, num_items=8) == pytest.approx(0.0, abs=1e-9)
+        concentrated = np.zeros((4, 4), int)  # all exposure on item 0
+        g = gini_index(concentrated, num_items=8)
+        assert g > 0.8
+
+    def test_tail_percentage(self):
+        counts = np.array([100, 90, 80, 1, 2, 3, 70, 60, 50, 40], float)
+        topk = np.array([[3, 0], [4, 1]])   # half the recs are tail items
+        assert tail_percentage(topk, counts, tail_ratio=0.3) == pytest.approx(0.5)
+
+    def test_dispatch_and_unknown(self):
+        topk = np.array([[0, 1]])
+        out = evaluate_beyond_accuracy(topk, 4,
+                                       metrics=["ItemCoverage", "GiniIndex"])
+        assert set(out) == {"ItemCoverage", "GiniIndex"}
+        with pytest.raises(NotImplementedError):
+            evaluate_beyond_accuracy(topk, 4, metrics=["Nope"])
+        with pytest.raises(ValueError):
+            evaluate_beyond_accuracy(topk, 4, metrics=["TailPercentage"])
+
+
+class TestMetaBalance:
+    def test_auxiliary_grad_rescaled_to_anchor(self):
+        params = {"w": jnp.zeros(4)}
+        g_main = {"w": jnp.ones(4)}            # norm 2
+        g_aux = {"w": jnp.ones(4) * 100.0}     # norm 200 — would dominate
+        state = metabalance_init(2, params)
+        combined, state = metabalance_combine(
+            [g_main, g_aux], state, relax_factor=1.0, beta=0.0)
+        # fully matched: aux rescaled to anchor norm ⇒ combined = 2×main
+        np.testing.assert_allclose(np.asarray(combined["w"]),
+                                   2 * np.ones(4), rtol=1e-5)
+
+    def test_relax_zero_keeps_raw_grads(self):
+        params = {"w": jnp.zeros(2)}
+        g0 = {"w": jnp.array([1.0, 0.0])}
+        g1 = {"w": jnp.array([0.0, 5.0])}
+        state = metabalance_init(2, params)
+        combined, _ = metabalance_combine([g0, g1], state,
+                                          relax_factor=0.0, beta=0.0)
+        np.testing.assert_allclose(np.asarray(combined["w"]), [1.0, 5.0])
+
+    def test_moving_average_state(self):
+        params = {"w": jnp.zeros(2)}
+        gs = [{"w": jnp.array([3.0, 4.0])}, {"w": jnp.array([0.6, 0.8])}]
+        state = metabalance_init(2, params)
+        _, state = metabalance_combine(gs, state, beta=0.5)
+        # avg norm after one step = 0.5*0 + 0.5*norm
+        assert float(state.norms[0]["w"]) == pytest.approx(2.5)
+        assert float(state.norms[1]["w"]) == pytest.approx(0.5)
+
+
+class TestFullSortTopk:
+    def test_mask_and_order(self):
+        users = jnp.eye(3, 4)
+        items = jnp.eye(5, 4)  # item i scores 1 for user i, 0 otherwise
+        train = np.array([[0], [5], [5]])  # user0's best item is train-masked
+        scores, ids = full_sort_topk(users, items, k=2, train_items=train)
+        assert ids[1, 0] == 1 and ids[2, 0] == 2
+        assert 0 not in ids[0]             # masked
+        assert scores[1, 0] == pytest.approx(1.0)
+        assert (scores[:, 0] >= scores[:, 1]).all()
+
+    def test_no_mask(self):
+        rng = np.random.default_rng(0)
+        users = rng.normal(size=(4, 8)).astype(np.float32)
+        items = rng.normal(size=(20, 8)).astype(np.float32)
+        scores, ids = full_sort_topk(users, items, k=5)
+        ref = users @ items.T
+        np.testing.assert_array_equal(
+            ids, np.argsort(-ref, axis=1, kind="stable")[:, :5])
