@@ -204,3 +204,47 @@ def cdae_loss(logits, batch) -> jnp.ndarray:
     return jnp.mean(jnp.sum(
         jnp.maximum(logits, 0) - logits * y
         + jnp.log1p(jnp.exp(-jnp.abs(logits))), axis=-1))
+
+
+class RaCT(nn.Module):
+    """RaCT (recbole `ract.py` shape): MultiVAE actor + a critic MLP that
+    predicts the (normalized) ranking quality from per-user loss features
+    [CE, KL, log1p(history count)]. Training protocol (caller's loop, as in
+    the reference's phased trainer): pretrain the actor with
+    `multivae_loss`, regress `critic_score` on true NDCG, then fine-tune
+    the actor to maximize the frozen critic (loss = −critic_score)."""
+
+    num_items: int
+    hidden_units: Sequence[int] = (600,)
+    latent_dim: int = 128
+    dropout: float = 0.5
+    critic_hidden: Sequence[int] = (64, 32)
+
+    def setup(self):
+        self.actor = MultiVAE(self.num_items, self.hidden_units,
+                              self.latent_dim, self.dropout)
+        self.critic_layers = [nn.Dense(w, name=f"critic{k}")
+                              for k, w in enumerate(self.critic_hidden)]
+        self.critic_out = nn.Dense(1, name="critic_out")
+
+    def __call__(self, batch, train: bool = False):
+        return self.actor(batch, train)
+
+    def full_scores(self, batch, train: bool = False):
+        return self.actor(batch, train)
+
+    def critic_score(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """feats (B, 3) = [ce_u, kl_u, log1p|history|_u] → predicted NDCG."""
+        h = feats
+        for layer in self.critic_layers:
+            h = jax.nn.relu(layer(h))
+        return jax.nn.sigmoid(self.critic_out(h))[..., 0]
+
+
+def ract_critic_features(logits, batch, kl) -> jnp.ndarray:
+    """Per-user [CE, KL, log1p(count)] critic inputs (`ract.py`)."""
+    log_softmax = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(log_softmax * batch["history"], axis=-1)
+    counts = jnp.sum(batch["history"], axis=-1)
+    kl_b = jnp.broadcast_to(kl, ce.shape)
+    return jnp.stack([ce, kl_b, jnp.log1p(counts)], axis=-1)

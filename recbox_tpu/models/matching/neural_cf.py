@@ -245,3 +245,55 @@ def enmf_loss(pos_scores, user_repr, item_table, h, hist_mask,
     gram_v = jnp.einsum("id,ie->de", hv, hv)
     neg_part = neg_weight * jnp.sum(gram_u * gram_v)
     return (pos_part + neg_part) / pos_scores.shape[0]
+
+
+class NNCF(PairScoringModel):
+    """Neighborhood-enhanced NCF (recbole `nncf.py` shape): GMF user/item
+    product concatenated with convolved neighborhood embeddings — the user's
+    item-neighborhood embedded through the item table and vice versa, each
+    passed through Conv1d + max-pool. Neighbor tables are fixed-size
+    (`data.knowledge.build_neighbor_table`-style) host-built arrays."""
+
+    user_neighbors: object = None   # StaticArray (num_users, K) of item ids
+    item_neighbors: object = None   # StaticArray (num_items, K) of user ids
+    conv_channels: int = 16
+    conv_kernel: int = 3
+    mlp_hidden_units: Sequence[int] = (64, 32)
+    dropout: float = 0.0
+
+    def setup(self):
+        D = self.embedding_dim
+        self.user_table = self.param("emb_user", _sharded(), (self.num_users, D))
+        self.item_table = self.param("emb_item", _sharded(), (self.num_items, D))
+        self.u_conv = nn.Conv(self.conv_channels, kernel_size=(self.conv_kernel,),
+                              name="u_conv")
+        self.i_conv = nn.Conv(self.conv_channels, kernel_size=(self.conv_kernel,),
+                              name="i_conv")
+        self.mlp = MLP(self.mlp_hidden_units, dropout=self.dropout, name="mlp")
+        self.head = nn.Dense(1, use_bias=False,
+                             kernel_init=nn.initializers.xavier_normal(),
+                             name="head")
+
+    def _neigh_repr(self, ids, table, conv):
+        # ids (..., K) → embed → conv over neighbors → max pool → (..., C)
+        emb = jnp.take(table, ids, axis=0)
+        out = jax.nn.relu(conv(emb))
+        return jnp.max(out, axis=-2)
+
+    def score(self, batch, item_ids, train: bool = False):
+        u_ids = batch["user_id"]
+        u = jnp.take(jnp.asarray(self.user_table), u_ids, axis=0)    # (B, D)
+        i = jnp.take(jnp.asarray(self.item_table), item_ids, axis=0)  # (B,S,D)
+        un_ids = jnp.take(jnp.asarray(self.user_neighbors.value), u_ids, axis=0)
+        in_ids = jnp.take(jnp.asarray(self.item_neighbors.value), item_ids, axis=0)
+        un = self._neigh_repr(un_ids, jnp.asarray(self.item_table),
+                              self.u_conv)                            # (B, C)
+        inr = self._neigh_repr(in_ids, jnp.asarray(self.user_table),
+                               self.i_conv)                           # (B,S,C)
+        B, S, D = i.shape
+        gmf = u[:, None] * i
+        x = jnp.concatenate(
+            [gmf, jnp.broadcast_to(un[:, None], (B, S, un.shape[-1])), inr],
+            axis=-1)
+        h = self.mlp(x, train=train)
+        return self.head(h)[..., 0]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["Pop", "ItemKNN", "EASE", "PureSVD", "SLIM", "ADMMSLIM",
-           "build_interaction_matrix"]
+           "NCEPLRec", "build_interaction_matrix"]
 
 
 def build_interaction_matrix(user_ids, item_ids, num_users: int,
@@ -228,3 +228,40 @@ class ADMMSLIM:
     def full_scores(self, user_rows: np.ndarray) -> jnp.ndarray:
         return jnp.dot(self.X[jnp.asarray(user_rows)], self.W,
                        preferred_element_type=jnp.float32)
+
+
+class NCEPLRec:
+    """NCE-PLRec (recbole `nceplrec.py` shape): projected linear
+    recommendation on the noise-contrastive de-popularized matrix.
+
+    Q_ui = X_ui · max(log(num_users / pop_i), 0)  (NCE weighting), then a
+    rank-k SVD of Q gives the projection; scores = X V_k Σ_k^{β−1} V_kᵀ —
+    β < 1 damps the popularity directions."""
+
+    def __init__(self, rank: int = 64, beta: float = 0.8,
+                 reg_weight: float = 1e2):
+        self.rank = rank
+        self.beta = beta
+        self.reg_weight = reg_weight
+
+    def fit(self, user_ids, item_ids, num_users: int, num_items: int) -> "NCEPLRec":
+        X = build_interaction_matrix(user_ids, item_ids, num_users, num_items)
+        pop = np.maximum(X.sum(0), 1.0)
+        w = np.maximum(np.log(num_users / pop), 0.0)
+        Q = X * w[None, :]
+        u, s, vt = np.linalg.svd(Q, full_matrices=False)
+        k = min(self.rank, len(s))
+        V = vt[:k].T                                   # (N, k)
+        s_k = s[:k]
+        # damped projection with ridge regularization
+        scale = np.power(np.maximum(s_k, 1e-9), self.beta - 1.0)
+        scale = scale * (s_k ** 2 / (s_k ** 2 + self.reg_weight))
+        self.X = jnp.asarray(X)
+        self.W = jnp.asarray((V * scale[None, :]).astype(np.float32))
+        self.V = jnp.asarray(V.astype(np.float32))
+        return self
+
+    def full_scores(self, user_rows: np.ndarray) -> jnp.ndarray:
+        proj = jnp.dot(self.X[jnp.asarray(user_rows)], self.W,
+                       preferred_element_type=jnp.float32)
+        return jnp.dot(proj, self.V.T, preferred_element_type=jnp.float32)

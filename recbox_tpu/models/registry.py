@@ -152,3 +152,28 @@ register_model("EGRDiscriminator", EGRDiscriminator, "reranking")
 register_model("PPOReranker", PPOReranker, "reranking")
 register_model("EGR", EGREvaluator, "reranking")
 register_model("LambdaMART", LambdaMART, "ranker")
+
+from recbox_tpu.models.sequential.pretrain import GRU4RecF, S3Rec  # noqa: E402
+from recbox_tpu.models.matching.neural_cf import NNCF  # noqa: E402
+from recbox_tpu.models.matching.autoencoder import RaCT  # noqa: E402
+from recbox_tpu.models.matching.item2vec import Item2Vec  # noqa: E402
+from recbox_tpu.models.matching.traditional import NCEPLRec  # noqa: E402
+from recbox_tpu.models.knowledge.intent import KGIN, KSR, MCCLK  # noqa: E402
+from recbox_tpu.models.ranking.distill import DAGFM, KD_DAGFM  # noqa: E402
+from recbox_tpu.models.exlib import (  # noqa: E402
+    LightGBMRecommender, XGBoostRecommender,
+)
+
+register_model("S3Rec", S3Rec, "sequential")
+register_model("GRU4RecF", GRU4RecF, "sequential")
+register_model("KSR", KSR, "sequential")
+register_model("NNCF", NNCF, "matching")
+register_model("RaCT", RaCT, "matching")
+register_model("Item2Vec", Item2Vec, "matching")
+register_model("NCEPLRec", NCEPLRec, "traditional")
+register_model("KGIN", KGIN, "knowledge")
+register_model("MCCLK", MCCLK, "knowledge")
+register_model("DAGFM", DAGFM, "ranking")
+register_model("KD_DAGFM", KD_DAGFM, "ranking")
+register_model("XGBoost", XGBoostRecommender, "exlib")
+register_model("LightGBM", LightGBMRecommender, "exlib")
