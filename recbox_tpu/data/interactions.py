@@ -123,9 +123,16 @@ class InteractionDataset:
         rng = np.random.default_rng(seed)
         assert abs(sum(ratios) - 1.0) < 1e-6
         idx = self._order(order, rng)
+
+        def split_counts(n):
+            # remainder goes to the FIRST part (train), recbole
+            # `dataset.py:1600-1620` _calcu_split_ids
+            cnt = [int(r * n) for r in ratios]
+            cnt[0] = n - sum(cnt[1:])
+            return np.cumsum(cnt)[:-1]
+
         if not group_by_user:
-            bounds = np.cumsum([int(r * len(idx)) for r in ratios[:-1]])
-            parts = np.split(idx, bounds)
+            parts = np.split(idx, split_counts(len(idx)))
         else:
             parts = [[] for _ in ratios]
             u_sorted = idx[np.argsort(self.user_ids[idx], kind="mergesort")]
@@ -135,9 +142,7 @@ class InteractionDataset:
             starts = np.flatnonzero(boundary)
             for s, e in zip(starts, np.append(starts[1:], len(users))):
                 rows = u_sorted[s:e]
-                bounds = np.cumsum([int(r * len(rows)) for r in ratios[:-1]])
-                # give remainder to train like recbole
-                for part, chunk in zip(parts, np.split(rows, bounds)):
+                for part, chunk in zip(parts, np.split(rows, split_counts(len(rows)))):
                     part.extend(chunk.tolist())
             parts = [np.asarray(p, dtype=np.int64) for p in parts]
         return tuple(self._select_by_index(p) for p in parts)

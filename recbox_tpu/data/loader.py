@@ -95,6 +95,9 @@ class MatchingLoader(ArrayLoader):
       sampling_probs: optional per-item sampling distribution (popularity);
         None = uniform.
       exclude_pos: re-draw negatives colliding with the row positive.
+      exclude_seen: re-draw negatives the user has ANY train interaction
+        with (recbole's used-ids exclusion, `sampler/sampler.py:147-192`);
+        needs the query_index column in train_arrays.
 
     Yields batches with item features shaped (B, 1+num_negs, ...) — column 0
     is the positive, matching the loss contract (`losses/*`).
@@ -109,6 +112,7 @@ class MatchingLoader(ArrayLoader):
         num_negs: int = 10,
         sampling_probs: Optional[np.ndarray] = None,
         exclude_pos: bool = False,
+        exclude_seen: bool = False,
         shuffle: bool = True,
         seed: int = 2024,
     ):
@@ -123,15 +127,28 @@ class MatchingLoader(ArrayLoader):
         assert self.item_col in train_arrays, (
             f"train arrays missing corpus_index column {self.item_col!r}")
         self.num_items = len(next(iter(corpus_arrays.values())))
+        self.seen_matrix = None
+        self.user_col = feature_map.query_index
+        if exclude_seen:
+            assert self.user_col in train_arrays, (
+                "exclude_seen needs the query_index column in train arrays")
+            users = np.asarray(train_arrays[self.user_col], np.int64)
+            items = np.asarray(train_arrays[self.item_col], np.int64)
+            self.seen_matrix = np.zeros(
+                (int(users.max()) + 1, self.num_items), bool)
+            self.seen_matrix[users, items] = True
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         pos_items = self.arrays[self.item_col].astype(np.int64)
         # epoch-level resampling, seeded per epoch like the reference
         # (`h5_generator.py:132-153`)
         epoch_rng = np.random.default_rng(self.rng.integers(0, 2**31))
+        user_rows = (self.arrays[self.user_col].astype(np.int64)
+                     if self.seen_matrix is not None else None)
         negs = sample_negatives(
             pos_items, self.num_items, self.num_negs, epoch_rng,
             probs=self.sampling_probs, exclude_pos=self.exclude_pos,
+            seen_matrix=self.seen_matrix, user_rows=user_rows,
         )
         item_ids = np.concatenate([pos_items[:, None], negs], axis=1)  # (N, 1+negs)
 

@@ -77,12 +77,20 @@ def sample_negatives(
     probs: Optional[np.ndarray] = None,
     exclude_pos: bool = False,
     max_resample_rounds: int = 8,
+    seen_matrix: Optional[np.ndarray] = None,
+    user_rows: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Draw (N, num_negs) negative item ids for N positive interactions.
 
     ``exclude_pos`` re-draws collisions with the row's positive item
     (the reference's renormalized-probability variant, `h5_generator.py:78-86`,
     realized here by bounded rejection resampling — equivalent distribution).
+
+    ``seen_matrix`` (num_users, num_items) bool + ``user_rows`` (N,) re-draws
+    negatives the user has ANY train interaction with — recbole's
+    used-ids exclusion (`sampler/sampler.py:147-192` sample_by_user_ids),
+    which matters for dense users where uniform negatives often hit other
+    positives.
     """
     n = len(pos_items)
     shape = (n, num_negs)
@@ -91,14 +99,23 @@ def sample_negatives(
     else:
         table = AliasTable(probs)
         negs = table.sample(shape, rng)
-    if exclude_pos:
+
+    def collisions(negs):
+        bad = np.zeros(shape, bool)
+        if exclude_pos:
+            bad |= negs == pos_items[:, None]
+        if seen_matrix is not None:
+            bad |= seen_matrix[user_rows[:, None], negs]
+        return bad
+
+    if exclude_pos or seen_matrix is not None:
         for _ in range(max_resample_rounds):
-            collision = negs == pos_items[:, None]
-            k = int(collision.sum())
+            bad = collisions(negs)
+            k = int(bad.sum())
             if k == 0:
                 break
             if probs is None:
-                negs[collision] = rng.integers(0, num_items, size=k)
+                negs[bad] = rng.integers(0, num_items, size=k)
             else:
-                negs[collision] = table.sample(k, rng)
+                negs[bad] = table.sample(k, rng)
     return negs.astype(np.int32)

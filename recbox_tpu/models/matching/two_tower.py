@@ -30,15 +30,21 @@ __all__ = ["MF", "DSSM", "YoutubeDNN"]
 
 
 class MF(MatchingModel):
-    """Matrix factorization: user/item id embeddings, dot or cosine scores."""
+    """Matrix factorization: user/item id embeddings, dot or cosine scores.
+
+    `emb_init_scheme='xavier_normal'` reproduces recbole BPR's init
+    (`bpr.py:43`) — init parity moves metrics more than kernels do
+    (SURVEY §7 hard part 7)."""
+
+    emb_init_scheme: str = "normal"
 
     def setup(self):
         self.user_emb = FeatureEmbedding(
             self.feature_map, source="user", embedding_dim=self.embedding_dim,
-            name="user_embedding")
+            emb_init_scheme=self.emb_init_scheme, name="user_embedding")
         self.item_emb = FeatureEmbedding(
             self.feature_map, source="item", embedding_dim=self.embedding_dim,
-            name="item_embedding")
+            emb_init_scheme=self.emb_init_scheme, name="item_embedding")
 
     def user_tower(self, batch, train: bool = False):
         embs = self.user_emb(batch)

@@ -97,6 +97,11 @@ class FeatureEmbedding(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     shard_tables: bool = True
+    # table init: 'normal' (std=emb_init_std, the recbox matching regime,
+    # `match_model.py:91-114`) or 'xavier_normal' (recbole's
+    # xavier_normal_initialization — required for recbole quality parity)
+    emb_init_scheme: str = "normal"
+    emb_init_std: float = 1e-4
 
     def _features(self) -> Tuple[FeatureSpec, ...]:
         if self.source is None:
@@ -120,7 +125,10 @@ class FeatureEmbedding(nn.Module):
             for f in self.feature_map.features:
                 if f.table_name == tname:
                     rows = max(rows, f.vocab_size)
-            init = emb_init()
+            if self.emb_init_scheme == "xavier_normal":
+                init = nn.initializers.xavier_normal()
+            else:
+                init = emb_init(self.emb_init_std)
             if self.shard_tables:
                 init = nn.with_partitioning(init, ("model", None))
             table = self.param(f"emb_{tname}", init, (rows, dim), self.param_dtype)

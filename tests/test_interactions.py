@@ -83,3 +83,28 @@ def test_user2items_and_arrays():
     arrays = ds.arrays()
     assert arrays["user_id"].dtype == np.int32
     assert "label" in arrays
+
+
+def test_split_remainder_goes_to_train():
+    """recbole `_calcu_split_ids` semantics: per-user remainder → train."""
+    import numpy as np
+    from recbox_tpu.data.interactions import InteractionDataset
+    # one user with 12 interactions: 0.8/0.1/0.1 → 10/1/1 (not 9/1/2)
+    ds = InteractionDataset(np.zeros(12, np.int64), np.arange(12))
+    tr, va, te = ds.split_ratio((0.8, 0.1, 0.1), order="RO",
+                                group_by_user=True, seed=0)
+    assert (len(tr), len(va), len(te)) == (10, 1, 1)
+
+
+def test_exclude_seen_negative_sampling():
+    import numpy as np
+    from recbox_tpu.data.sampling import sample_negatives
+    users = np.array([0, 0, 1])
+    pos = np.array([1, 2, 3])
+    seen = np.zeros((2, 6), bool)
+    seen[0, [1, 2]] = True   # user 0 saw items 1, 2
+    seen[1, [3]] = True
+    rng = np.random.default_rng(0)
+    negs = sample_negatives(pos, 6, 8, rng, seen_matrix=seen,
+                            user_rows=users)
+    assert not seen[users[:, None], negs].any()

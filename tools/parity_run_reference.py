@@ -1,0 +1,73 @@
+import sys, types
+# stub optional deps the vendored recbole imports at module scope
+import logging
+import numpy as np
+if not hasattr(np, "float_"):
+    np.float_ = np.float64
+    np.int_ = np.int64
+    np.complex_ = np.complex128
+    np.bool_ = np.bool_
+    np.unicode_ = np.str_
+class _ColoredFormatter(logging.Formatter):
+    def __init__(self, fmt=None, datefmt=None, log_colors=None, **kw):
+        super().__init__(fmt.replace("%(log_color)s", "") if fmt else fmt, datefmt)
+colorlog = types.ModuleType("colorlog")
+colorlog.ColoredFormatter = _ColoredFormatter
+sys.modules["colorlog"] = colorlog
+tb = types.ModuleType("torch.utils.tensorboard")
+class _SW:
+    def __init__(self, *a, **k): pass
+    def add_scalar(self, *a, **k): pass
+    def add_hparams(self, *a, **k): pass
+    def close(self): pass
+tb.SummaryWriter = _SW
+sys.modules["torch.utils.tensorboard"] = tb
+tt = types.ModuleType("texttable")
+class Texttable:
+    def __init__(self, *a, **k): self.rows = []
+    def set_cols_align(self, *a): return self
+    def set_cols_valign(self, *a): return self
+    def add_rows(self, rows, *a, **k): self.rows += list(rows); return self
+    def draw(self): return "\n".join(str(r) for r in self.rows)
+tt.Texttable = Texttable
+sys.modules["texttable"] = tt
+thop = types.ModuleType("thop")
+thop.__path__ = []  # mark as package
+thop_profile = types.ModuleType("thop.profile")
+thop_profile.register_hooks = {}
+thop_vision = types.ModuleType("thop.vision")
+thop_vision.__path__ = []
+thop_hooks = types.ModuleType("thop.vision.basic_hooks")
+thop_hooks.count_parameters = lambda m, x, y: None
+sys.modules["thop"] = thop
+sys.modules["thop.profile"] = thop_profile
+sys.modules["thop.vision"] = thop_vision
+sys.modules["thop.vision.basic_hooks"] = thop_hooks
+for name in ("ray", "ray.tune", "hyperopt", "wandb"):
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+sys.modules["ray"].tune = sys.modules["ray.tune"]
+# hyperopt symbols referenced in trainer/hyper_tuning.py
+hp = sys.modules["hyperopt"]
+for sym in ("fmin", "tpe", "hp", "Trials", "early_stop"):
+    setattr(hp, sym, None)
+import torch
+_orig_load = torch.load
+torch.load = lambda *a, **k: _orig_load(*a, **{**k, "weights_only": False})
+sys.path.insert(0, "/root/reference/recbox/third_party")
+from recbole.quick_start.quick_start import run_recbole
+config = {
+    "data_path": "/tmp/parity",
+    "USER_ID_FIELD": "user_id", "ITEM_ID_FIELD": "item_id",
+    "RATING_FIELD": "rating", "TIME_FIELD": "timestamp",
+    "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+    "epochs": 30, "train_batch_size": 512, "eval_batch_size": 2048,
+    "learning_rate": 1e-3, "embedding_size": 32,
+    "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                  "group_by": "user", "mode": "full"},
+    "metrics": ["Recall", "NDCG"], "topk": [20], "valid_metric": "Recall@20",
+    "stopping_step": 10, "seed": 42, "device": "cpu", "use_gpu": False,
+}
+result = run_recbole(model="BPR", dataset="synth", config_dict=config)
+print("REFERENCE RESULT:", result)
