@@ -1,0 +1,63 @@
+import sys; sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import numpy as np
+from recbox_tpu.data.atomic import load_atomic_dataset
+from recbox_tpu.data import MatchingLoader
+from recbox_tpu.evaluation import RetrievalEvaluator
+from recbox_tpu.features import FeatureMap, FeatureSpec
+from recbox_tpu.models.matching.graph import LightGCN, build_norm_edges
+from recbox_tpu.ops import get_matching_loss
+from recbox_tpu.training import Trainer, TrainerConfig
+
+ds = load_atomic_dataset("/tmp/parity/synth", "synth")
+inter = ds.to_interactions(rating_field="rating", time_field="timestamp")
+num_users, num_items = ds.num_users, ds.num_items
+train, valid, test = inter.split_ratio((0.8, 0.1, 0.1), order="RO",
+                                       group_by_user=True, seed=2024)
+fm = FeatureMap(
+    "synth", (FeatureSpec("user_id", "categorical", "user",
+                          vocab_size=num_users, embedding_dim=32),
+              FeatureSpec("item_id", "categorical", "item",
+                          vocab_size=num_items, embedding_dim=32)),
+    query_index="user_id", corpus_index="item_id", num_items=num_items)
+
+def u2i(dset):
+    out = {}
+    for u, i in zip(dset.user_ids, dset.item_ids):
+        out.setdefault(int(u), []).append(int(i))
+    return out
+
+train_u2i, valid_u2i, test_u2i = u2i(train), u2i(valid), u2i(test)
+corpus = {"item_id": np.arange(num_items, dtype=np.int32)}
+train_arrays = {"user_id": train.user_ids.astype(np.int32),
+                "item_id": train.item_ids.astype(np.int32)}
+eu, ei, c = build_norm_edges(train.user_ids, train.item_ids,
+                             num_users, num_items)
+model = LightGCN(feature_map=fm, embedding_dim=32, num_users=num_users,
+                 num_items=num_items, n_layers=2,
+                 edge_users=tuple(eu), edge_items=tuple(ei),
+                 edge_coefs=tuple(c))
+loader = MatchingLoader(fm, train_arrays, corpus, batch_size=512,
+                        num_negs=1, seed=int(sys.argv[1]) if len(sys.argv) > 1 else 2024,
+                        exclude_seen=True)
+vu = np.array(sorted(valid_u2i), np.int32)
+ev = RetrievalEvaluator({"user_id": vu}, corpus, vu, train_u2i, valid_u2i,
+                        metrics=["Recall(k=20)", "NDCG(k=20)"])
+cfg = TrainerConfig(learning_rate=1e-3, epochs=30, patience=10,
+                    monitor="Recall(k=20)", lr_decay_factor=1.0,
+                    reload_best_on_plateau=False,
+                    embedding_regularizer=1e-5)
+trainer = Trainer(model, lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),
+                  cfg, eval_fn=ev)
+valid_metrics = trainer.fit(loader)
+hist = {u: train_u2i.get(u, []) + valid_u2i.get(u, []) for u in
+        set(train_u2i) | set(valid_u2i)}
+tu = np.array(sorted(test_u2i), np.int32)
+test_ev = RetrievalEvaluator({"user_id": tu}, corpus, tu, hist, test_u2i,
+                             metrics=["Recall(k=20)", "NDCG(k=20)"])
+print("OURS LightGCN valid:", valid_metrics)
+print("OURS LightGCN test:", test_ev(trainer))

@@ -52,6 +52,12 @@ sys.modules["ray"].tune = sys.modules["ray.tune"]
 hp = sys.modules["hyperopt"]
 for sym in ("fmin", "tpe", "hp", "Trials", "early_stop"):
     setattr(hp, sym, None)
+import scipy.sparse as _sp
+if not hasattr(_sp.dok_matrix, "_update"):
+    def _dok_update(self, data):
+        for k, v in data.items():
+            self[k] = v
+    _sp.dok_matrix._update = _dok_update
 import torch
 _orig_load = torch.load
 torch.load = lambda *a, **k: _orig_load(*a, **{**k, "weights_only": False})
@@ -67,7 +73,39 @@ config = {
     "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
                   "group_by": "user", "mode": "full"},
     "metrics": ["Recall", "NDCG"], "topk": [20], "valid_metric": "Recall@20",
-    "stopping_step": 10, "seed": 42, "device": "cpu", "use_gpu": False,
+    "stopping_step": 10, "seed": 2024, "device": "cpu", "use_gpu": False,
 }
-result = run_recbole(model="BPR", dataset="synth", config_dict=config)
+import os
+model_name = os.environ.get("REF_MODEL", "BPR")
+if model_name == "LightGCN":
+    config.update({"n_layers": 2, "reg_weight": 1e-5})
+if model_name == "SASRec":
+    config.update({
+        "eval_args": {"split": {"LS": "valid_and_test"}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+        "metrics": ["Recall", "NDCG"], "topk": [10],
+        "valid_metric": "NDCG@10",
+        "train_neg_sample_args": None,
+        "MAX_ITEM_LIST_LENGTH": 20,
+        "n_layers": 1, "n_heads": 2, "hidden_size": 32,
+        "inner_size": 128, "hidden_dropout_prob": 0.2,
+        "attn_dropout_prob": 0.2, "hidden_act": "gelu",
+        "layer_norm_eps": 1e-12, "initializer_range": 0.02,
+        "loss_type": "CE",
+    })
+if model_name in ("FM", "DeepFM"):
+    config.update({
+        "LABEL_FIELD": "label",
+        "load_col": {"inter": ["user_id", "item_id", "label"]},
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                      "group_by": None, "mode": "labeled"},
+        "metrics": ["AUC", "LogLoss"], "valid_metric": "AUC",
+        "train_neg_sample_args": None, "embedding_size": 16,
+        "mlp_hidden_size": [64, 32], "dropout_prob": 0.1,
+    })
+    config.pop("RATING_FIELD", None)
+    config.pop("TIME_FIELD", None)
+    config.pop("topk", None)
+dataset_name = os.environ.get("REF_DATASET", "synth")
+result = run_recbole(model=model_name, dataset=dataset_name, config_dict=config)
 print("REFERENCE RESULT:", result)
