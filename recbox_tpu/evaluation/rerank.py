@@ -37,22 +37,23 @@ def evaluate_rerank(
     sorted_labels = np.take_along_axis(labels * mask, order, axis=1)
     out: Dict[str, float] = {}
     for k in ks:
-        top = sorted_labels[:, :k]
+        kk = min(k, N)   # lists shorter than k: score what exists
+        top = sorted_labels[:, :kk]
         # clicks captured in top-k
         out[f"clicks@{k}"] = float(np.mean(np.sum(top, axis=1)))
         # MAP@k over binarized labels
         binary = (top > 0).astype(np.float64)
         cum = np.cumsum(binary, axis=1)
-        prec = cum / (np.arange(k) + 1.0)
+        prec = cum / (np.arange(kk) + 1.0)
         hits = np.sum(binary, axis=1)
         ap = np.sum(prec * binary, axis=1) / np.maximum(hits, 1.0)
         out[f"MAP@{k}"] = float(np.mean(np.where(hits > 0, ap, 0.0)))
         # NDCG@k with gain = label (graded), log2 discounts
-        disc = 1.0 / np.log2(np.arange(k) + 2.0)
+        disc = 1.0 / np.log2(np.arange(kk) + 2.0)
         dcg = np.sum(top * disc, axis=1)
         ideal = np.take_along_axis(
             labels * mask, np.argsort(-(labels * mask), axis=1, kind="stable"),
-            axis=1)[:, :k]
+            axis=1)[:, :kk]
         idcg = np.sum(ideal * disc, axis=1)
         out[f"NDCG@{k}"] = float(np.mean(np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)))
     return out

@@ -31,7 +31,8 @@ from recbox_tpu.training import Trainer, TrainerConfig
 logger = logging.getLogger("recbox_tpu")
 
 __all__ = ["build_model", "build_trainer_config", "run_ranking_experiment",
-           "run_matching_experiment"]
+           "run_matching_experiment", "run_sequential_experiment",
+           "run_rerank_experiment"]
 
 
 def build_model(config: Mapping[str, Any], feature_map: FeatureMap):
@@ -146,4 +147,134 @@ def run_matching_experiment(
                       eval_fn=evaluator, mesh=mesh, train_method=train_method)
     result = trainer.fit(loader, epochs=config.get("epochs"))
     logger.info("experiment %s: %s", config.get("experiment_id", "?"), result)
+    return result
+
+
+def run_sequential_experiment(
+    config: Mapping[str, Any],
+    feature_map: FeatureMap,
+    train_arrays: Dict[str, np.ndarray],
+    valid_arrays: Dict[str, np.ndarray],
+    test_arrays: Optional[Dict[str, np.ndarray]] = None,
+    ks=(10, 20),
+    mesh=None,
+) -> Dict[str, float]:
+    """Next-item pipeline (recbole sequential protocol): leave-one-out
+    arrays from `data.sequential`, full-softmax CE by default, full-sort
+    recall/NDCG@k eval on the held-out target."""
+    config = Config(config)
+    model, _ = build_model(config, feature_map)
+
+    def eval_split(trainer, split):
+        scores = np.asarray(trainer.apply(
+            {k: split[k] for k in ("item_seq", "seq_len", "user_id")
+             if k in split}, method=trainer.model.full_scores))
+        order = np.argsort(-scores, axis=1)
+        tgt = split[feature_map.corpus_index][:, None]
+        out = {}
+        for k in ks:
+            hits = (order[:, :k] == tgt)
+            out[f"Recall(k={k})"] = float(hits.any(1).mean())
+            pos = np.where(hits.any(1), hits.argmax(1), -1)
+            out[f"NDCG(k={k})"] = float(np.where(
+                pos >= 0, 1.0 / np.log2(pos + 2.0), 0.0).mean())
+        return out
+
+    trainer = Trainer(
+        model,
+        lambda o, b: full_softmax_loss(o, b[feature_map.corpus_index]),
+        build_trainer_config(config),
+        eval_fn=lambda tr: eval_split(tr, valid_arrays),
+        mesh=mesh, train_method="full_scores")
+    loader = ArrayLoader(train_arrays,
+                         batch_size=config.get("batch_size", 2048),
+                         drop_last=True, seed=config.get("seed", 2024))
+    result = trainer.fit(loader, epochs=config.get("epochs"))
+    if test_arrays is not None:
+        result = {**result, **{f"test_{k}": v for k, v in
+                               eval_split(trainer, test_arrays).items()}}
+    logger.info("experiment %s: %s", config.get("experiment_id", "?"), result)
+    return result
+
+
+def run_rerank_experiment(
+    config: Mapping[str, Any],
+    train_lists: Dict[str, np.ndarray],
+    valid_lists: Dict[str, np.ndarray],
+    ks=(5, 10),
+    mesh=None,
+) -> Dict[str, float]:
+    """Listwise rerank pipeline (librerank protocol): lists are dicts with
+    item_feats (B, N, D), labels (B, N), mask (B, N); listwise-BCE training
+    + MAP/NDCG/clicks@k eval (`evaluate_rerank`)."""
+    from recbox_tpu.evaluation.rerank import evaluate_rerank
+    from recbox_tpu.models.reranking.models import listwise_bce
+
+    config = Config(config)
+    cls, stage = get_model(config["model"])
+    assert stage == "reranking", f"{config['model']} is not a reranker"
+    field_names = {f.name for f in dataclasses.fields(cls)} - {"parent", "name"}
+    kwargs = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in config.items() if k in field_names}
+    model = cls(**kwargs)
+
+    def eval_fn(trainer):
+        import jax.numpy as jnp
+        scores = trainer.model.apply(
+            {"params": trainer.params},
+            jnp.asarray(valid_lists["item_feats"]),
+            jnp.asarray(valid_lists["mask"]))
+        return evaluate_rerank(np.asarray(scores), valid_lists["labels"],
+                               valid_lists["mask"], ks=ks)
+
+    class _ListLoader:
+        def __init__(self, lists, batch_size, seed):
+            self.lists = lists
+            self.batch_size = batch_size
+            self.rng = np.random.default_rng(seed)
+            self.n = len(lists["labels"])
+
+        def __iter__(self):
+            idx = self.rng.permutation(self.n)
+            bs = self.batch_size
+            for s in range(0, (self.n // bs) * bs, bs):
+                sel = idx[s:s + bs]
+                yield {k: v[sel] for k, v in self.lists.items()}
+
+    # adapt the trainer contract: model(batch) for rerankers takes
+    # (item_feats, mask) — wrap via a closure model-like shim
+    class _Shim:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def init(self, rngs, batch, train=False, **kw):
+            return self.inner.init(rngs, batch["item_feats"], batch["mask"],
+                                   train=train)
+
+        def apply(self, variables, batch, train=False, rngs=None,
+                  mutable=None, method=None, **kw):
+            args = (variables, batch["item_feats"], batch["mask"])
+            kws = {"train": train}
+            if rngs:
+                kws["rngs"] = rngs
+            if mutable:
+                kws["mutable"] = mutable
+            if method is not None:
+                kws["method"] = method
+            return self.inner.apply(*args, **kws)
+
+    trainer = Trainer(_Shim(model), lambda o, b: listwise_bce(
+        o, b["labels"], b["mask"]), build_trainer_config(config),
+        eval_fn=None, mesh=mesh)
+    loader = _ListLoader(train_lists, config.get("batch_size", 256),
+                         config.get("seed", 2024))
+    trainer.fit(loader, epochs=config.get("epochs"))
+    # final eval with the inner model directly
+    import jax.numpy as jnp
+    scores = model.apply({"params": trainer.params},
+                         jnp.asarray(valid_lists["item_feats"]),
+                         jnp.asarray(valid_lists["mask"]))
+    result = evaluate_rerank(np.asarray(scores), valid_lists["labels"],
+                             valid_lists["mask"], ks=ks)
+    logger.info("rerank experiment: %s", result)
     return result

@@ -162,3 +162,49 @@ class TestQuickStart:
             {"item_id": np.arange(n_items, dtype=np.int32)},
             {"user_id": uu}, uu, t_u2i, v_u2i)
         assert "Recall(k=20)" in result
+
+
+def test_run_sequential_experiment():
+    import numpy as np
+    from recbox_tpu.data.sequential import leave_one_out_split
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.quick_start import run_sequential_experiment
+
+    rng = np.random.default_rng(3)
+    n_items = 30
+    seqs = {}
+    for u in range(200):
+        start = rng.integers(1, n_items + 1)
+        seqs[u] = np.array([(start + k - 1) % n_items + 1 for k in range(10)])
+    train, valid, test = leave_one_out_split(seqs, max_len=8)
+    fm = FeatureMap(
+        "qseq", (FeatureSpec("item_id", "categorical", source="item",
+                             vocab_size=n_items + 1, embedding_dim=16),),
+        query_index="user_id", corpus_index="item_id", num_items=n_items + 1)
+    cfg = {"model": "SASRec", "embedding_dim": 32, "max_seq_len": 8,
+           "n_layers": 1, "n_heads": 2, "dropout": 0.0,
+           "learning_rate": 5e-3, "epochs": 8, "batch_size": 256,
+           "monitor": "NDCG(k=10)", "lr_decay_factor": 1.0,
+           "reload_best_on_plateau": False, "patience": 8}
+    result = run_sequential_experiment(cfg, fm, train, valid, test)
+    assert result["test_Recall(k=10)"] > 0.7, result
+
+
+def test_run_rerank_experiment():
+    import numpy as np
+    from recbox_tpu.quick_start import run_rerank_experiment
+
+    rng = np.random.default_rng(0)
+    B, N, D = 128, 8, 6
+    feats = rng.normal(size=(B, N, D)).astype(np.float32)
+    labels = (feats[..., 0] > 0).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    lists = {"item_feats": feats, "labels": labels, "mask": mask}
+    v = {k: a[:32] for k, a in lists.items()}
+    t = {k: a[32:] for k, a in lists.items()}
+    cfg = {"model": "PRM", "d_model": 16, "n_layers": 1, "n_heads": 2,
+           "max_list_len": N, "learning_rate": 1e-2, "epochs": 8,
+           "batch_size": 32, "monitor": "MAP@5", "lr_decay_factor": 1.0,
+           "reload_best_on_plateau": False}
+    result = run_rerank_experiment(cfg, t, v)
+    assert result["MAP@5"] > 0.8, result

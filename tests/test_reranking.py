@@ -93,3 +93,12 @@ def test_reranker_learns(model_cls, kwargs, rng):
     scores = model.apply({"params": params}, f, m, train=False)
     after = evaluate_rerank(np.asarray(scores), labels, mask, ks=[5])
     assert after["NDCG@5"] > before["NDCG@5"] + 0.05, (before, after)
+
+
+def test_evaluate_rerank_k_exceeds_list_length():
+    import numpy as np
+    from recbox_tpu.evaluation.rerank import evaluate_rerank
+    scores = np.array([[3.0, 2.0, 1.0]])
+    labels = np.array([[1.0, 0.0, 1.0]])
+    out = evaluate_rerank(scores, labels, ks=(10,))
+    assert out["clicks@10"] == 2.0   # clipped to the 3 real positions
