@@ -11,6 +11,15 @@ grad-clip 10 + Adam 1e-3, the reference training regime
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the ratio
 to a fixed self-baseline target of 1.0e6 examples/s/chip set in round 1.
+
+MEASUREMENT NOTE (round 1): earlier in round 1 this bench reported ~3.8M
+examples/s via per-step dispatch + jax.block_until_ready. That number was a
+measurement artifact: through this sandbox's axon TPU tunnel,
+block_until_ready acks before device completion, and identical execute
+requests can be served from a cache. The current number uses a K-step
+lax.scan over a device-resident batch with float() host sync — the honest
+per-chip train throughput (~0.5M examples/s for this workload; the step is
+embedding scatter/optimizer bound, fwd+bwd alone is ~6 ms).
 """
 
 import json
@@ -52,23 +61,20 @@ def main():
                         monitor="AUC")
     trainer = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
 
-    # warmup (compile)
-    for _ in range(3):
-        loss = trainer.train_step(batch)
-    jax.block_until_ready(loss)
+    # K steps scanned inside one compiled program over a device-resident
+    # batch: measures the train step itself. Per-step dispatch would be
+    # dominated by host/tunnel overhead, and block_until_ready through this
+    # sandbox's TPU tunnel acks early, so float() is the only honest sync
+    # (see .claude/skills/verify/SKILL.md "micro-benchmark trap").
+    steps = 30
+    losses = trainer.train_steps_repeat(batch, steps)   # compile + warmup
+    _ = float(losses[-1])
 
-    # steps chain through trainer params, so the device must execute all of
-    # them before the final loss resolves — honest under the axon tunnel's
-    # early-acking dispatch (isolated per-call timings are not). 3 repeats of
-    # 60 steps, best wall-clock, to amortize the ~40ms tunnel latency and
-    # ride out tunnel jitter.
-    steps = 60
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            loss = trainer.train_step(batch)
-        jax.block_until_ready(loss)
+        losses = trainer.train_steps_repeat(batch, steps)
+        _ = float(losses[-1])                      # host sync
         best = min(best, time.perf_counter() - t0)
 
     examples_per_sec = steps * batch_size / best

@@ -310,3 +310,42 @@ class SparseEmbeddingTrainer(Trainer):
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
         self.monitor.restore(state["monitor"])
+
+
+    def train_steps_repeat(self, batch, n_steps: int):
+        """Device-resident K-step scan (see Trainer.train_steps_repeat) with
+        the sparse table/accumulator state threaded through the scan."""
+        if self.params is None:
+            self.init(batch)
+        if not self.tables:
+            return super().train_steps_repeat(batch, n_steps)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        if not hasattr(self, "_repeat_step"):
+            import functools
+            inner = self._train_step
+
+            @functools.partial(jax.jit, static_argnames=("n",),
+                               donate_argnums=(0, 1, 2, 3))
+            def repeat(dense, tables, accums, opt_state, batch, rng, n):
+                rngs = jax.random.split(rng, n)
+
+                def body(carry, step_rng):
+                    dense, tables, accums, opt_state = carry
+                    dense, tables, accums, _, opt_state, loss = inner(
+                        dense, tables, accums, opt_state, batch, step_rng)
+                    return (dense, tables, accums, opt_state), loss
+
+                (dense, tables, accums, opt_state), losses = jax.lax.scan(
+                    body, (dense, tables, accums, opt_state), rngs)
+                return dense, tables, accums, opt_state, losses
+
+            self._repeat_step = repeat
+        rng, self._rng = jax.random.split(self._rng)
+        dbatch = self._device_batch(batch)
+        (self.params, self.tables, self.accumulators, self.opt_state,
+         losses) = self._repeat_step(self.params, self.tables,
+                                     self.accumulators, self.opt_state,
+                                     dbatch, rng, n_steps)
+        self.step += n_steps
+        return losses

@@ -131,3 +131,63 @@ def test_sparse_with_sequence_features(rng):
     # (plus DeepFM's separate dim-1 linear table)
     emb_tables = [k for k in t.tables if k.startswith("embedding/")]
     assert emb_tables == ["embedding/emb_item_id"]
+
+
+def test_fused_train_steps_match_sequential():
+    """train_steps_repeat must advance training like N separate steps."""
+    import numpy as np
+    import jax.numpy as jnp
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    fm = FeatureMap("fused", (
+        FeatureSpec("c0", "categorical", vocab_size=50, embedding_dim=8),
+        FeatureSpec("n0", "numeric", embedding_dim=8)), labels=("y",))
+    batch = {"c0": rng.integers(0, 50, 128).astype(np.int32),
+             "n0": rng.normal(size=128).astype(np.float32),
+             "y": (rng.random(128) > 0.5).astype(np.float32)}
+    cfg = TrainerConfig(learning_rate=1e-2, monitor="AUC", seed=7)
+
+    t1 = Trainer(DeepFM(feature_map=fm, embedding_dim=8,
+                        hidden_units=(16,)),
+                 lambda o, b: binary_crossentropy(o, b["y"]), cfg)
+    losses_fused = np.asarray(t1.train_steps_repeat(batch, 5))
+    assert losses_fused.shape == (5,)
+    # monotone-ish improvement on a fixed batch
+    assert losses_fused[-1] < losses_fused[0]
+    assert t1.step == 5
+
+    # stacked-batches variant
+    t2 = Trainer(DeepFM(feature_map=fm, embedding_dim=8,
+                        hidden_units=(16,)),
+                 lambda o, b: binary_crossentropy(o, b["y"]), cfg)
+    batches = {k: np.broadcast_to(v, (5,) + v.shape) for k, v in batch.items()}
+    losses2 = np.asarray(t2.train_steps_fused(batches))
+    assert losses2.shape == (5,)
+    assert losses2[-1] < losses2[0]
+
+
+def test_sparse_fused_train_steps():
+    import numpy as np
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import TrainerConfig
+    from recbox_tpu.training.sparse import SparseEmbeddingTrainer
+
+    rng = np.random.default_rng(0)
+    fm = FeatureMap("sfused", (
+        FeatureSpec("c0", "categorical", vocab_size=50, embedding_dim=8),),
+        labels=("y",))
+    batch = {"c0": rng.integers(0, 50, 128).astype(np.int32),
+             "y": (rng.random(128) > 0.5).astype(np.float32)}
+    cfg = TrainerConfig(learning_rate=5e-2, monitor="AUC", seed=7)
+    tr = SparseEmbeddingTrainer(
+        DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,)),
+        lambda o, b: binary_crossentropy(o, b["y"]), cfg)
+    losses = np.asarray(tr.train_steps_repeat(batch, 6))
+    assert losses.shape == (6,)
+    assert losses[-1] < losses[0]
