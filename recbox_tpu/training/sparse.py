@@ -21,6 +21,17 @@ denominator uses the post-accumulation v (matching TF's sparse Adagrad).
 with `emb_` become sparse tables; everything else trains under the regular
 optax chain. This is the single biggest single-chip throughput lever
 (~2-4× at Criteo shapes) and composes with the 'model'-axis table sharding.
+
+Operating envelope (v5e, 16 GB HBM, measured round 1):
+  * 26 tables × 100k × 64: dense Adam 527k ex/s, sparse 441k ex/s — at this
+    scale both are scatter-bound and dense fits; use dense.
+  * 26 tables × 1M × 64: dense Adam state alone is ~19 GB → OOM; sparse is
+    the single-chip option but watch two HBM multipliers: (a) f32[V, 64]
+    pads 2× under the (8, 128) tile — prefer embedding_dim that is a
+    multiple of 128 (or bf16 params) for huge vocabs; (b) lax.scan-fused
+    steps remat-copy carried tables — use per-step dispatch (or small K)
+    when tables dominate HBM. Beyond that, shard tables over the 'model'
+    mesh axis (the framework's centerpiece; `parallel/mesh.py`).
 """
 
 from __future__ import annotations
