@@ -57,3 +57,42 @@ def evaluate_rerank(
         idcg = np.sum(ideal * disc, axis=1)
         out[f"NDCG@{k}"] = float(np.mean(np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)))
     return out
+
+
+def build_rerank_lists(query_ids: np.ndarray, item_feats: np.ndarray,
+                       labels: np.ndarray, list_size: int,
+                       scores: Optional[np.ndarray] = None
+                       ) -> Dict[str, np.ndarray]:
+    """Group per-(query, candidate) rows into fixed-size rerank lists —
+    librerank's `construct_list` (`librerank/utils.py:153`) analog.
+
+    Rows are grouped by query id; within a query, candidates are ordered by
+    `scores` descending (the upstream ranker's order) or input order, then
+    truncated/zero-padded to `list_size`. Returns {item_feats (Q, N, D),
+    labels (Q, N), mask (Q, N), query_ids (Q,)}.
+    """
+    query_ids = np.asarray(query_ids)
+    order = np.argsort(query_ids, kind="stable")
+    qs = query_ids[order]
+    boundary = np.ones(len(qs), bool)
+    boundary[1:] = qs[1:] != qs[:-1]
+    starts = np.flatnonzero(boundary)
+    Q = len(starts)
+    D = item_feats.shape[-1]
+    out_f = np.zeros((Q, list_size, D), np.float32)
+    out_l = np.zeros((Q, list_size), np.float32)
+    out_m = np.zeros((Q, list_size), bool)
+    out_q = np.zeros((Q,), query_ids.dtype)
+    ends = np.append(starts[1:], len(qs))
+    for k, (s, e) in enumerate(zip(starts, ends)):
+        rows = order[s:e]
+        if scores is not None:
+            rows = rows[np.argsort(-np.asarray(scores)[rows], kind="stable")]
+        rows = rows[:list_size]
+        n = len(rows)
+        out_f[k, :n] = item_feats[rows]
+        out_l[k, :n] = labels[rows]
+        out_m[k, :n] = True
+        out_q[k] = qs[s]
+    return {"item_feats": out_f, "labels": out_l, "mask": out_m,
+            "query_ids": out_q}

@@ -15,7 +15,8 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import numpy as np
 
-__all__ = ["estimate_cost", "count_params", "get_environment"]
+__all__ = ["estimate_cost", "count_params", "get_environment",
+           "get_device_memory"]
 
 
 def estimate_cost(fn: Callable, *args, **kwargs) -> Dict[str, float]:
@@ -50,3 +51,21 @@ def get_environment() -> Dict[str, str]:
         "device_kind": devs[0].device_kind if devs else "none",
         "host_count": str(jax.process_count()),
     }
+
+
+def get_device_memory(device=None) -> Dict[str, float]:
+    """Device memory stats in GiB (recbole get_gpu_usage analog); empty dict
+    when the backend doesn't expose memory_stats (e.g. CPU)."""
+    dev = device or jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        return {}
+    gib = 1024 ** 3
+    out = {}
+    for key, name in (("bytes_in_use", "in_use_gib"),
+                      ("bytes_limit", "limit_gib"),
+                      ("peak_bytes_in_use", "peak_gib")):
+        if key in stats:
+            out[name] = stats[key] / gib
+    return out

@@ -180,3 +180,11 @@ def test_wandb_logger_noop():
     wl2 = WandbLogger(enabled=True)      # wandb not installed → disabled
     wl2.log_metrics({"a": 1.0})
     wl2.finish()
+
+
+def test_device_memory_stats():
+    from recbox_tpu.utils.introspection import get_device_memory
+    out = get_device_memory()
+    assert isinstance(out, dict)   # CPU may report nothing; must not raise
+    for v in out.values():
+        assert v >= 0

@@ -102,3 +102,31 @@ def test_evaluate_rerank_k_exceeds_list_length():
     labels = np.array([[1.0, 0.0, 1.0]])
     out = evaluate_rerank(scores, labels, ks=(10,))
     assert out["clicks@10"] == 2.0   # clipped to the 3 real positions
+
+
+def test_build_rerank_lists_groups_orders_pads():
+    import numpy as np
+    from recbox_tpu.evaluation.rerank import build_rerank_lists
+    qid = np.array([2, 1, 2, 1, 2])
+    feats = np.arange(10, dtype=np.float32).reshape(5, 2)
+    labels = np.array([1, 0, 0, 1, 1], np.float32)
+    scores = np.array([0.1, 0.9, 0.8, 0.2, 0.5])
+    out = build_rerank_lists(qid, feats, labels, list_size=4, scores=scores)
+    assert out["query_ids"].tolist() == [1, 2]
+    # query 1: rows 1 (score .9) then 3 (.2)
+    np.testing.assert_array_equal(out["item_feats"][0, 0], feats[1])
+    np.testing.assert_array_equal(out["item_feats"][0, 1], feats[3])
+    assert out["mask"][0].tolist() == [True, True, False, False]
+    # query 2: rows 2 (.8), 4 (.5), 0 (.1)
+    np.testing.assert_array_equal(out["item_feats"][1, 0], feats[2])
+    assert out["labels"][1].tolist() == [0.0, 1.0, 1.0, 0.0]
+
+
+def test_build_rerank_lists_truncates():
+    import numpy as np
+    from recbox_tpu.evaluation.rerank import build_rerank_lists
+    qid = np.zeros(6, int)
+    feats = np.ones((6, 3), np.float32)
+    labels = np.ones(6, np.float32)
+    out = build_rerank_lists(qid, feats, labels, list_size=4)
+    assert out["mask"].sum() == 4
