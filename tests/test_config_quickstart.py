@@ -208,3 +208,21 @@ def test_run_rerank_experiment():
            "reload_best_on_plateau": False}
     result = run_rerank_experiment(cfg, t, v)
     assert result["MAP@5"] > 0.8, result
+
+
+def test_model_config_yaml_roundtrip(tmp_path):
+    """Generated per-model defaults (properties/model/*.yaml analog) feed
+    straight back into build_model."""
+    import yaml
+    from tools.dump_model_configs import main as dump
+    from recbox_tpu.quick_start import build_model
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+
+    n = dump(str(tmp_path))
+    assert n > 100
+    cfg = yaml.safe_load(open(tmp_path / "deepfm.yaml"))
+    fm = FeatureMap("t", (FeatureSpec("c0", "categorical", vocab_size=10,
+                                      embedding_dim=8),), labels=("y",))
+    model, stage = build_model(cfg, fm)
+    assert stage == "ranking"
+    assert model.hidden_units == (400, 400, 400)
