@@ -62,6 +62,9 @@ class TrainerConfig:
     embedding_regularizer: float = 0.0  # p2 penalty on emb_* tables
     net_regularizer: float = 0.0        # p2 penalty on everything else
     eval_steps: Optional[int] = None    # eval every N steps (None = per epoch)
+    # pack K consecutive batches into one compiled lax.scan (amortizes
+    # per-dispatch host overhead; 1 = classic per-step dispatch)
+    fused_steps: int = 1
     workdir: Optional[str] = None
     seed: int = 2024
     log_every: int = 100
@@ -332,18 +335,32 @@ class Trainer:
             sample = next(iter(train_loader))
             self.init(sample)
         last_metrics: Dict[str, float] = {}
+        K = max(1, self.config.fused_steps)
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             t0 = time.time()
             losses = []
+            pending = []
             for i, batch in enumerate(train_loader):
                 batch.pop(MASK_KEY, None)
-                loss = self.train_step(batch)
-                losses.append(loss)
+                if K > 1:
+                    pending.append(batch)
+                    if len(pending) < K:
+                        continue
+                    stacked = {k: np.stack([b[k] for b in pending])
+                               for k in pending[0]}
+                    pending = []
+                    losses.extend(list(self.train_steps_fused(stacked)))
+                else:
+                    loss = self.train_step(batch)
+                    losses.append(loss)
                 if self.config.eval_steps and self.step % self.config.eval_steps == 0:
                     last_metrics = self._evaluate_and_checkpoint()
                     if self._stopped:
                         break
+            # flush a short tail one step at a time (shape stability)
+            for batch in pending:
+                losses.append(self.train_step(batch))
             mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             if np.isnan(mean_loss):
                 raise ValueError(f"nan loss at epoch {epoch}")

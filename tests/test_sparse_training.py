@@ -191,3 +191,37 @@ def test_sparse_fused_train_steps():
     losses = np.asarray(tr.train_steps_repeat(batch, 6))
     assert losses.shape == (6,)
     assert losses[-1] < losses[0]
+
+
+def test_fit_with_fused_steps_matches_quality():
+    """fit(fused_steps=4) reaches the same quality as per-step fit."""
+    import numpy as np
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation import CTREvaluator
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+    from tests.test_ranking_e2e import make_ctr_data
+
+    rng = np.random.default_rng(11)
+    fm, arrays = make_ctr_data(rng, n=6000)
+    split = int(0.8 * len(arrays["click"]))
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+
+    def fit(fused):
+        model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(32,))
+        cfg = TrainerConfig(learning_rate=1e-2, epochs=6, patience=8,
+                            monitor="AUC", lr_decay_factor=1.0,
+                            reload_best_on_plateau=False, fused_steps=fused,
+                            seed=3)
+        ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+        tr = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]),
+                     cfg, eval_fn=ev)
+        loader = ArrayLoader(train, batch_size=256, drop_last=True, seed=1)
+        return tr.fit(loader)
+
+    auc1 = fit(1)["AUC"]
+    auc4 = fit(4)["AUC"]
+    assert auc4 > 0.75 and abs(auc4 - auc1) < 0.06, (auc1, auc4)
