@@ -18,8 +18,15 @@ measurement artifact: through this sandbox's axon TPU tunnel,
 block_until_ready acks before device completion, and identical execute
 requests can be served from a cache. The current number uses a K-step
 lax.scan over a device-resident batch with float() host sync — the honest
-per-chip train throughput (~0.5M examples/s for this workload; the step is
-embedding scatter/optimizer bound, fwd+bwd alone is ~6 ms).
+per-chip train throughput.
+
+TRAINER: PackedEmbeddingTrainer (`training/packed.py`) — all embedding
+columns + AdaGrad state packed into one 128-lane row per vocab entry, so the
+step does ONE row-gather and ONE row-scatter total. Measured decomposition
+(`tools/prof_packed_step.py`, v5e): rows machinery ~30 ms, model fwd/bwd
+~2.5 ms, dense-MLP Adam ~1.2 ms → ~34 ms/step ≈ 0.97M examples/s, ~1.75×
+the dense-Adam path (row ops are latency-bound ~15-19 ns/row on this chip;
+see `tools/prof_embedding_update.py`).
 """
 
 import json
@@ -36,7 +43,8 @@ def main():
     from recbox_tpu.features import FeatureMap, FeatureSpec
     from recbox_tpu.models.ranking.ctr import DeepFM
     from recbox_tpu.ops import binary_crossentropy
-    from recbox_tpu.training import Trainer, TrainerConfig
+    from recbox_tpu.training import TrainerConfig
+    from recbox_tpu.training.packed import PackedEmbeddingTrainer
 
     num_cat, num_num = 26, 13
     vocab, dim, batch_size = 100_000, 64, 32768
@@ -59,14 +67,15 @@ def main():
                    hidden_units=(1024, 512, 256), compute_dtype="bfloat16")
     cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
                         monitor="AUC")
-    trainer = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
+    trainer = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
 
     # K steps scanned inside one compiled program over a device-resident
     # batch: measures the train step itself. Per-step dispatch would be
     # dominated by host/tunnel overhead, and block_until_ready through this
     # sandbox's TPU tunnel acks early, so float() is the only honest sync
     # (see .claude/skills/verify/SKILL.md "micro-benchmark trap").
-    steps = 30
+    steps = 60
     losses = trainer.train_steps_repeat(batch, steps)   # compile + warmup
     _ = float(losses[-1])
 

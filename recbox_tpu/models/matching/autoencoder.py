@@ -132,42 +132,99 @@ class MacridVAE(nn.Module):
         return self(batch, train)
 
 
+def log_norm_pdf(x, mu, logvar):
+    """Element-wise log N(x; mu, exp(logvar)) (`recvae.py:37-39`)."""
+    return -0.5 * (logvar + jnp.log(2 * jnp.pi)
+                   + jnp.square(x - mu) / jnp.exp(logvar))
+
+
 class RecVAE(nn.Module):
-    """RecVAE (`recvae.py` shape): denoising encoder with swish layers +
-    LayerNorm; the composite-prior term is approximated by the standard
-    normal component (the dominant term; alternating enc/dec training is a
-    Trainer concern)."""
+    """RecVAE (`recvae.py`): denoising encoder with swish layers + LayerNorm,
+    linear decoder, and the COMPOSITE prior — a 3-component mixture of
+    N(0, I), the OLD encoder's posterior q_old(z|x), and a wide
+    N(0, e^10·I) with weights `mixture_weights` (`recvae.py:41-73`). The old
+    encoder's params are a frozen snapshot refreshed by the alternating
+    trainer (`training/recvae.py`, mirroring RecVAETrainer + update_prior,
+    `trainer/trainer.py:1257-1300`)."""
 
     num_items: int
     hidden_dim: int = 600
     latent_dim: int = 200
     n_enc_layers: int = 3
     dropout: float = 0.5
+    gamma: float = 0.005
+    beta: float = 0.2
+    mixture_weights: Tuple[float, float, float] = (3 / 20, 3 / 4, 1 / 10)
 
-    @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def setup(self):
+        self.enc_in = nn.Dense(self.hidden_dim, name="enc_in")
+        self.enc_norm0 = nn.LayerNorm()
+        self.enc_hidden = [nn.Dense(self.hidden_dim, name=f"enc{i}")
+                           for i in range(self.n_enc_layers - 1)]
+        self.enc_norms = [nn.LayerNorm() for _ in range(self.n_enc_layers - 1)]
+        self.mu_head = nn.Dense(self.latent_dim, name="mu")
+        self.logvar_head = nn.Dense(self.latent_dim, name="logvar")
+        self.dec = nn.Dense(self.num_items, name="dec")
+
+    def encode(self, batch, dropout: float = 0.0, train: bool = False):
+        """(mu, logvar) of q(z|x). The composite prior evaluates the old
+        encoder with dropout 0 (`recvae.py:63-64`)."""
         x = _normalize(batch["history"])
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        h = nn.Dense(self.hidden_dim, name="enc_in")(x)
-        h = nn.LayerNorm()(jax.nn.swish(h))
-        for i in range(self.n_enc_layers - 1):
-            h2 = nn.Dense(self.hidden_dim, name=f"enc{i}")(h)
-            h = nn.LayerNorm()(jax.nn.swish(h2) + h)
-        mu = nn.Dense(self.latent_dim, name="mu")(h)
-        logvar = nn.Dense(self.latent_dim, name="logvar")(h)
+        if train and dropout > 0:
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - dropout, x.shape)
+            x = x * keep / (1.0 - dropout)
+        h = self.enc_in(x)
+        h = self.enc_norm0(jax.nn.swish(h))
+        for dense, norm in zip(self.enc_hidden, self.enc_norms):
+            h = norm(jax.nn.swish(dense(h)) + h)
+        return self.mu_head(h), self.logvar_head(h)
+
+    def __call__(self, batch, train: bool = False):
+        logits, _, _, _ = self.forward_with_latents(batch, train)
+        return logits
+
+    def forward_with_latents(self, batch, train: bool = False):
+        """(logits, mu, logvar, z) — the tuple `recvae_loss` consumes."""
+        mu, logvar = self.encode(batch, self.dropout, train)
         if train:
             eps = jax.random.normal(self.make_rng("reparam"), mu.shape)
             z = mu + eps * jnp.exp(0.5 * logvar)
         else:
             z = mu
-        logits = nn.Dense(self.num_items, name="dec")(z)
+        logits = self.dec(z)
         self.sow("intermediates", "kl",
                  -0.5 * jnp.mean(jnp.sum(
                      1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)))
-        return logits
+        return logits, mu, logvar, z
+
+    def composite_prior_logpdf(self, batch, z):
+        """log p(z) under the 3-component mixture, evaluated with THIS
+        module's (frozen-snapshot) encoder params (`recvae.py:63-73`)."""
+        post_mu, post_logvar = self.encode(batch, 0.0, train=False)
+        w1, w2, w3 = self.mixture_weights
+        comps = jnp.stack([
+            log_norm_pdf(z, 0.0, 0.0) + jnp.log(w1),
+            log_norm_pdf(z, post_mu, post_logvar) + jnp.log(w2),
+            log_norm_pdf(z, 0.0, 10.0) + jnp.log(w3),
+        ])
+        return jax.scipy.special.logsumexp(comps, axis=0)
 
     def full_scores(self, batch, train: bool = False):
         return self(batch, train)
+
+
+def recvae_loss(logits, mu, logvar, z, prior_logpdf, batch,
+                gamma: float = 0.005, beta: float = 0.2) -> jnp.ndarray:
+    """Negative ELBO with the composite prior (`recvae.py:150-172`):
+    kl_weight = gamma·|history| per user (or beta when gamma == 0);
+    kld = E[ log q(z|x) − log p_composite(z) ]."""
+    x = batch["history"]
+    mll = jnp.mean(jnp.sum(jax.nn.log_softmax(logits, axis=-1) * x, axis=-1))
+    kl_weight = gamma * jnp.sum(x, axis=-1) if gamma else beta
+    kld = jnp.mean(kl_weight * jnp.sum(
+        log_norm_pdf(z, mu, logvar) - prior_logpdf, axis=-1))
+    return -(mll - kld)
 
 
 class CDAE(nn.Module):

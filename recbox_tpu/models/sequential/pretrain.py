@@ -120,6 +120,56 @@ class S3Rec(SequentialRecommender):
         h = self._bi_encode(item_seq, seq_len, train)
         return self.aap_head(h)
 
+    def pretrain_losses(self, batch, weights=(0.2, 1.0, 1.0, 0.5),
+                        train: bool = True) -> jnp.ndarray:
+        """Joint pretrain loss over a reconstructed batch (`s3rec.py`
+        pretrain(): AAP + MIP + MAP + SP, each a summed BCE-with-logits as in
+        the reference; positional pos/neg MIP scoring, last-position segment
+        contexts). `batch` keys are produced by
+        `training/pretrain.reconstruct_pretrain_batch` (left-padded):
+        masked_seq, pos_items, neg_items, masked_segment, pos_segment,
+        neg_segment, seq_len; optional attributes (B, L, n_attributes)
+        multi-hot. `weights` = (aap, mip, map, sp)."""
+        aap_w, mip_w, map_w, sp_w = weights
+        masked_seq = batch["masked_seq"]
+        seq_len = batch["seq_len"]
+        h = self._bi_encode(masked_seq, seq_len, train)          # (B, L, D)
+        table = jnp.asarray(self.item_table)
+
+        def bce(logits, target):  # elementwise BCE-with-logits
+            return (jnp.maximum(logits, 0) - logits * target
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+        mip_mask = (masked_seq == self.mask_token).astype(jnp.float32)
+        valid = (masked_seq != 0).astype(jnp.float32)
+
+        # MIP: per-position pos-vs-neg contrast at masked positions
+        pos_e = jnp.take(table, batch["pos_items"], axis=0)
+        neg_e = jnp.take(table, batch["neg_items"], axis=0)
+        mip_dist = jnp.sum(h * pos_e, -1) - jnp.sum(h * neg_e, -1)
+        mip_loss = jnp.sum(bce(mip_dist, jnp.ones_like(mip_dist)) * mip_mask)
+
+        # AAP (non-masked valid positions) + MAP (masked positions)
+        aap_loss = map_loss = 0.0
+        if self.n_attributes and "attributes" in batch:
+            attrs = batch["attributes"].astype(jnp.float32)
+            scores = self.aap_head(h)
+            per_pos = jnp.sum(bce(scores, attrs), axis=-1)
+            aap_loss = jnp.sum(per_pos * valid * (1.0 - mip_mask))
+            map_loss = jnp.sum(per_pos * mip_mask)
+
+        # SP: bilinear last-position context vs pos/neg segment encodings
+        def last(seq):
+            sl = jnp.sum((seq != 0).astype(jnp.int32), axis=-1)
+            return self._bi_encode(seq, sl, train)[:, -1, :]
+        ctx = self.sp_bilinear(last(batch["masked_segment"]))
+        sp_dist = (jnp.sum(ctx * last(batch["pos_segment"]), -1)
+                   - jnp.sum(ctx * last(batch["neg_segment"]), -1))
+        sp_loss = jnp.sum(bce(sp_dist, jnp.ones_like(sp_dist)))
+
+        return (aap_w * aap_loss + mip_w * mip_loss
+                + map_w * map_loss + sp_w * sp_loss)
+
 
 class _GRU4RecFEncoder(nn.Module):
     embedding_dim: int

@@ -1,0 +1,485 @@
+"""Packed embedding training: one gather + one scatter per step, total.
+
+Why: on TPU, random-row gather/scatter from HBM is *latency-bound per row*
+(~12-19 ns/row measured on v5e, `tools/prof_embedding_update.py`), so step
+cost scales with the NUMBER of row operations, not bytes. The reference
+regime (DeepFM-style CTR) pays, per feature: a dim-D gather ('embedding'
+module), a dim-1 gather ('linear' module), a dense vocab-sized grad scatter
+for each, and a dense Adam sweep over every row. `SparseEmbeddingTrainer`
+removes the dense sweeps but still issues per-table gathers/scatters plus
+separate accumulator traffic.
+
+This trainer packs, for each vocabulary, ALL of its embedding columns across
+modules plus one AdaGrad accumulator scalar per module into a single
+physical row:
+
+    [ emb_D columns | linear_1 column | acc_emb | acc_linear ]   (per row)
+
+and stacks every same-layout vocabulary into one tall (ΣV, W) array with row
+offsets. f32 rows pad to 128 lanes on TPU — for D=64 the packed layout fits
+entirely in lanes the padding was already wasting, so the extra columns are
+FREE in both HBM footprint and row-op bytes. One `jnp.take` per step fetches
+rows + optimizer state for every feature and module at once; one
+`.at[ids].add` writes back the AdaGrad delta and the accumulator increment.
+Row-update traffic drops from O(#tables × row-ops) to exactly 2 row-ops per
+example-feature, and the dense-optimizer HBM sweep disappears entirely.
+
+Optimizer semantics: row-wise AdaGrad (the DLRM/production-recsys standard).
+Duplicate ids in one batch scatter-ADD their deltas; each duplicate's
+denominator uses v_pre + its own g² (per-example AdaGrad) rather than the
+post-accumulation v an exact two-pass update would use — the two-pass
+variant costs 3 row-ops/step instead of 2 and the difference is a slightly
+smaller denominator on duplicate ids only. Embedding rows are exempt from
+global-norm clipping (dense params keep the reference's clip=10,
+`ranking_model.py:137`).
+
+If packing the accumulator columns would cross a 128-lane boundary (value
+columns already a multiple of 128), accumulators live in a separate (ΣV, S)
+array instead of blowing up the pack's padded width.
+
+Restriction (same as `SparseEmbeddingTrainer`): categorical/sequence
+features must flow through `FeatureEmbedding` modules (the `__rows__`
+protocol in `nn/embedding.py`), with the schema on `model.feature_map`.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recbox_tpu.features.schema import CATEGORICAL, SEQUENCE
+from recbox_tpu.nn.embedding import rows_key_for
+from recbox_tpu.training.sparse import _merge_params, split_sparse_params
+from recbox_tpu.training.trainer import Trainer
+
+logger = logging.getLogger("recbox_tpu")
+
+__all__ = ["PackedEmbeddingTrainer"]
+
+
+class _Slot:
+    """One module-table position inside a pack's row layout."""
+
+    __slots__ = ("module_path", "dim", "col_start", "acc_col")
+
+    def __init__(self, module_path: tuple, dim: int, col_start: int,
+                 acc_col: int):
+        self.module_path = module_path
+        self.dim = dim
+        self.col_start = col_start
+        self.acc_col = acc_col  # column in the pack, or slot index if split
+
+
+class _Bundle:
+    """All tables sharing one vocabulary (tname), packed into pack rows
+    [row_offset, row_offset + rows)."""
+
+    __slots__ = ("tname", "row_offset", "rows", "table_keys", "features")
+
+    def __init__(self, tname, row_offset, rows, table_keys, features):
+        self.tname = tname
+        self.row_offset = row_offset
+        self.rows = rows
+        self.table_keys = table_keys  # per slot: key into table_paths
+        self.features = features      # feature names routed to this bundle
+
+
+class PackedEmbeddingTrainer(Trainer):
+    """Trainer with packed-row embeddings + in-row AdaGrad state.
+
+    Extra knobs: ``embedding_lr`` (default = config.learning_rate),
+    ``adagrad_init`` / ``adagrad_eps``.
+    """
+
+    def __init__(self, *args, embedding_lr: float = None,
+                 adagrad_init: float = 0.0, adagrad_eps: float = 1e-8,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.embedding_lr = embedding_lr
+        self.adagrad_init = adagrad_init
+        self.adagrad_eps = adagrad_eps
+        self.packs: Dict[str, jnp.ndarray] = {}
+        self.accs: Dict[str, jnp.ndarray] = {}     # only for split-acc packs
+        self._slots: Dict[str, List[_Slot]] = {}
+        self._bundles: Dict[str, List[_Bundle]] = {}
+        self._acc_in_row: Dict[str, bool] = {}
+        self._table_paths: Dict[str, tuple] = {}
+
+    # -- layout construction --------------------------------------------------
+    def init(self, sample_batch) -> None:
+        super().init(sample_batch)
+        dense, tables, paths = split_sparse_params(self.params)
+        if not tables:
+            logger.warning("PackedEmbeddingTrainer found no emb_* tables; "
+                           "falling back to dense training")
+            return
+        fm = self.model.feature_map
+        self._table_paths = paths
+
+        # bundle tables by vocabulary (tname); slot order = sorted module path
+        by_tname: Dict[str, List[Tuple[str, tuple, int, int]]] = {}
+        for tkey in sorted(tables):
+            path = paths[tkey]
+            tname = path[-1][len("emb_"):]
+            arr = tables[tkey]
+            by_tname.setdefault(tname, []).append(
+                (tkey, path[:-1], int(arr.shape[0]), int(arr.shape[1])))
+
+        # group bundles by identical (module_path, dim) signature
+        groups: Dict[tuple, List[str]] = {}
+        for tname, slots in by_tname.items():
+            rows0 = slots[0][2]
+            if any(s[2] != rows0 for s in slots):
+                raise ValueError(f"tables for {tname!r} disagree on rows")
+            sig = tuple((s[1], s[3]) for s in slots)
+            groups.setdefault(sig, []).append(tname)
+
+        self.params = dense
+        self.opt_state = self.tx.init(self.params)
+        self.packs, self.accs = {}, {}
+        self._slots, self._bundles, self._acc_in_row = {}, {}, {}
+
+        for sig, tnames in sorted(groups.items(),
+                                  key=lambda kv: str(kv[0])):
+            w_val = sum(d for _, d in sig)
+            n_slots = len(sig)
+            # free iff the acc columns stay within the 128-lane padding
+            acc_in_row = (-(-(w_val + n_slots) // 128) == -(-w_val // 128))
+            pack_name = "pack_" + "_".join(
+                f"{'/'.join(mp)}x{d}" for mp, d in sig)
+            slots, col = [], 0
+            for i, (mp, d) in enumerate(sig):
+                slots.append(_Slot(mp, d, col,
+                                   (w_val + i) if acc_in_row else i))
+                col += d
+            width = w_val + n_slots if acc_in_row else w_val
+
+            bundles, parts, row = [], [], 0
+            for tname in sorted(tnames):
+                tks = [s[0] for s in by_tname[tname]]
+                rows = by_tname[tname][0][2]
+                feats = tuple(
+                    f.name for f in fm.input_features
+                    if f.type in (CATEGORICAL, SEQUENCE)
+                    and f.table_name == tname and f.name in sample_batch)
+                bundles.append(_Bundle(tname, row, rows, tks, feats))
+                vals = [tables[tk] for tk in tks]
+                if acc_in_row:
+                    vals.append(jnp.full((rows, n_slots), self.adagrad_init,
+                                         jnp.float32))
+                parts.append(jnp.concatenate(vals, axis=1))
+                row += rows
+            self.packs[pack_name] = jnp.concatenate(parts, axis=0)
+            if not acc_in_row:
+                self.accs[pack_name] = jnp.full(
+                    (row, n_slots), self.adagrad_init, jnp.float32)
+            self._slots[pack_name] = slots
+            self._bundles[pack_name] = bundles
+            self._acc_in_row[pack_name] = acc_in_row
+
+        n_rows = sum(int(p.shape[0]) for p in self.packs.values())
+        logger.info("packed embedding training: %d packs, %s rows, "
+                    "acc-in-row: %s", len(self.packs), f"{n_rows:,}",
+                    {k: v for k, v in self._acc_in_row.items()})
+
+    # -- gather/update as pure functions over (packs, accs) -------------------
+    def _gather_rows(self, packs, accs, batch):
+        """Returns (rows_dict for the batch, per-pack update context)."""
+        rows, ctx = {}, {}
+        for pname, bundles in self._bundles.items():
+            slots = self._slots[pname]
+            segs = []     # (fname, bundle, flat_len, orig_shape)
+            ids = []
+            for b in bundles:
+                for fname in b.features:
+                    x = batch[fname]
+                    ids.append(x.reshape(-1).astype(jnp.int32) + b.row_offset)
+                    segs.append((fname, b, int(np.prod(x.shape)), x.shape))
+            if not ids:
+                continue
+            ids = jnp.concatenate(ids) if len(ids) > 1 else ids[0]
+            G = jnp.take(packs[pname], ids, axis=0)      # (N, W)
+            if self._acc_in_row[pname]:
+                v_pre = jnp.stack([G[:, s.acc_col] for s in slots], axis=1)
+            else:
+                v_pre = jnp.take(accs[pname], ids, axis=0)   # (N, S)
+            off = 0
+            for fname, b, n, shape in segs:
+                for si, s in enumerate(slots):
+                    rkey = rows_key_for(s.module_path, fname)
+                    rows[rkey] = G[off:off + n,
+                                   s.col_start:s.col_start + s.dim] \
+                        .reshape(shape + (s.dim,))
+                off += n
+            ctx[pname] = (ids, segs, v_pre)
+        return rows, ctx
+
+    def _apply_row_updates(self, packs, accs, row_grads, ctx, emb_lr):
+        eps = self.adagrad_eps
+        new_packs, new_accs = dict(packs), dict(accs)
+        for pname, (ids, segs, v_pre) in ctx.items():
+            slots = self._slots[pname]
+            # per slot: (N, D) grads in ids order
+            deltas, g2_cols = [], []
+            for si, s in enumerate(slots):
+                parts = []
+                for fname, b, n, shape in segs:
+                    rkey = rows_key_for(s.module_path, fname)
+                    parts.append(row_grads[rkey].reshape(n, s.dim))
+                g = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                g2 = jnp.mean(jnp.square(g), axis=-1)          # (N,)
+                v_used = v_pre[:, si] + g2
+                deltas.append(-emb_lr * g
+                              / (jnp.sqrt(v_used) + eps)[:, None])
+                g2_cols.append(g2)
+            if self._acc_in_row[pname]:
+                upd = jnp.concatenate(
+                    deltas + [jnp.stack(g2_cols, axis=1)], axis=1)
+                new_packs[pname] = packs[pname].at[ids].add(upd)
+            else:
+                new_packs[pname] = packs[pname].at[ids].add(
+                    jnp.concatenate(deltas, axis=1))
+                new_accs[pname] = accs[pname].at[ids].add(
+                    jnp.stack(g2_cols, axis=1))
+        return new_packs, new_accs
+
+    # -- the train step --------------------------------------------------------
+    def _build_train_step(self):
+        if not self.packs:
+            return super()._build_train_step()
+        cfg = self.config
+        model = self.model
+        loss_fn = self.loss_fn
+        mutable_keys = list(self.model_state.keys())
+        emb_lr = self.embedding_lr if self.embedding_lr is not None \
+            else cfg.learning_rate
+        apply_kwargs = {}
+        if self.train_method is not None:
+            apply_kwargs["method"] = getattr(model, self.train_method)
+
+        def step_fn(dense_params, packs, accs, opt_state, batch, rng):
+            rows, ctx = self._gather_rows(packs, accs, batch)
+
+            def compute_loss(dp, rows):
+                variables = {"params": dp, **self.model_state}
+                full_batch = {**batch, **rows}
+                if mutable_keys:
+                    outputs, new_state = model.apply(
+                        variables, full_batch, train=True,
+                        rngs={"dropout": rng}, mutable=mutable_keys,
+                        **apply_kwargs)
+                else:
+                    outputs = model.apply(variables, full_batch, train=True,
+                                          rngs={"dropout": rng},
+                                          **apply_kwargs)
+                    new_state = self.model_state
+                return loss_fn(outputs, batch), new_state
+
+            (loss, new_state), (dgrads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1), has_aux=True)(
+                    dense_params, rows)
+            updates, new_opt_state = self.tx.update(dgrads, opt_state,
+                                                    dense_params)
+            new_dense = optax.apply_updates(dense_params, updates)
+            new_packs, new_accs = self._apply_row_updates(
+                packs, accs, row_grads, ctx, emb_lr)
+            return (new_dense, new_packs, new_accs, new_state,
+                    new_opt_state, loss)
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+
+    def train_step(self, batch) -> float:
+        if self.params is None:
+            self.init(batch)
+        if not self.packs:
+            return super().train_step(batch)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        rng, self._rng = jax.random.split(self._rng)
+        dbatch = self._device_batch(batch)
+        (self.params, self.packs, self.accs, self.model_state,
+         self.opt_state, loss) = self._train_step(
+            self.params, self.packs, self.accs, self.opt_state, dbatch, rng)
+        self.step += 1
+        return loss
+
+    def train_steps_repeat(self, batch, n_steps: int):
+        if self.params is None:
+            self.init(batch)
+        if not self.packs:
+            return super().train_steps_repeat(batch, n_steps)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        if not hasattr(self, "_repeat_step"):
+            inner = self._train_step
+
+            @partial(jax.jit, static_argnames=("n",),
+                     donate_argnums=(0, 1, 2, 3))
+            def repeat(dense, packs, accs, opt_state, batch, rng, n):
+                rngs = jax.random.split(rng, n)
+
+                def body(carry, step_rng):
+                    dense, packs, accs, opt_state = carry
+                    dense, packs, accs, _, opt_state, loss = inner(
+                        dense, packs, accs, opt_state, batch, step_rng)
+                    return (dense, packs, accs, opt_state), loss
+
+                carry, losses = jax.lax.scan(
+                    body, (dense, packs, accs, opt_state), rngs)
+                return carry + (losses,)
+
+            self._repeat_step = repeat
+        rng, self._rng = jax.random.split(self._rng)
+        dbatch = self._device_batch(batch)
+        (self.params, self.packs, self.accs, self.opt_state, losses) = \
+            self._repeat_step(self.params, self.packs, self.accs,
+                              self.opt_state, dbatch, rng, n_steps)
+        self.step += n_steps
+        return losses
+
+    def train_steps_fused(self, batches):
+        first = {k: v[0] for k, v in batches.items()}
+        if self.params is None:
+            self.init(first)
+        if not self.packs:
+            return super().train_steps_fused(batches)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        if not hasattr(self, "_fused_step"):
+            inner = self._train_step
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def fused(dense, packs, accs, opt_state, batches, rng):
+                K = len(jax.tree_util.tree_leaves(batches)[0])
+                rngs = jax.random.split(rng, K)
+
+                def body(carry, inp):
+                    dense, packs, accs, opt_state = carry
+                    batch, step_rng = inp
+                    dense, packs, accs, _, opt_state, loss = inner(
+                        dense, packs, accs, opt_state, batch, step_rng)
+                    return (dense, packs, accs, opt_state), loss
+
+                carry, losses = jax.lax.scan(
+                    body, (dense, packs, accs, opt_state), (batches, rngs))
+                return carry + (losses,)
+
+            self._fused_step = fused
+        rng, self._rng = jax.random.split(self._rng)
+        dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
+        (self.params, self.packs, self.accs, self.opt_state, losses) = \
+            self._fused_step(self.params, self.packs, self.accs,
+                             self.opt_state, dbatches, rng)
+        self.step += int(losses.shape[0])
+        return losses
+
+    # -- logical views ----------------------------------------------------------
+    @property
+    def tables(self) -> Dict[str, jnp.ndarray]:
+        """{table_key: (V, D)} logical view of the packed state."""
+        out = {}
+        for pname, bundles in self._bundles.items():
+            pack = self.packs[pname]
+            for b in bundles:
+                for si, s in enumerate(self._slots[pname]):
+                    out[b.table_keys[si]] = pack[
+                        b.row_offset:b.row_offset + b.rows,
+                        s.col_start:s.col_start + s.dim]
+        return out
+
+    @property
+    def accumulators(self) -> Dict[str, jnp.ndarray]:
+        """{table_key: (V,)} AdaGrad accumulator view."""
+        out = {}
+        for pname, bundles in self._bundles.items():
+            src = self.packs[pname] if self._acc_in_row[pname] \
+                else self.accs[pname]
+            for b in bundles:
+                for si, s in enumerate(self._slots[pname]):
+                    col = s.acc_col if self._acc_in_row[pname] else si
+                    out[b.table_keys[si]] = src[
+                        b.row_offset:b.row_offset + b.rows, col]
+        return out
+
+    def full_params(self) -> dict:
+        if not self.packs:
+            return self.params
+        return _merge_params(self.params, self.tables, self._table_paths)
+
+    # -- inference over merged params -------------------------------------------
+    def _forward(self):
+        if not hasattr(self, "_fwd_fn"):
+            model = self.model
+            self._fwd_fn = jax.jit(
+                lambda variables, batch: model.apply(variables, batch,
+                                                     train=False))
+        return self._fwd_fn
+
+    def predict(self, loader, output_key=None) -> np.ndarray:
+        from recbox_tpu.data.loader import MASK_KEY
+        outs = []
+        variables = {"params": self.full_params(), **self.model_state}
+        fwd = self._forward()
+        for batch in loader:
+            mask = batch.pop(MASK_KEY, None)
+            out = np.asarray(fwd(variables, self._device_batch(batch)))
+            if mask is not None:
+                out = out[mask.astype(bool)] if mask.ndim == 1 else out
+            outs.append(out)
+        return np.concatenate(outs, axis=0)
+
+    def apply(self, batch, method=None, train: bool = False):
+        variables = {"params": self.full_params(), **self.model_state}
+        kwargs = {} if method is not None else {"train": train}
+        return self.model.apply(variables, self._device_batch(batch),
+                                method=method, **kwargs)
+
+    # -- best weights + checkpointing --------------------------------------------
+    def _capture_best(self) -> None:
+        super()._capture_best()
+        self._best_packs = {k: np.asarray(v) for k, v in self.packs.items()}
+        self._best_accs = {k: np.asarray(v) for k, v in self.accs.items()}
+
+    def _restore_best(self) -> None:
+        super()._restore_best()
+        if getattr(self, "_best_packs", None):
+            self.packs = {k: jnp.asarray(v)
+                          for k, v in self._best_packs.items()}
+            self.accs = {k: jnp.asarray(v)
+                         for k, v in self._best_accs.items()}
+
+    def _state_dict(self):
+        return {
+            "params": self.params,
+            "packs": self.packs,
+            "accs": self.accs,
+            "model_state": self.model_state,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "epoch": self.epoch,
+            "monitor": self.monitor.state(),
+        }
+
+    def save(self, path: str) -> None:
+        from recbox_tpu.training.checkpoint import save_checkpoint
+        save_checkpoint(path, self._state_dict())
+
+    def load(self, path: str) -> None:
+        from recbox_tpu.training.checkpoint import load_checkpoint
+        if self.params is None:
+            raise RuntimeError("call init()/fit() before load() so shapes exist")
+        state = load_checkpoint(path, self._state_dict())
+        self.params = state["params"]
+        self.packs = dict(state["packs"])
+        self.accs = dict(state["accs"])
+        self.model_state = state["model_state"]
+        self.opt_state = state["opt_state"]
+        self.step = int(state["step"])
+        self.epoch = int(state["epoch"])
+        self.monitor.restore(state["monitor"])

