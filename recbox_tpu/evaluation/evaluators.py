@@ -35,6 +35,9 @@ class RetrievalEvaluator:
         valid_user2items: Mapping[int, Sequence[int]],
         metrics: Sequence[str] = ("Recall(k=20)", "NDCG(k=10)"),
         batch_size: int = 4096,
+        beyond_accuracy_metrics: Sequence[str] = (),
+        beyond_topk: int = 20,
+        item_counts: Optional[np.ndarray] = None,
     ):
         self.user_loader = ArrayLoader(user_arrays, batch_size=batch_size,
                                        shuffle=False)
@@ -44,6 +47,13 @@ class RetrievalEvaluator:
         self.train_user2items = train_user2items
         self.valid_user2items = valid_user2items
         self.metrics = list(metrics)
+        # beyond-accuracy (recbole evaluator parity: ItemCoverage,
+        # AveragePopularity, ShannonEntropy, GiniIndex, TailPercentage) over
+        # the masked top-`beyond_topk` lists; popularity counts default to
+        # train interaction counts
+        self.beyond_accuracy_metrics = list(beyond_accuracy_metrics)
+        self.beyond_topk = beyond_topk
+        self.item_counts = item_counts
         self._encode = None
 
     def _encoders(self, trainer):
@@ -74,9 +84,31 @@ class RetrievalEvaluator:
 
     def __call__(self, trainer) -> Dict[str, float]:
         user_embs, item_embs = self.encode_all(trainer)
-        return evaluate_retrieval(
+        out = evaluate_retrieval(
             user_embs, item_embs, self.train_user2items, self.valid_user2items,
             self.query_indices, self.metrics)
+        if self.beyond_accuracy_metrics:
+            from recbox_tpu.evaluation.beyond_accuracy import (
+                evaluate_beyond_accuracy,
+            )
+            from recbox_tpu.evaluation.retrieval import (
+                _pad_lists, full_sort_topk,
+            )
+            num_items = item_embs.shape[0]
+            train_lists = [list(self.train_user2items.get(q, ()))
+                           for q in self.query_indices]
+            _, topk_ids = full_sort_topk(
+                user_embs, item_embs, self.beyond_topk,
+                train_items=_pad_lists(train_lists, pad=num_items))
+            counts = self.item_counts
+            if counts is None:
+                counts = np.bincount(np.concatenate(
+                    [np.asarray(l, np.int64) for l in train_lists if len(l)]
+                    or [np.zeros(0, np.int64)]), minlength=num_items)
+            out.update(evaluate_beyond_accuracy(
+                topk_ids, num_items, item_counts=counts,
+                metrics=self.beyond_accuracy_metrics))
+        return out
 
 
 class CTREvaluator:

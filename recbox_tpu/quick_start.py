@@ -118,7 +118,11 @@ def run_matching_experiment(
     evaluator = RetrievalEvaluator(
         eval_user_arrays, corpus_arrays, query_indices,
         train_user2items, valid_user2items, metrics=metrics,
-        batch_size=config.get("eval_batch_size", 4096))
+        batch_size=config.get("eval_batch_size", 4096),
+        # recbole-parity beyond-accuracy metrics over the masked top-k lists,
+        # e.g. beyond_accuracy_metrics: [ItemCoverage, GiniIndex]
+        beyond_accuracy_metrics=config.get("beyond_accuracy_metrics", ()),
+        beyond_topk=config.get("beyond_topk", 20))
 
     loss_name = config.get("loss", "PairwiseLogisticLoss")
     train_method = None
@@ -176,8 +180,8 @@ def run_sequential_experiment(
             hits = (order[:, :k] == tgt)
             out[f"Recall(k={k})"] = float(hits.any(1).mean())
             pos = np.where(hits.any(1), hits.argmax(1), -1)
-            out[f"NDCG(k={k})"] = float(np.where(
-                pos >= 0, 1.0 / np.log2(pos + 2.0), 0.0).mean())
+            gains = 1.0 / np.log2(np.maximum(pos, 0) + 2.0)
+            out[f"NDCG(k={k})"] = float(np.where(pos >= 0, gains, 0.0).mean())
         return out
 
     trainer = Trainer(

@@ -90,46 +90,58 @@ class _Bundle:
         self.features = features      # feature names routed to this bundle
 
 
+class _NoInitTx:
+    """Stub that skips optax state allocation during the parent's init()
+    (table-leaf Adam moments would be vocab-sized)."""
+
+    def __init__(self, tx):
+        self._tx = tx
+
+    def init(self, params):
+        return None
+
+
 class PackedEmbeddingTrainer(Trainer):
     """Trainer with packed-row embeddings + in-row AdaGrad state.
 
     Extra knobs: ``embedding_lr`` (default = config.learning_rate),
-    ``adagrad_init`` / ``adagrad_eps``.
+    ``adagrad_init`` / ``adagrad_eps``; ``direct_init`` (None = auto) picks
+    the big-vocab init path that never materializes dense tables;
+    ``table_initializer(key, shape)`` overrides the direct path's draw
+    (default normal std=1e-4, `FeatureEmbedding`'s default scheme).
     """
 
     def __init__(self, *args, embedding_lr: float = None,
                  adagrad_init: float = 0.0, adagrad_eps: float = 1e-8,
+                 direct_init: bool = None, table_initializer=None,
                  **kwargs):
         super().__init__(*args, **kwargs)
         self.embedding_lr = embedding_lr
         self.adagrad_init = adagrad_init
         self.adagrad_eps = adagrad_eps
+        self.direct_init = direct_init
+        self.table_initializer = table_initializer
         self.packs: Dict[str, jnp.ndarray] = {}
         self.accs: Dict[str, jnp.ndarray] = {}     # only for split-acc packs
         self._slots: Dict[str, List[_Slot]] = {}
         self._bundles: Dict[str, List[_Bundle]] = {}
         self._acc_in_row: Dict[str, bool] = {}
+        self._pack_store_width: Dict[str, int] = {}
         self._table_paths: Dict[str, tuple] = {}
 
     # -- layout construction --------------------------------------------------
-    def init(self, sample_batch) -> None:
-        super().init(sample_batch)
-        dense, tables, paths = split_sparse_params(self.params)
-        if not tables:
-            logger.warning("PackedEmbeddingTrainer found no emb_* tables; "
-                           "falling back to dense training")
-            return
+    def _plan_layout(self, table_shapes: Dict[str, tuple],
+                     paths: Dict[str, tuple], sample_batch) -> None:
+        """Fill _slots/_bundles/_acc_in_row from {table_key: (rows, dim)}."""
         fm = self.model.feature_map
-        self._table_paths = paths
-
-        # bundle tables by vocabulary (tname); slot order = sorted module path
+        self._table_paths = dict(paths)
         by_tname: Dict[str, List[Tuple[str, tuple, int, int]]] = {}
-        for tkey in sorted(tables):
+        for tkey in sorted(table_shapes):
             path = paths[tkey]
             tname = path[-1][len("emb_"):]
-            arr = tables[tkey]
+            rows, dim = table_shapes[tkey]
             by_tname.setdefault(tname, []).append(
-                (tkey, path[:-1], int(arr.shape[0]), int(arr.shape[1])))
+                (tkey, path[:-1], int(rows), int(dim)))
 
         # group bundles by identical (module_path, dim) signature
         groups: Dict[tuple, List[str]] = {}
@@ -140,13 +152,9 @@ class PackedEmbeddingTrainer(Trainer):
             sig = tuple((s[1], s[3]) for s in slots)
             groups.setdefault(sig, []).append(tname)
 
-        self.params = dense
-        self.opt_state = self.tx.init(self.params)
-        self.packs, self.accs = {}, {}
         self._slots, self._bundles, self._acc_in_row = {}, {}, {}
-
-        for sig, tnames in sorted(groups.items(),
-                                  key=lambda kv: str(kv[0])):
+        self._pack_store_width = {}
+        for sig, tnames in sorted(groups.items(), key=lambda kv: str(kv[0])):
             w_val = sum(d for _, d in sig)
             n_slots = len(sig)
             # free iff the acc columns stay within the 128-lane padding
@@ -158,9 +166,7 @@ class PackedEmbeddingTrainer(Trainer):
                 slots.append(_Slot(mp, d, col,
                                    (w_val + i) if acc_in_row else i))
                 col += d
-            width = w_val + n_slots if acc_in_row else w_val
-
-            bundles, parts, row = [], [], 0
+            bundles, row = [], 0
             for tname in sorted(tnames):
                 tks = [s[0] for s in by_tname[tname]]
                 rows = by_tname[tname][0][2]
@@ -169,24 +175,212 @@ class PackedEmbeddingTrainer(Trainer):
                     if f.type in (CATEGORICAL, SEQUENCE)
                     and f.table_name == tname and f.name in sample_batch)
                 bundles.append(_Bundle(tname, row, rows, tks, feats))
-                vals = [tables[tk] for tk in tks]
-                if acc_in_row:
-                    vals.append(jnp.full((rows, n_slots), self.adagrad_init,
-                                         jnp.float32))
-                parts.append(jnp.concatenate(vals, axis=1))
                 row += rows
-            self.packs[pack_name] = jnp.concatenate(parts, axis=0)
-            if not acc_in_row:
-                self.accs[pack_name] = jnp.full(
-                    (row, n_slots), self.adagrad_init, jnp.float32)
             self._slots[pack_name] = slots
             self._bundles[pack_name] = bundles
             self._acc_in_row[pack_name] = acc_in_row
+            # store the pack at its (8,128)-tile padded width: a 67-wide f32
+            # array is stored COMPACT between programs but tiled to 128
+            # lanes inside them, forcing a layout-change copy at program
+            # entry that defeats donation and transiently doubles HBM
+            # (observed: 6.49G arg + 12.40G temp for a 12.4G pack). With the
+            # width explicit, stored layout == compiled layout, the donated
+            # pack aliases in place, and peak HBM is the pack alone.
+            used = w_val + n_slots if acc_in_row else w_val
+            self._pack_store_width[pack_name] = -(-used // 128) * 128
+        orphans = [b.tname for bl in self._bundles.values() for b in bl
+                   if not b.features]
+        if orphans:
+            raise ValueError(
+                "these emb_* params have no feature routed through the "
+                f"__rows__ protocol (FeatureEmbedding): {sorted(orphans)}; "
+                "PackedEmbeddingTrainer requires all categorical/sequence "
+                "features to flow through FeatureEmbedding modules")
 
+    def _pack_width(self, pname: str) -> int:
+        slots = self._slots[pname]
+        w_val = sum(s.dim for s in slots)
+        return w_val + len(slots) if self._acc_in_row[pname] else w_val
+
+    def _packed_physical_bytes(self) -> int:
+        """HBM footprint of all packs under (8, 128) f32 tiling."""
+        return sum(sum(b.rows for b in self._bundles[p])
+                   * self._pack_store_width[p] * 4
+                   for p in self._bundles)
+
+    def init(self, sample_batch) -> None:
+        # discover the full param tree ABSTRACTLY (no device allocation) so
+        # the layout and the init strategy can be chosen before any table
+        # bytes exist
+        rng = jax.random.fold_in(self._rng, 0)
+        batch = {k: jax.ShapeDtypeStruct(np.asarray(v).shape,
+                                         np.asarray(v).dtype)
+                 for k, v in sample_batch.items()}
+        init_kwargs = {}
+        if self.train_method is not None:
+            init_kwargs["method"] = getattr(self.model, self.train_method)
+        abstract = jax.eval_shape(
+            lambda r, b: self.model.init({"params": r, "dropout": r}, b,
+                                         train=True, **init_kwargs),
+            rng, batch)
+        import flax
+        abs_params = flax.linen.meta.unbox(
+            flax.core.unfreeze(abstract)["params"])
+        _, abs_tables, paths = split_sparse_params(abs_params)
+        if not abs_tables:
+            logger.warning("PackedEmbeddingTrainer found no emb_* tables; "
+                           "falling back to dense training")
+            super().init(sample_batch)
+            return
+        self._plan_layout({k: v.shape for k, v in abs_tables.items()},
+                          paths, sample_batch)
+
+        use_direct = self.direct_init
+        if use_direct is None:
+            # the exact path materializes dense tables AND the pack: pick
+            # direct init when 2x the packed bytes would crowd HBM
+            use_direct = self._packed_physical_bytes() * 2 > 8 * 2 ** 30
+        if use_direct:
+            self._init_direct(sample_batch)
+        else:
+            self._init_exact(sample_batch)
+        if self.mesh is not None:
+            # row-shard every pack over the 'model' axis; GSPMD partitions
+            # the step's gather/scatter and emits the ICI collectives (same
+            # design as the flax ('model', None) table partitioning the
+            # dense Trainer uses)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P("model", None))
+            self.packs = {k: jax.device_put(v, shard)
+                          for k, v in self.packs.items()}
+            self.accs = {k: jax.device_put(v, shard)
+                         for k, v in self.accs.items()}
         n_rows = sum(int(p.shape[0]) for p in self.packs.values())
-        logger.info("packed embedding training: %d packs, %s rows, "
-                    "acc-in-row: %s", len(self.packs), f"{n_rows:,}",
-                    {k: v for k, v in self._acc_in_row.items()})
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.params))
+        logger.info("packed embedding training (%s init): %d packs, %s "
+                    "table rows, %s dense params, acc-in-row: %s",
+                    "direct" if use_direct else "exact", len(self.packs),
+                    f"{n_rows:,}", f"{n_params:,}",
+                    dict(self._acc_in_row))
+
+    def _init_exact(self, sample_batch) -> None:
+        """Run the model's real init, then re-layout its tables into packs.
+
+        Values match `Trainer.init` exactly, but dense tables and the packs
+        coexist transiently — peak HBM ≈ 2x the table bytes. Table-leaf Adam
+        state is never allocated (the optax state is built on the dense
+        subtree only)."""
+        tx, self.tx = self.tx, _NoInitTx(self.tx)   # defer opt-state init
+        try:
+            super().init(sample_batch)
+        finally:
+            self.tx = tx
+        dense, tables, _ = split_sparse_params(self.params)
+        self.params = dense
+        self.opt_state = self.tx.init(self.params)
+        self.packs, self.accs = {}, {}
+        for pname, bundles in self._bundles.items():
+            n_slots = len(self._slots[pname])
+            store_w = self._pack_store_width[pname]
+            parts, row = [], 0
+            for b in bundles:
+                vals = [tables[tk] for tk in b.table_keys]
+                used = sum(int(v.shape[1]) for v in vals)
+                if self._acc_in_row[pname]:
+                    vals.append(jnp.full((b.rows, n_slots),
+                                         self.adagrad_init, jnp.float32))
+                    used += n_slots
+                if used < store_w:
+                    vals.append(jnp.zeros((b.rows, store_w - used),
+                                          jnp.float32))
+                parts.append(jnp.concatenate(vals, axis=1))
+                for tk in b.table_keys:
+                    del tables[tk]
+                row += b.rows
+            self.packs[pname] = jnp.concatenate(parts, axis=0)
+            if not self._acc_in_row[pname]:
+                self.accs[pname] = jnp.full((row, n_slots),
+                                            self.adagrad_init, jnp.float32)
+
+    def _init_direct(self, sample_batch) -> None:
+        """Initialize packs ON DEVICE without ever materializing dense
+        tables (the big-vocab path: peak HBM ≈ the packed bytes alone).
+
+        Dense params come from `model.init` with every routed feature's
+        `__rows__` key stuffed into the batch, so `FeatureEmbedding` never
+        creates table params (`nn/embedding.py` rows protocol). Table values
+        are drawn directly into the pack with `table_initializer` (default:
+        normal std=1e-4, `FeatureEmbedding`'s default scheme — pass the
+        model's actual initializer when it differs, e.g. xavier_normal for
+        recbole-parity models)."""
+        from recbox_tpu.nn.embedding import emb_init
+        table_init = self.table_initializer or emb_init(1e-4)
+
+        rng, self._rng = jax.random.split(self._rng)
+        stuffed = dict(sample_batch)
+        for pname, bundles in self._bundles.items():
+            for b in bundles:
+                for fname in b.features:
+                    shape = np.asarray(sample_batch[fname]).shape
+                    for s in self._slots[pname]:
+                        stuffed[rows_key_for(s.module_path, fname)] = \
+                            np.zeros(shape + (s.dim,), np.float32)
+        super().init(stuffed)
+        dense, leftovers, _ = split_sparse_params(self.params)
+        if leftovers:
+            # tables NOT reachable through the rows protocol (e.g. a model
+            # embedding a feature absent from the batch) — keep them dense
+            raise ValueError(
+                "direct_init could not route these tables through the "
+                f"__rows__ protocol: {sorted(leftovers)}")
+        self.params = dense
+        self.opt_state = self.tx.init(self.params)
+
+        self.packs, self.accs = {}, {}
+        for pname, bundles in self._bundles.items():
+            slots = self._slots[pname]
+            n_slots = len(slots)
+            store_w = self._pack_store_width[pname]
+            total_rows = sum(b.rows for b in bundles)
+            if self._acc_in_row[pname] and self.adagrad_init:
+                pack = jnp.full((total_rows, store_w), self.adagrad_init,
+                                jnp.float32)
+            else:
+                pack = jnp.zeros((total_rows, store_w), jnp.float32)
+
+            # draw INSIDE the donated fill so each bundle's transient
+            # depends on the previous fill's output — the host cannot race
+            # ahead and pile up per-bundle value buffers in HBM
+            def make_fill(slots, acc_in_row, n_slots, store_w):
+                @partial(jax.jit, static_argnames=("rows",),
+                         donate_argnums=(0,))
+                def fill(pack, key, off, rows):
+                    cols = [table_init(jax.random.fold_in(key, i),
+                                       (rows, s.dim))
+                            for i, s in enumerate(slots)]
+                    used = sum(s.dim for s in slots)
+                    if acc_in_row:
+                        cols.append(jnp.full((rows, n_slots),
+                                             self.adagrad_init, jnp.float32))
+                        used += n_slots
+                    if used < store_w:
+                        cols.append(jnp.zeros((rows, store_w - used),
+                                              jnp.float32))
+                    vals = jnp.concatenate(cols, axis=1)
+                    return jax.lax.dynamic_update_slice(pack, vals, (off, 0))
+                return fill
+
+            fill = make_fill(tuple(slots), self._acc_in_row[pname], n_slots,
+                             store_w)
+            pack_rng = jax.random.fold_in(rng, len(self.packs))
+            for bi, b in enumerate(bundles):
+                key = jax.random.fold_in(pack_rng, bi)
+                pack = fill(pack, key, jnp.int32(b.row_offset), rows=b.rows)
+            self.packs[pname] = pack
+            if not self._acc_in_row[pname]:
+                self.accs[pname] = jnp.full((total_rows, n_slots),
+                                            self.adagrad_init, jnp.float32)
 
     # -- gather/update as pure functions over (packs, accs) -------------------
     def _gather_rows(self, packs, accs, batch):
@@ -238,13 +432,18 @@ class PackedEmbeddingTrainer(Trainer):
                 deltas.append(-emb_lr * g
                               / (jnp.sqrt(v_used) + eps)[:, None])
                 g2_cols.append(g2)
+            parts = list(deltas)
+            used = sum(s.dim for s in slots)
             if self._acc_in_row[pname]:
-                upd = jnp.concatenate(
-                    deltas + [jnp.stack(g2_cols, axis=1)], axis=1)
-                new_packs[pname] = packs[pname].at[ids].add(upd)
-            else:
-                new_packs[pname] = packs[pname].at[ids].add(
-                    jnp.concatenate(deltas, axis=1))
+                parts.append(jnp.stack(g2_cols, axis=1))
+                used += len(slots)
+            store_w = self._pack_store_width[pname]
+            if used < store_w:   # explicit tile-pad columns (see _plan_layout)
+                parts.append(jnp.zeros((ids.shape[0], store_w - used),
+                                       jnp.float32))
+            new_packs[pname] = packs[pname].at[ids].add(
+                jnp.concatenate(parts, axis=1))
+            if not self._acc_in_row[pname]:
                 new_accs[pname] = accs[pname].at[ids].add(
                     jnp.stack(g2_cols, axis=1))
         return new_packs, new_accs

@@ -106,3 +106,56 @@ class TestFullSortTopk:
         ref = users @ items.T
         np.testing.assert_array_equal(
             ids, np.argsort(-ref, axis=1, kind="stable")[:, :5])
+
+
+def test_retrieval_evaluator_reports_beyond_accuracy():
+    """RetrievalEvaluator appends coverage/diversity metrics to its output
+    when beyond_accuracy_metrics is set (recbole evaluator parity in the
+    one-call pipelines)."""
+    import numpy as np
+    from recbox_tpu.evaluation import RetrievalEvaluator
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.matching.two_tower import MF
+    from recbox_tpu.ops import get_matching_loss
+    from recbox_tpu.training import Trainer, TrainerConfig
+    from recbox_tpu.data import MatchingLoader
+
+    rng = np.random.default_rng(0)
+    n_users, n_items = 40, 25
+    fm = FeatureMap(
+        "ba", (FeatureSpec("user_id", "categorical", source="user",
+                           vocab_size=n_users, embedding_dim=8),
+               FeatureSpec("item_id", "categorical", source="item",
+                           vocab_size=n_items, embedding_dim=8)),
+        query_index="user_id", corpus_index="item_id", num_items=n_items)
+    users = rng.integers(0, n_users, 400).astype(np.int32)
+    items = ((users * 3) % n_items).astype(np.int32)
+    train_u2i, valid_u2i = {}, {}
+    for u, i in zip(users[:300], items[:300]):
+        train_u2i.setdefault(int(u), []).append(int(i))
+    for u, i in zip(users[300:], items[300:]):
+        valid_u2i.setdefault(int(u), []).append(int(i))
+    uu = np.unique(users[300:])
+    ev = RetrievalEvaluator(
+        {"user_id": uu.astype(np.int32)},
+        {"item_id": np.arange(n_items, dtype=np.int32)}, uu,
+        train_u2i, valid_u2i, metrics=["Recall(k=10)"],
+        beyond_accuracy_metrics=["ItemCoverage", "AveragePopularity",
+                                 "ShannonEntropy", "GiniIndex",
+                                 "TailPercentage"],
+        beyond_topk=10, batch_size=64)
+    tr = Trainer(MF(feature_map=fm, embedding_dim=8),
+                 lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),
+                 TrainerConfig(learning_rate=0.05, monitor="Recall(k=10)"))
+    loader = MatchingLoader(fm, {"user_id": users[:300],
+                                 "item_id": items[:300]},
+                            {"item_id": np.arange(n_items, dtype=np.int32)},
+                            batch_size=64, num_negs=4, seed=0)
+    tr.init(next(iter(loader)))
+    out = ev(tr)
+    assert "Recall(k=10)" in out
+    assert 0 < out["ItemCoverage"] <= 1.0
+    assert out["ShannonEntropy"] > 0
+    assert 0 <= out["GiniIndex"] <= 1
+    assert 0 <= out["TailPercentage"] <= 1
+    assert out["AveragePopularity"] >= 0

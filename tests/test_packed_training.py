@@ -41,8 +41,14 @@ def test_pack_layout_deepfm(rng):
     t.init(batch)
     assert len(t.packs) == 1          # identical layout -> one pack
     pack = next(iter(t.packs.values()))
-    # 2 vocabs x 64 rows; cols = 8 (embedding) + 1 (linear) + 2 acc = 11
-    assert pack.shape == (128, 11)
+    # 2 vocabs x 64 rows; used cols = 8 (embedding) + 1 (linear) + 2 acc
+    # = 11, stored at the 128-lane tile width so program layout == storage
+    # layout (donation aliases in place)
+    assert pack.shape == (128, 128)
+    pname = next(iter(t.packs))
+    assert t._pack_store_width[pname] == 128
+    # pad columns stay zero
+    assert float(np.abs(np.asarray(pack[:, 11:])).max()) == 0.0
     assert t._acc_in_row[next(iter(t.packs))]
     assert not t.accs
     # logical views cover both modules' tables
@@ -204,3 +210,69 @@ def test_packed_split_acc_when_width_is_tile_multiple(rng):
     t.train_step(dict(batch))
     acc = np.asarray(t.accumulators["embedding/emb_c"])
     assert acc[1] > 0 and acc[2] > 0 and acc[3] == 0
+
+
+def test_direct_init_matches_exact_behavior(rng):
+    """direct_init=True never materializes dense tables but trains the
+    same model: layout identical, values drawn from the same distribution,
+    quality comparable."""
+    import jax
+    fm, arrays = _fixture(rng, n=3000)
+    split = int(0.8 * len(arrays["click"]))
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=8, patience=10,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    t = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+        eval_fn=ev, direct_init=True)
+    batch = {k: v[:128] for k, v in train.items()}
+    t.init(batch)
+    # same layout as the exact path
+    t2 = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+        direct_init=False)
+    t2.init(batch)
+    k1, k2 = next(iter(t.packs)), next(iter(t2.packs))
+    assert k1 == k2 and t.packs[k1].shape == t2.packs[k2].shape
+    # embedding columns drawn at the default normal(1e-4) scale
+    emb_cols = np.asarray(t.tables["embedding/emb_cat_a"])
+    assert 0.3e-4 < emb_cols.std() < 3e-4
+    # accumulator columns start at adagrad_init (0)
+    assert float(np.abs(np.asarray(
+        t.accumulators["embedding/emb_cat_a"])).max()) == 0.0
+    # no vocab-sized leaves in the dense tree or its optimizer state
+    for leaf in jax.tree_util.tree_leaves(t.params):
+        assert "emb_" not in str(leaf.shape) and leaf.ndim <= 2
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["AUC"] > 0.9, m
+
+
+def test_direct_init_raises_on_unroutable_tables(rng):
+    """A model-owned emb_* param that bypasses FeatureEmbedding (no
+    __rows__ protocol) must fail loudly under direct init, not mistrain."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    fm, _ = _fixture(rng)
+
+    class RawTable(nn.Module):
+        feature_map: object
+
+        @nn.compact
+        def __call__(self, batch, train=False):
+            table = self.param("emb_raw", nn.initializers.normal(1e-2),
+                               (64, 4))
+            return jnp.take(table, batch["cat_a"], axis=0).sum(-1)
+
+    t = PackedEmbeddingTrainer(
+        RawTable(feature_map=fm),
+        lambda o, b: binary_crossentropy(o, b["click"]),
+        TrainerConfig(learning_rate=1e-2, monitor="AUC"), direct_init=True)
+    batch = {"cat_a": np.array([1, 2], np.int32),
+             "click": np.array([1, 0], np.float32)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="__rows__"):
+        t.init(batch)
