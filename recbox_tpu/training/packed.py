@@ -114,19 +114,34 @@ class PackedEmbeddingTrainer(Trainer):
     def __init__(self, *args, embedding_lr: float = None,
                  adagrad_init: float = 0.0, adagrad_eps: float = 1e-8,
                  direct_init: bool = None, table_initializer=None,
+                 embedding_optimizer: str = "adagrad",
+                 adam_b1: float = 0.9, adam_b2: float = 0.999,
                  **kwargs):
         super().__init__(*args, **kwargs)
+        if embedding_optimizer not in ("adagrad", "adam"):
+            raise NotImplementedError(
+                f"embedding_optimizer={embedding_optimizer!r}")
         self.embedding_lr = embedding_lr
         self.adagrad_init = adagrad_init
         self.adagrad_eps = adagrad_eps
         self.direct_init = direct_init
         self.table_initializer = table_initializer
+        # 'adagrad': one scalar of state per slot, usually free in the
+        # row's 128-lane padding. 'adam': LAZY Adam — per-element m and v
+        # packed as [values | m | v] (state decays only at touched rows, the
+        # standard sparse-Adam semantics); 3x the value columns but still
+        # ONE gather + ONE scatter, vs dense Adam's 3 separately-padded
+        # arrays + full-table sweep.
+        self.embedding_optimizer = embedding_optimizer
+        self.adam_b1 = adam_b1
+        self.adam_b2 = adam_b2
         self.packs: Dict[str, jnp.ndarray] = {}
         self.accs: Dict[str, jnp.ndarray] = {}     # only for split-acc packs
         self._slots: Dict[str, List[_Slot]] = {}
         self._bundles: Dict[str, List[_Bundle]] = {}
         self._acc_in_row: Dict[str, bool] = {}
         self._pack_store_width: Dict[str, int] = {}
+        self._value_width: Dict[str, int] = {}
         self._table_paths: Dict[str, tuple] = {}
 
     # -- layout construction --------------------------------------------------
@@ -154,11 +169,19 @@ class PackedEmbeddingTrainer(Trainer):
 
         self._slots, self._bundles, self._acc_in_row = {}, {}, {}
         self._pack_store_width = {}
+        self._value_width = {}
         for sig, tnames in sorted(groups.items(), key=lambda kv: str(kv[0])):
             w_val = sum(d for _, d in sig)
             n_slots = len(sig)
-            # free iff the acc columns stay within the 128-lane padding
-            acc_in_row = (-(-(w_val + n_slots) // 128) == -(-w_val // 128))
+            if self.embedding_optimizer == "adam":
+                # [values | m | v]: per-element state always rides in-row
+                acc_in_row = True
+                state_w = 2 * w_val
+            else:
+                state_w = n_slots
+                # free iff the acc columns stay within the 128-lane padding
+                acc_in_row = (-(-(w_val + state_w) // 128)
+                              == -(-w_val // 128))
             pack_name = "pack_" + "_".join(
                 f"{'/'.join(mp)}x{d}" for mp, d in sig)
             slots, col = [], 0
@@ -186,8 +209,9 @@ class PackedEmbeddingTrainer(Trainer):
             # (observed: 6.49G arg + 12.40G temp for a 12.4G pack). With the
             # width explicit, stored layout == compiled layout, the donated
             # pack aliases in place, and peak HBM is the pack alone.
-            used = w_val + n_slots if acc_in_row else w_val
+            used = w_val + state_w if acc_in_row else w_val
             self._pack_store_width[pack_name] = -(-used // 128) * 128
+            self._value_width[pack_name] = w_val
         orphans = [b.tname for bl in self._bundles.values() for b in bl
                    if not b.features]
         if orphans:
@@ -287,10 +311,12 @@ class PackedEmbeddingTrainer(Trainer):
             for b in bundles:
                 vals = [tables[tk] for tk in b.table_keys]
                 used = sum(int(v.shape[1]) for v in vals)
-                if self._acc_in_row[pname]:
+                if self.embedding_optimizer == "adagrad" \
+                        and self._acc_in_row[pname]:
                     vals.append(jnp.full((b.rows, n_slots),
                                          self.adagrad_init, jnp.float32))
                     used += n_slots
+                # adam m/v state initializes to 0 via the zero tile-pad
                 if used < store_w:
                     vals.append(jnp.zeros((b.rows, store_w - used),
                                           jnp.float32))
@@ -343,7 +369,8 @@ class PackedEmbeddingTrainer(Trainer):
             n_slots = len(slots)
             store_w = self._pack_store_width[pname]
             total_rows = sum(b.rows for b in bundles)
-            if self._acc_in_row[pname] and self.adagrad_init:
+            if self.embedding_optimizer == "adagrad" \
+                    and self._acc_in_row[pname] and self.adagrad_init:
                 pack = jnp.full((total_rows, store_w), self.adagrad_init,
                                 jnp.float32)
             else:
@@ -360,10 +387,11 @@ class PackedEmbeddingTrainer(Trainer):
                                        (rows, s.dim))
                             for i, s in enumerate(slots)]
                     used = sum(s.dim for s in slots)
-                    if acc_in_row:
+                    if acc_in_row and self.embedding_optimizer == "adagrad":
                         cols.append(jnp.full((rows, n_slots),
                                              self.adagrad_init, jnp.float32))
                         used += n_slots
+                    # adam m/v state initializes to 0 via the zero tile-pad
                     if used < store_w:
                         cols.append(jnp.zeros((rows, store_w - used),
                                               jnp.float32))
@@ -399,8 +427,9 @@ class PackedEmbeddingTrainer(Trainer):
                 continue
             ids = jnp.concatenate(ids) if len(ids) > 1 else ids[0]
             G = jnp.take(packs[pname], ids, axis=0)      # (N, W)
-            if self._acc_in_row[pname]:
-                v_pre = jnp.stack([G[:, s.acc_col] for s in slots], axis=1)
+            if self.embedding_optimizer == "adam" \
+                    or self._acc_in_row[pname]:
+                v_pre = None                             # state sliced from G
             else:
                 v_pre = jnp.take(accs[pname], ids, axis=0)   # (N, S)
             off = 0
@@ -411,39 +440,74 @@ class PackedEmbeddingTrainer(Trainer):
                                    s.col_start:s.col_start + s.dim] \
                         .reshape(shape + (s.dim,))
                 off += n
-            ctx[pname] = (ids, segs, v_pre)
+            ctx[pname] = (ids, segs, G, v_pre)
         return rows, ctx
 
-    def _apply_row_updates(self, packs, accs, row_grads, ctx, emb_lr):
+    def _slot_grads(self, slots, segs, row_grads):
+        """Per slot: (N, D) grads concatenated in ids order."""
+        out = []
+        for s in slots:
+            parts = []
+            for fname, b, n, shape in segs:
+                rkey = rows_key_for(s.module_path, fname)
+                parts.append(row_grads[rkey].reshape(n, s.dim))
+            out.append(jnp.concatenate(parts) if len(parts) > 1
+                       else parts[0])
+        return out
+
+    def _apply_row_updates(self, packs, accs, row_grads, ctx, emb_lr, step):
         eps = self.adagrad_eps
         new_packs, new_accs = dict(packs), dict(accs)
-        for pname, (ids, segs, v_pre) in ctx.items():
+        for pname, (ids, segs, G, v_pre) in ctx.items():
             slots = self._slots[pname]
-            # per slot: (N, D) grads in ids order
-            deltas, g2_cols = [], []
-            for si, s in enumerate(slots):
-                parts = []
-                for fname, b, n, shape in segs:
-                    rkey = rows_key_for(s.module_path, fname)
-                    parts.append(row_grads[rkey].reshape(n, s.dim))
-                g = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-                g2 = jnp.mean(jnp.square(g), axis=-1)          # (N,)
-                v_used = v_pre[:, si] + g2
-                deltas.append(-emb_lr * g
-                              / (jnp.sqrt(v_used) + eps)[:, None])
-                g2_cols.append(g2)
-            parts = list(deltas)
-            used = sum(s.dim for s in slots)
-            if self._acc_in_row[pname]:
-                parts.append(jnp.stack(g2_cols, axis=1))
-                used += len(slots)
+            w_val = self._value_width[pname]
+            grads = self._slot_grads(slots, segs, row_grads)
+            if self.embedding_optimizer == "adam":
+                # lazy Adam: m/v blocks mirror the value-column layout at
+                # offsets w_val and 2*w_val; scatter-ADD writes the state
+                # DELTAS (m_new - m_pre etc.). Duplicate ids in one batch
+                # each update from the pre-step state (per-example
+                # semantics, the usual sparse-Adam tradeoff).
+                b1, b2 = self.adam_b1, self.adam_b2
+                t = jnp.maximum(step, 1).astype(jnp.float32)
+                bc1 = 1.0 - b1 ** t
+                bc2 = 1.0 - b2 ** t
+                deltas, m_upds, v_upds = [], [], []
+                for s, g in zip(slots, grads):
+                    c0, c1 = s.col_start, s.col_start + s.dim
+                    m_pre = G[:, w_val + c0:w_val + c1]
+                    v_pre_s = G[:, 2 * w_val + c0:2 * w_val + c1]
+                    m_new = b1 * m_pre + (1.0 - b1) * g
+                    v_new = b2 * v_pre_s + (1.0 - b2) * jnp.square(g)
+                    deltas.append(-emb_lr * (m_new / bc1)
+                                  / (jnp.sqrt(v_new / bc2) + eps))
+                    m_upds.append(m_new - m_pre)
+                    v_upds.append(v_new - v_pre_s)
+                parts = deltas + m_upds + v_upds
+                used = 3 * w_val
+            else:
+                deltas, g2_cols = [], []
+                for si, (s, g) in enumerate(zip(slots, grads)):
+                    g2 = jnp.mean(jnp.square(g), axis=-1)      # (N,)
+                    vp = G[:, s.acc_col] if self._acc_in_row[pname] \
+                        else v_pre[:, si]
+                    v_used = vp + g2
+                    deltas.append(-emb_lr * g
+                                  / (jnp.sqrt(v_used) + eps)[:, None])
+                    g2_cols.append(g2)
+                parts = list(deltas)
+                used = w_val
+                if self._acc_in_row[pname]:
+                    parts.append(jnp.stack(g2_cols, axis=1))
+                    used += len(slots)
             store_w = self._pack_store_width[pname]
             if used < store_w:   # explicit tile-pad columns (see _plan_layout)
                 parts.append(jnp.zeros((ids.shape[0], store_w - used),
                                        jnp.float32))
             new_packs[pname] = packs[pname].at[ids].add(
                 jnp.concatenate(parts, axis=1))
-            if not self._acc_in_row[pname]:
+            if self.embedding_optimizer != "adam" \
+                    and not self._acc_in_row[pname]:
                 new_accs[pname] = accs[pname].at[ids].add(
                     jnp.stack(g2_cols, axis=1))
         return new_packs, new_accs
@@ -462,7 +526,7 @@ class PackedEmbeddingTrainer(Trainer):
         if self.train_method is not None:
             apply_kwargs["method"] = getattr(model, self.train_method)
 
-        def step_fn(dense_params, packs, accs, opt_state, batch, rng):
+        def step_fn(dense_params, packs, accs, opt_state, batch, rng, step):
             rows, ctx = self._gather_rows(packs, accs, batch)
 
             def compute_loss(dp, rows):
@@ -487,7 +551,7 @@ class PackedEmbeddingTrainer(Trainer):
                                                     dense_params)
             new_dense = optax.apply_updates(dense_params, updates)
             new_packs, new_accs = self._apply_row_updates(
-                packs, accs, row_grads, ctx, emb_lr)
+                packs, accs, row_grads, ctx, emb_lr, step)
             return (new_dense, new_packs, new_accs, new_state,
                     new_opt_state, loss)
 
@@ -504,7 +568,8 @@ class PackedEmbeddingTrainer(Trainer):
         dbatch = self._device_batch(batch)
         (self.params, self.packs, self.accs, self.model_state,
          self.opt_state, loss) = self._train_step(
-            self.params, self.packs, self.accs, self.opt_state, dbatch, rng)
+            self.params, self.packs, self.accs, self.opt_state, dbatch, rng,
+            jnp.int32(self.step + 1))
         self.step += 1
         return loss
 
@@ -520,17 +585,19 @@ class PackedEmbeddingTrainer(Trainer):
 
             @partial(jax.jit, static_argnames=("n",),
                      donate_argnums=(0, 1, 2, 3))
-            def repeat(dense, packs, accs, opt_state, batch, rng, n):
+            def repeat(dense, packs, accs, opt_state, batch, rng, step0, n):
                 rngs = jax.random.split(rng, n)
+                steps = step0 + jnp.arange(1, n + 1, dtype=jnp.int32)
 
-                def body(carry, step_rng):
+                def body(carry, inp):
+                    step_rng, step = inp
                     dense, packs, accs, opt_state = carry
                     dense, packs, accs, _, opt_state, loss = inner(
-                        dense, packs, accs, opt_state, batch, step_rng)
+                        dense, packs, accs, opt_state, batch, step_rng, step)
                     return (dense, packs, accs, opt_state), loss
 
                 carry, losses = jax.lax.scan(
-                    body, (dense, packs, accs, opt_state), rngs)
+                    body, (dense, packs, accs, opt_state), (rngs, steps))
                 return carry + (losses,)
 
             self._repeat_step = repeat
@@ -538,7 +605,8 @@ class PackedEmbeddingTrainer(Trainer):
         dbatch = self._device_batch(batch)
         (self.params, self.packs, self.accs, self.opt_state, losses) = \
             self._repeat_step(self.params, self.packs, self.accs,
-                              self.opt_state, dbatch, rng, n_steps)
+                              self.opt_state, dbatch, rng,
+                              jnp.int32(self.step), n_steps)
         self.step += n_steps
         return losses
 
@@ -554,19 +622,21 @@ class PackedEmbeddingTrainer(Trainer):
             inner = self._train_step
 
             @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-            def fused(dense, packs, accs, opt_state, batches, rng):
+            def fused(dense, packs, accs, opt_state, batches, rng, step0):
                 K = len(jax.tree_util.tree_leaves(batches)[0])
                 rngs = jax.random.split(rng, K)
+                steps = step0 + jnp.arange(1, K + 1, dtype=jnp.int32)
 
                 def body(carry, inp):
                     dense, packs, accs, opt_state = carry
-                    batch, step_rng = inp
+                    batch, step_rng, step = inp
                     dense, packs, accs, _, opt_state, loss = inner(
-                        dense, packs, accs, opt_state, batch, step_rng)
+                        dense, packs, accs, opt_state, batch, step_rng, step)
                     return (dense, packs, accs, opt_state), loss
 
                 carry, losses = jax.lax.scan(
-                    body, (dense, packs, accs, opt_state), (batches, rngs))
+                    body, (dense, packs, accs, opt_state),
+                    (batches, rngs, steps))
                 return carry + (losses,)
 
             self._fused_step = fused
@@ -574,7 +644,8 @@ class PackedEmbeddingTrainer(Trainer):
         dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
         (self.params, self.packs, self.accs, self.opt_state, losses) = \
             self._fused_step(self.params, self.packs, self.accs,
-                             self.opt_state, dbatches, rng)
+                             self.opt_state, dbatches, rng,
+                             jnp.int32(self.step))
         self.step += int(losses.shape[0])
         return losses
 
@@ -594,9 +665,20 @@ class PackedEmbeddingTrainer(Trainer):
 
     @property
     def accumulators(self) -> Dict[str, jnp.ndarray]:
-        """{table_key: (V,)} AdaGrad accumulator view."""
+        """{table_key: (V,)} second-moment view: the AdaGrad accumulator,
+        or the row-mean of the lazy-Adam v block."""
         out = {}
         for pname, bundles in self._bundles.items():
+            if self.embedding_optimizer == "adam":
+                w_val = self._value_width[pname]
+                pack = self.packs[pname]
+                for b in bundles:
+                    for si, s in enumerate(self._slots[pname]):
+                        c0 = 2 * w_val + s.col_start
+                        out[b.table_keys[si]] = jnp.mean(
+                            pack[b.row_offset:b.row_offset + b.rows,
+                                 c0:c0 + s.dim], axis=-1)
+                continue
             src = self.packs[pname] if self._acc_in_row[pname] \
                 else self.accs[pname]
             for b in bundles:

@@ -276,3 +276,64 @@ def test_direct_init_raises_on_unroutable_tables(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="__rows__"):
         t.init(batch)
+
+
+def test_packed_adam_matches_dense_adam_quality(rng):
+    """embedding_optimizer='adam' (lazy Adam in [values|m|v] rows) reaches
+    dense-Adam quality on the same data and the state layout holds."""
+    fm, arrays = _fixture(rng, n=3000)
+    split = int(0.8 * len(arrays["click"]))
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=8, patience=10,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,))
+    t = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+        eval_fn=ev, embedding_optimizer="adam")
+    batch = {k: v[:64] for k, v in train.items()}
+    t.init(batch)
+    pname = next(iter(t.packs))
+    # layout: values (8+1=9) | m (9) | v (9) = 27 used, stored at 128
+    assert t._value_width[pname] == 9
+    assert t._pack_store_width[pname] == 128
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["AUC"] > 0.95, m
+    # v block accumulated at touched rows only
+    acc = np.asarray(t.accumulators["embedding/emb_cat_a"])
+    assert (acc >= 0).all() and acc.max() > 0
+
+
+def test_packed_adam_single_step_matches_dense_adam(rng):
+    """One packed-adam step == one dense optax.adam step on the embedding
+    rows (no duplicates in the batch -> exact lazy-Adam equivalence)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    fm, _ = _fixture(rng)
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,),
+                   dropout=0.0)
+    cfg = TrainerConfig(learning_rate=1e-2, grad_clip_norm=0.0,
+                        monitor="AUC", seed=3)
+    batch = {"cat_a": np.array([3, 5, 9], np.int32),
+             "cat_b": np.array([7, 8, 11], np.int32),
+             "click": np.array([1., 0., 1.], np.float32)}
+
+    t_dense = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]),
+                      cfg)
+    t_dense.init(batch)
+    t_packed = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+        embedding_optimizer="adam")
+    t_packed.init(batch)
+    # same starting tables (exact init path copies model init values)
+    np.testing.assert_allclose(
+        np.asarray(t_dense.params["embedding"]["emb_cat_a"]),
+        np.asarray(t_packed.tables["embedding/emb_cat_a"]), rtol=1e-6)
+    t_dense.train_step(dict(batch))
+    t_packed.train_step(dict(batch))
+    a = np.asarray(t_dense.params["embedding"]["emb_cat_a"])
+    b = np.asarray(t_packed.tables["embedding/emb_cat_a"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
