@@ -131,7 +131,9 @@ class PackedEmbeddingTrainer(Trainer):
         # packed as [values | m | v] (state decays only at touched rows, the
         # standard sparse-Adam semantics); 3x the value columns but still
         # ONE gather + ONE scatter, vs dense Adam's 3 separately-padded
-        # arrays + full-table sweep.
+        # arrays + full-table sweep. Measured at bench shapes (v5e, same
+        # run): adagrad 763k ex/s, adam 421k (wider rows), dense Adam 479k —
+        # pick adagrad for throughput/capacity, adam for optimizer parity.
         self.embedding_optimizer = embedding_optimizer
         self.adam_b1 = adam_b1
         self.adam_b2 = adam_b2

@@ -35,9 +35,13 @@ def main():
     batch["click"] = (rng.random(batch_size) > 0.5).astype(np.float32)
 
     steps = 30
-    for name, cls in [("packed", PackedEmbeddingTrainer),
-                      ("dense", Trainer),
-                      ("sparse", SparseEmbeddingTrainer)]:
+    import functools
+    for name, cls in [
+            ("packed", PackedEmbeddingTrainer),
+            ("packed_adam", functools.partial(PackedEmbeddingTrainer,
+                                              embedding_optimizer="adam")),
+            ("dense", Trainer),
+            ("sparse", SparseEmbeddingTrainer)]:
         model = DeepFM(feature_map=fm, embedding_dim=dim,
                        hidden_units=(1024, 512, 256),
                        compute_dtype="bfloat16")
