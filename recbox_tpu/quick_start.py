@@ -85,8 +85,18 @@ def run_ranking_experiment(
         def loss_fn(outputs, batch):
             return binary_crossentropy(outputs, batch[labels[0]])
 
-    trainer = Trainer(model, loss_fn, build_trainer_config(config),
-                      eval_fn=evaluator, mesh=mesh)
+    # config `trainer: packed` selects the fast path (one row-gather + one
+    # row-scatter per step; `embedding_optimizer: adagrad|adam`)
+    if config.get("trainer", "dense") == "packed":
+        from recbox_tpu.training.packed import PackedEmbeddingTrainer
+        trainer = PackedEmbeddingTrainer(
+            model, loss_fn, build_trainer_config(config), eval_fn=evaluator,
+            mesh=mesh,
+            embedding_optimizer=config.get("embedding_optimizer", "adagrad"),
+            embedding_lr=config.get("embedding_lr"))
+    else:
+        trainer = Trainer(model, loss_fn, build_trainer_config(config),
+                          eval_fn=evaluator, mesh=mesh)
     loader = ArrayLoader(train_arrays, batch_size=batch_size, drop_last=True,
                          seed=config.get("seed", 2024))
     result = trainer.fit(loader, epochs=config.get("epochs"))

@@ -522,8 +522,15 @@ class PackedEmbeddingTrainer(Trainer):
         model = self.model
         loss_fn = self.loss_fn
         mutable_keys = list(self.model_state.keys())
-        emb_lr = self.embedding_lr if self.embedding_lr is not None \
-            else cfg.learning_rate
+        if self.embedding_lr is not None:
+            emb_lr = self.embedding_lr
+        elif self.embedding_optimizer == "adam":
+            emb_lr = cfg.learning_rate
+        else:
+            # AdaGrad needs a much larger step than Adam-calibrated configs
+            # carry (accumulator starts near 0); 5e-2 is the DLRM-regime
+            # default — set embedding_lr explicitly to override
+            emb_lr = max(cfg.learning_rate, 5e-2)
         apply_kwargs = {}
         if self.train_method is not None:
             apply_kwargs["method"] = getattr(model, self.train_method)
