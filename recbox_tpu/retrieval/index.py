@@ -41,7 +41,8 @@ from jax.experimental.shard_map import shard_map
 
 from recbox_tpu.parallel.mesh import MODEL_AXIS
 
-__all__ = ["BruteForceMIPS", "chunked_topk", "approx_mips_topk"]
+__all__ = ["BruteForceMIPS", "chunked_topk", "approx_mips_topk",
+           "segmented_mips_topk"]
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "query_chunk",
@@ -66,6 +67,54 @@ def approx_mips_topk(queries: jnp.ndarray, items: jnp.ndarray, topk: int,
     s = s.reshape(-1, topk)[:Q]
     i = i.reshape(-1, topk)[:Q]
     return s, i.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "query_chunk",
+                                             "n_segments", "seg_k", "bf16"))
+def segmented_mips_topk(queries: jnp.ndarray, items: jnp.ndarray, topk: int,
+                        query_chunk: int = 1024, n_segments: int = 8,
+                        seg_k: int = 0, bf16: bool = True):
+    """Segment-merge top-k for LARGE k: approx_max_k's partial-reduction
+    cost grows with k, so for k≳256 it is cheaper to split the corpus into
+    `n_segments` column blocks, approx-retrieve `seg_k` per block (a small-k
+    reduction), and exactly top-k the n_segments·seg_k merged candidates.
+    Measured (v5e, 1M×128, k=500): 318k qps @ recall .956 vs the flat
+    approx path's 219k @ .985 (`tools/prof_retrieval_topk.py`,
+    `tools/check_segment_recall.py`); matmul-only ceiling 476k qps. Recall
+    is bounded by the per-segment budget: raise `seg_k` (or lower
+    `n_segments`) for more headroom.
+    """
+    Q, D = queries.shape
+    N = items.shape[0]
+    if not seg_k:
+        seg_k = max(topk // n_segments + topk // (2 * n_segments), 1)
+    pad_n = (-N) % n_segments
+    if pad_n:
+        items = jnp.concatenate(
+            [items, jnp.zeros((pad_n, D), items.dtype)], axis=0)
+    seg_len = items.shape[0] // n_segments
+    it = items.astype(jnp.bfloat16) if bf16 else items
+    pad_q = (-Q) % query_chunk
+    if pad_q:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad_q, D), queries.dtype)], axis=0)
+    seg_off = (jnp.arange(n_segments) * seg_len)[None, :, None]
+
+    def body(q):
+        qq = q.astype(jnp.bfloat16) if bf16 else q
+        s = jnp.dot(qq, it.T, preferred_element_type=jnp.float32)
+        if pad_n:
+            s = s.at[:, N:].set(-jnp.inf)
+        seg = s.reshape(q.shape[0], n_segments, seg_len)
+        cs, ci = jax.lax.approx_max_k(seg, seg_k, recall_target=0.95)
+        ci = (ci + seg_off).reshape(q.shape[0], -1)
+        cs = cs.reshape(q.shape[0], -1)
+        ts, pos = jax.lax.top_k(cs, topk)
+        return ts, jnp.take_along_axis(ci, pos, axis=1)
+
+    s, i = jax.lax.map(body, queries.reshape(-1, query_chunk, D))
+    return (s.reshape(-1, topk)[:Q],
+            i.reshape(-1, topk)[:Q].astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "chunk_size"))
@@ -131,8 +180,9 @@ class BruteForceMIPS:
 
     Args:
       metric: 'ip' | 'cosine' (L2-normalized at build, faiss normalize flag).
-      method: 'approx' (default, fastest) | 'refined' (two-phase,
-        near-exact) | 'exact'/'exact_sort' (scan merge, truly exact).
+      method: 'approx' (default) | 'segmented' (fastest at large k — see
+        `segmented_mips_topk`) | 'refined' (two-phase, near-exact) |
+        'exact'/'exact_sort' (scan merge, truly exact).
       recall_target: approx_max_k knob for method='approx'.
     """
 
@@ -215,7 +265,12 @@ class BruteForceMIPS:
                 self._search_sharded = self._build_sharded_search(topk)
                 self._sharded_topk = topk
             s, i = self._search_sharded(queries, self.padded_items)
-        elif self.method == "approx" and self.num_items > 4 * topk:
+        elif self.method == "segmented" and self.num_items > 16 * topk:
+            s, i = segmented_mips_topk(queries, self.items, topk,
+                                       query_chunk=self.query_chunk,
+                                       bf16=self.bf16)
+        elif self.method in ("approx", "segmented") \
+                and self.num_items > 4 * topk:
             s, i = approx_mips_topk(queries, self.items, topk,
                                     query_chunk=self.query_chunk,
                                     recall_target=self.recall_target,

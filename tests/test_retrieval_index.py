@@ -107,3 +107,50 @@ def test_sharded_approx_mode(rng):
     _, ei = _oracle(queries, items, 20)
     recall = np.mean([len(set(i[r]) & set(ei[r])) / 20 for r in range(32)])
     assert recall > 0.85, recall
+
+
+def test_segmented_mips_topk_recall():
+    """Segment-merge path: high overlap with the exact oracle."""
+    import numpy as np
+    from recbox_tpu.retrieval.index import (
+        BruteForceMIPS, chunked_topk, segmented_mips_topk,
+    )
+    rng = np.random.default_rng(0)
+    items = rng.normal(size=(20_000, 32)).astype(np.float32)
+    queries = rng.normal(size=(64, 32)).astype(np.float32)
+    k = 100
+    _, exact = chunked_topk(queries, items, k, chunk_size=4096)
+    s, ids = segmented_mips_topk(queries, items, k, query_chunk=64,
+                                 n_segments=8)
+    assert ids.shape == (64, k)
+    exact = np.asarray(exact)
+    ids = np.asarray(ids)
+    recall = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                      for a, b in zip(ids, exact)])
+    assert recall > 0.9, recall
+    # scores are the true inner products of the returned items
+    np.testing.assert_allclose(
+        np.asarray(s)[0], (queries[0] @ items[np.asarray(ids)[0]].T),
+        rtol=2e-2, atol=2e-2)   # bf16 scoring
+
+    idx = BruteForceMIPS(items, method="segmented", query_chunk=64)
+    s2, i2 = idx.search(queries, topk=k)
+    assert i2.shape == (64, k)
+    r2 = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                  for a, b in zip(i2, exact)])
+    assert r2 > 0.9, r2
+
+
+def test_segmented_falls_back_for_small_corpora():
+    import numpy as np
+    from recbox_tpu.retrieval.index import BruteForceMIPS
+    rng = np.random.default_rng(1)
+    items = rng.normal(size=(300, 16)).astype(np.float32)
+    idx = BruteForceMIPS(items, method="segmented")
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    s, i = idx.search(q, topk=50)
+    assert i.shape == (8, 50)
+    # tiny corpus routes to the exact scan path: perfect agreement
+    exact = np.argsort(-(q @ items.T), axis=1)[:, :50]
+    assert all(set(a.tolist()) == set(b.tolist())
+               for a, b in zip(i, exact))
