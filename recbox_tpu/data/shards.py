@@ -44,6 +44,8 @@ def save_shards(path: str, arrays: Dict[str, np.ndarray],
         raise ValueError(f"ragged columns: {lengths}")
     n = next(iter(lengths.values()))
     os.makedirs(path, exist_ok=True)
+    for stale in _shard_files(path):  # never mix with a previous save
+        os.remove(stale)
     files = []
     for i, start in enumerate(range(0, n, rows_per_shard)):
         part = {k: v[start:start + rows_per_shard] for k, v in arrays.items()}
@@ -114,9 +116,19 @@ class ShardLoader:
         self.epoch = 0
         if num_shard_readers == 1:
             self.n = int(self.meta["num_samples"])
-        else:  # count this reader's rows exactly once
-            self.n = sum(int(len(next(iter(dict(np.load(f)).values()))))
-                         for f in self.files)
+        else:
+            # per-reader row count from meta alone (every shard holds
+            # rows_per_shard except the last) — no shard is opened here
+            total = int(self.meta["num_samples"])
+            rps = int(self.meta["rows_per_shard"])
+            n_shards = int(self.meta["num_shards"])
+            last_rows = total - (n_shards - 1) * rps
+
+            def rows_of(global_idx: int) -> int:
+                return last_rows if global_idx == n_shards - 1 else rps
+
+            self.n = sum(rows_of(i) for i in
+                         range(shard_index, n_shards, num_shard_readers))
 
     def __len__(self) -> int:
         return num_batches(self.n, self.batch_size, self.drop_last)
@@ -126,18 +138,32 @@ class ShardLoader:
         return self.n
 
     def _producer(self, order: List[str], out: "queue.Queue",
-                  seeds: List[int]) -> None:
+                  seeds: List[int], stop: threading.Event) -> None:
+        def put(item) -> bool:
+            # bounded-queue put that aborts when the consumer abandons the
+            # iterator (otherwise the thread blocks forever holding shards)
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for f, seed in zip(order, seeds):
+                if stop.is_set():
+                    return
                 part = dict(np.load(f))
                 if self.shuffle:
                     perm = np.random.default_rng(seed).permutation(
                         len(next(iter(part.values()))))
                     part = {k: v[perm] for k, v in part.items()}
-                out.put(part)
-            out.put(None)
+                if not put(part):
+                    return
+            put(None)
         except BaseException as e:  # surface IO errors in the consumer
-            out.put(e)
+            put(e)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = list(self.files)
@@ -147,37 +173,44 @@ class ShardLoader:
                  self.rng.integers(0, 2 ** 31, size=len(order))]
         self.epoch += 1
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
-        t = threading.Thread(target=self._producer, args=(order, q, seeds),
-                             daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._producer,
+                             args=(order, q, seeds, stop), daemon=True)
         t.start()
 
         bs = self.batch_size
         carry: Optional[Dict[str, np.ndarray]] = None
-        while True:
-            part = q.get()
-            if isinstance(part, BaseException):
-                raise part
-            if part is None:
-                break
-            if carry is not None:
-                part = {k: np.concatenate([carry[k], part[k]])
-                        for k in part}
-                carry = None
-            n = len(next(iter(part.values())))
-            full = (n // bs) * bs
-            for start in range(0, full, bs):
-                batch = {k: v[start:start + bs] for k, v in part.items()}
-                batch[MASK_KEY] = np.ones(bs, dtype=np.float32)
+        try:
+            while True:
+                part = q.get()
+                if isinstance(part, BaseException):
+                    raise part
+                if part is None:
+                    break
+                if carry is not None:
+                    part = {k: np.concatenate([carry[k], part[k]])
+                            for k in part}
+                    carry = None
+                n = len(next(iter(part.values())))
+                full = (n // bs) * bs
+                for start in range(0, full, bs):
+                    batch = {k: v[start:start + bs] for k, v in part.items()}
+                    batch[MASK_KEY] = np.ones(bs, dtype=np.float32)
+                    yield batch
+                if full < n:
+                    carry = {k: v[full:] for k, v in part.items()}
+            if carry is not None and not self.drop_last:
+                n = len(next(iter(carry.values())))
+                pad = bs - n
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, axis=0)])
+                    for k, v in carry.items()}
+                mask = np.zeros(bs, dtype=np.float32)
+                mask[:n] = 1.0
+                batch[MASK_KEY] = mask
                 yield batch
-            if full < n:
-                carry = {k: v[full:] for k, v in part.items()}
-        if carry is not None and not self.drop_last:
-            n = len(next(iter(carry.values())))
-            pad = bs - n
-            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                     for k, v in carry.items()}
-            mask = np.zeros(bs, dtype=np.float32)
-            mask[:n] = 1.0
-            batch[MASK_KEY] = mask
-            yield batch
-        t.join()
+        finally:
+            # unblocks the producer even when the consumer abandons the
+            # iterator mid-epoch (e.g. Trainer's init peek or early stop)
+            stop.set()
+            t.join(timeout=5.0)

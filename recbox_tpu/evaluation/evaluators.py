@@ -102,9 +102,15 @@ class RetrievalEvaluator:
                 train_items=_pad_lists(train_lists, pad=num_items))
             counts = self.item_counts
             if counts is None:
-                counts = np.bincount(np.concatenate(
-                    [np.asarray(l, np.int64) for l in train_lists if len(l)]
-                    or [np.zeros(0, np.int64)]), minlength=num_items)
+                # popularity from the FULL training mapping (recbole's
+                # AveragePopularity counts all train interactions), not just
+                # the evaluated queries' lists
+                all_items = [np.asarray(l, np.int64)
+                             for l in self.train_user2items.values()
+                             if len(l)]
+                counts = np.bincount(
+                    np.concatenate(all_items) if all_items
+                    else np.zeros(0, np.int64), minlength=num_items)
             out.update(evaluate_beyond_accuracy(
                 topk_ids, num_items, item_counts=counts,
                 metrics=self.beyond_accuracy_metrics))

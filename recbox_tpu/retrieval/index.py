@@ -87,7 +87,10 @@ def segmented_mips_topk(queries: jnp.ndarray, items: jnp.ndarray, topk: int,
     Q, D = queries.shape
     N = items.shape[0]
     if not seg_k:
-        seg_k = max(topk // n_segments + topk // (2 * n_segments), 1)
+        # ~1.5x the even split, and never fewer merged candidates than topk
+        seg_k = max(topk // n_segments + topk // (2 * n_segments), 1,
+                    -(-topk // n_segments))
+    seg_k = max(seg_k, -(-topk // n_segments))
     pad_n = (-N) % n_segments
     if pad_n:
         items = jnp.concatenate(

@@ -555,7 +555,18 @@ class PackedEmbeddingTrainer(Trainer):
                                           rngs={"dropout": rng},
                                           **apply_kwargs)
                     new_state = self.model_state
-                return loss_fn(outputs, batch), new_state
+                loss = loss_fn(outputs, batch)
+                if cfg.embedding_regularizer:
+                    # p2 penalty on the TOUCHED rows (the sparse analog of
+                    # the dense path's whole-table penalty — untouched rows
+                    # receive no gradient either way)
+                    loss = loss + cfg.embedding_regularizer * sum(
+                        jnp.sum(jnp.square(r)) for r in rows.values())
+                if cfg.net_regularizer:
+                    from recbox_tpu.ops.losses import embedding_reg_loss
+                    loss = loss + cfg.net_regularizer * embedding_reg_loss(
+                        dp, prefix="")
+                return loss, new_state
 
             (loss, new_state), (dgrads, row_grads) = jax.value_and_grad(
                 compute_loss, argnums=(0, 1), has_aux=True)(

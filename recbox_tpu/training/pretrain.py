@@ -207,6 +207,12 @@ class S3RecPretrainer:
         item_seq = np.asarray(item_seq)
         seq_len = np.asarray(seq_len)
         n = len(item_seq)
+        if n == 0:
+            raise ValueError("pretrain() needs at least one sequence")
+        # full batches only (static shapes for the jitted step); shrink the
+        # batch when the dataset is smaller than one batch so training
+        # always happens
+        batch_size = min(batch_size, n)
         for epoch in range(epochs):
             order = self._np_rng.permutation(n)
             losses = []

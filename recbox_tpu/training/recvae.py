@@ -105,6 +105,7 @@ class RecVAETrainer:
             self._steps[decoder] = self._build_step(decoder)
         step = self._steps[decoder]
         n = len(history)
+        batch_size = min(batch_size, n)  # small datasets: one full batch
         order = self._np_rng.permutation(n)
         losses = []
         for i in range(0, n - batch_size + 1, batch_size):
@@ -127,6 +128,7 @@ class RecVAETrainer:
         if self.params is None:
             self._init({"history": history[:min(len(history), batch_size)]})
         for epoch in range(epochs):
+            enc_loss = dec_loss = float("nan")  # n_*_epochs may be 0
             for _ in range(self.n_enc_epochs):
                 enc_loss = self._sweep(history, batch_size, decoder=False)
             self.update_prior()

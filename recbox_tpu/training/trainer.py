@@ -336,6 +336,11 @@ class Trainer:
             self.init(sample)
         last_metrics: Dict[str, float] = {}
         K = max(1, self.config.fused_steps)
+        # eval fires whenever the step counter CROSSES a multiple of
+        # eval_steps (with fused steps the counter advances by K, so a
+        # plain `step % eval_steps == 0` could never hit)
+        eval_marker = (self.step // self.config.eval_steps
+                       if self.config.eval_steps else 0)
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             t0 = time.time()
@@ -354,13 +359,21 @@ class Trainer:
                 else:
                     loss = self.train_step(batch)
                     losses.append(loss)
-                if self.config.eval_steps and self.step % self.config.eval_steps == 0:
+                if self.config.eval_steps \
+                        and self.step // self.config.eval_steps > eval_marker:
+                    eval_marker = self.step // self.config.eval_steps
                     last_metrics = self._evaluate_and_checkpoint()
                     if self._stopped:
                         break
             # flush a short tail one step at a time (shape stability)
             for batch in pending:
+                if self._stopped:
+                    break
                 losses.append(self.train_step(batch))
+                if self.config.eval_steps \
+                        and self.step // self.config.eval_steps > eval_marker:
+                    eval_marker = self.step // self.config.eval_steps
+                    last_metrics = self._evaluate_and_checkpoint()
             mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             if np.isnan(mean_loss):
                 raise ValueError(f"nan loss at epoch {epoch}")

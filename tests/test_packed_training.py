@@ -337,3 +337,22 @@ def test_packed_adam_single_step_matches_dense_adam(rng):
     a = np.asarray(t_dense.params["embedding"]["emb_cat_a"])
     b = np.asarray(t_packed.tables["embedding/emb_cat_a"])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_packed_honors_regularizers(rng):
+    """embedding_regularizer must change the loss (it was silently ignored)."""
+    fm, _ = _fixture(rng)
+    batch = {"cat_a": np.array([3, 5, 9], np.int32),
+             "cat_b": np.array([7, 8, 11], np.int32),
+             "click": np.array([1., 0., 1.], np.float32)}
+
+    def loss_after_step(reg):
+        model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,),
+                       dropout=0.0)
+        cfg = TrainerConfig(learning_rate=1e-2, monitor="AUC", seed=3,
+                            embedding_regularizer=reg)
+        t = PackedEmbeddingTrainer(
+            model, lambda o, b: binary_crossentropy(o, b["click"]), cfg)
+        return float(t.train_step(dict(batch)))
+
+    assert loss_after_step(0.0) != loss_after_step(10.0)

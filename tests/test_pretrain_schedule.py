@@ -140,3 +140,13 @@ def test_pretrain_loss_decreases_and_transfer():
     # fine-tune step runs on the grafted params
     loss = tr.train_step(batch)
     assert np.isfinite(float(loss))
+
+
+def test_pretrain_with_dataset_smaller_than_batch():
+    rng = np.random.default_rng(9)
+    seqs, seq_len = _seqs(rng, n=20)
+    model = S3Rec(feature_map=_fm(), embedding_dim=16, max_seq_len=L,
+                  n_layers=1, n_heads=2, dropout=0.0)
+    pre = S3RecPretrainer(model, learning_rate=1e-2, mask_ratio=0.3, seed=0)
+    params = pre.pretrain(seqs, seq_len, epochs=1, batch_size=256)
+    assert params is not None   # batch shrank to n; training happened

@@ -125,3 +125,14 @@ def test_fit_improves_reconstruction():
                                np.asarray(t.params["enc_in"]["kernel"]))
     scores = t.scores(X[:5])
     assert scores.shape == (5, N_ITEMS) and np.isfinite(scores).all()
+
+
+def test_zero_phase_epochs_and_tiny_dataset():
+    rng = np.random.default_rng(5)
+    X = _history(rng, n=20)
+    t = RecVAETrainer(_model(), n_dec_epochs=0, seed=0)
+    t.fit(X, epochs=1, batch_size=64)     # batch > n: shrinks to one batch
+    assert t.params is not None
+    t2 = RecVAETrainer(_model(), n_enc_epochs=0, seed=0)
+    t2.fit(X, epochs=1, batch_size=8)
+    assert t2.params is not None

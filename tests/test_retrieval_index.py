@@ -154,3 +154,19 @@ def test_segmented_falls_back_for_small_corpora():
     exact = np.argsort(-(q @ items.T), axis=1)[:, :50]
     assert all(set(a.tolist()) == set(b.tolist())
                for a, b in zip(i, exact))
+
+
+def test_segmented_small_topk_no_crash():
+    """Auto seg_k must never yield fewer merged candidates than topk
+    (topk=10 with 8 segments used to crash lax.top_k)."""
+    import numpy as np
+    from recbox_tpu.retrieval.index import BruteForceMIPS, segmented_mips_topk
+    rng = np.random.default_rng(0)
+    items = rng.normal(size=(400, 16)).astype(np.float32)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    for k in (1, 9, 10, 13, 15):
+        s, i = segmented_mips_topk(q, items, k, query_chunk=8, n_segments=8)
+        assert i.shape == (8, k)
+    idx = BruteForceMIPS(items, method="segmented", query_chunk=8)
+    s, i = idx.search(q, topk=10)
+    assert i.shape == (8, 10)

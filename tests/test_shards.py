@@ -102,3 +102,48 @@ def test_loader_feeds_trainer_fit(rng, tmp_path):
                          seed=1)
     metrics = tr.fit(loader)
     assert metrics["AUC"] > 0.95, metrics
+
+
+def test_save_shards_removes_stale_parts(rng, tmp_path):
+    big = _arrays(rng, n=1000)
+    save_shards(str(tmp_path), big, rows_per_shard=100)   # 10 parts
+    small = _arrays(rng, n=250)
+    save_shards(str(tmp_path), small, rows_per_shard=100)  # 3 parts
+    back = load_shards(str(tmp_path))
+    assert len(back["a"]) == 250
+    loader = ShardLoader(str(tmp_path), batch_size=100, shuffle=False)
+    rows = sum(int(b["__mask__"].sum()) for b in loader)
+    assert rows == 250
+
+
+def test_multi_reader_counts_from_meta_with_uneven_tail(rng, tmp_path):
+    arrays = _arrays(rng, n=950)                 # shards: 300,300,300,50
+    save_shards(str(tmp_path), arrays, rows_per_shard=300)
+    counts = []
+    for i in range(3):
+        loader = ShardLoader(str(tmp_path), batch_size=64, shuffle=False,
+                             shard_index=i, num_shard_readers=3)
+        got = sum(int(b["__mask__"].sum()) for b in loader)
+        assert got == loader.num_samples, (i, got, loader.num_samples)
+        counts.append(got)
+    assert sum(counts) == 950
+
+
+def test_abandoned_iterator_does_not_block_producer(rng, tmp_path):
+    import gc
+    import threading
+    import time
+    arrays = _arrays(rng, n=3000)
+    save_shards(str(tmp_path), arrays, rows_per_shard=200)  # 15 shards
+    loader = ShardLoader(str(tmp_path), batch_size=100, prefetch=1)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(loader)
+        next(it)                      # peek one batch, then abandon
+        del it
+        gc.collect()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        "producer threads leaked after abandoned iteration")

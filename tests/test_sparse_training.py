@@ -225,3 +225,38 @@ def test_fit_with_fused_steps_matches_quality():
     auc1 = fit(1)["AUC"]
     auc4 = fit(4)["AUC"]
     assert auc4 > 0.75 and abs(auc4 - auc1) < 0.06, (auc1, auc4)
+
+
+def test_fused_steps_eval_cadence_crosses_multiples():
+    """eval_steps must fire on counter CROSSINGS when fused_steps > 1."""
+    import numpy as np
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    n = 1536   # 24 batches of 64 per epoch
+    arrays = {"c": rng.integers(0, 20, n).astype(np.int32),
+              "click": (rng.random(n) > 0.5).astype(np.float32)}
+    fm = FeatureMap("ev", (FeatureSpec("c", "categorical", vocab_size=20,
+                                       embedding_dim=4),), labels=("click",))
+    calls = []
+
+    def eval_fn(tr):
+        calls.append(tr.step)
+        return {"AUC": 0.5 + 0.001 * len(calls)}
+
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=1, patience=50,
+                        monitor="AUC", fused_steps=5, eval_steps=7,
+                        lr_decay_factor=1.0, reload_best_on_plateau=False)
+    tr = Trainer(DeepFM(feature_map=fm, embedding_dim=4, hidden_units=(8,)),
+                 lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+                 eval_fn=eval_fn)
+    tr.fit(ArrayLoader(arrays, batch_size=64, drop_last=True, seed=0))
+    # steps advance by 5; evals must fire near every multiple of 7
+    # (10, 15, 25, 30, 40, ... — i.e. whenever step//7 increases)
+    assert len(calls) >= 3, calls
+    markers = [s // 7 for s in calls]
+    assert len(set(markers)) == len(markers), calls
