@@ -223,4 +223,59 @@ void rbn_sample_negatives(const int32_t* positives, int n_rows, int n_items,
   });
 }
 
+// Vocabulary lookup over fixed-width byte tokens (the categorical-encode
+// hot path of FeatureEncoder.transform — `recbox/matching/preprocess.py`
+// Tokenizer.encode semantics). Tokens arrive as numpy 'S' arrays: fixed
+// `width` bytes per slot, zero-padded on the right. An open-addressing
+// FNV-1a hash table over the vocab resolves each input token to its id,
+// with byte-exact verification (hash collisions fall through to probing);
+// misses produce `oov`.
+void rbn_vocab_encode(const char* vocab_bytes, int nv, int vw,
+                      const int32_t* vocab_ids,
+                      const char* input_bytes, int32_t n, int iw,
+                      int32_t oov, int32_t* out, int n_threads) {
+  auto efflen = [](const char* p, int w) {
+    int l = w;
+    while (l > 0 && p[l - 1] == '\0') --l;
+    return l;
+  };
+  auto fnv = [&](const char* p, int l) {
+    uint64_t h = 1469598103934665603ull;
+    for (int i = 0; i < l; ++i) {
+      h ^= static_cast<unsigned char>(p[i]);
+      h *= 1099511628211ull;
+    }
+    return h;
+  };
+  // table size = next power of two >= 2*nv (load factor <= .5)
+  uint64_t cap = 16;
+  while (cap < static_cast<uint64_t>(nv) * 2) cap <<= 1;
+  std::vector<int32_t> slot(cap, -1);
+  const uint64_t mask = cap - 1;
+  for (int v = 0; v < nv; ++v) {
+    const char* tok = vocab_bytes + static_cast<int64_t>(v) * vw;
+    uint64_t h = fnv(tok, efflen(tok, vw)) & mask;
+    while (slot[h] != -1) h = (h + 1) & mask;
+    slot[h] = v;
+  }
+  parallel_for(n, n_threads, [&](int lo, int hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const char* tok = input_bytes + r * iw;
+      int l = efflen(tok, iw);
+      uint64_t h = fnv(tok, l) & mask;
+      int32_t id = oov;
+      while (slot[h] != -1) {
+        int32_t v = slot[h];
+        const char* cand = vocab_bytes + static_cast<int64_t>(v) * vw;
+        if (efflen(cand, vw) == l && std::memcmp(cand, tok, l) == 0) {
+          id = vocab_ids[v];
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+      out[r] = id;
+    }
+  });
+}
+
 }  // extern "C"

@@ -137,10 +137,25 @@ class Tokenizer:
 
     # -- encoding -----------------------------------------------------------
     def encode_category(self, values: Iterable) -> np.ndarray:
+        # native fast path: fixed-width byte hashing in C++ — the Python
+        # dict loop runs ~1M vals/s, and numpy searchsorted over string
+        # arrays measures 2x SLOWER than the loop, so vocab lookup at
+        # Criteo scale is a genuine native-kernel case (retrieval/native.py)
+        arr = np.asarray(values if not hasattr(values, "values")
+                         else values.values)
+        if len(arr) >= 4096:
+            from recbox_tpu.retrieval.native import vocab_encode_native
+            out = vocab_encode_native(arr, self.vocab, self.oov_token)
+            if out is not None:
+                if arr.dtype == object or arr.dtype.kind == "f":
+                    null = np.asarray([self._is_null(v) for v in arr], bool)
+                    if null.any():
+                        out = np.where(null, self.oov_token, out)
+                return out.astype(np.int32)
         get = self.vocab.get
         oov = self.oov_token
         return np.asarray(
-            [oov if self._is_null(v) else get(str(v), oov) for v in values],
+            [oov if self._is_null(v) else get(str(v), oov) for v in arr],
             dtype=np.int32,
         )
 

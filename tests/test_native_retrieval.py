@@ -93,3 +93,42 @@ def test_numpy_fallback_paths(monkeypatch, data):
     assert np.isfinite(s2).all()
     out = nat.sample_negatives_native(np.zeros(10, np.int32), 5, 4)
     assert (out != 0).all()
+
+
+def test_vocab_encode_native_matches_dict():
+    import numpy as np
+    from recbox_tpu.retrieval.native import native_available, vocab_encode_native
+    if not native_available():
+        import pytest
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(0)
+    vocab = {str(v): i + 1 for i, v in enumerate(rng.permutation(5000))}
+    vals = rng.integers(0, 8000, 50_000).astype(str)   # ~37% OOV
+    out = vocab_encode_native(vals, vocab, oov=0)
+    want = np.asarray([vocab.get(v, 0) for v in vals], np.int32)
+    np.testing.assert_array_equal(out, want)
+    # bytes input fast path
+    out_b = vocab_encode_native(vals.astype("S"), vocab, oov=0)
+    np.testing.assert_array_equal(out_b, want)
+    # unicode tokens fall back to utf-8 encoding and still resolve
+    uvocab = {"héllo": 1, "wörld": 2, "plain": 3}
+    uvals = np.asarray(["héllo", "nope", "plain", "wörld"])
+    got = vocab_encode_native(uvals, uvocab, oov=0)
+    np.testing.assert_array_equal(got, [1, 0, 3, 2])
+
+
+def test_tokenizer_encode_uses_native_above_threshold():
+    import numpy as np
+    from recbox_tpu.features.tokenizer import Tokenizer
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 3000, 10_000).astype(str)
+    t = Tokenizer()
+    t.fit(vals[:5000])
+    got = t.encode_category(vals)              # len >= 4096 -> native
+    get = t.vocab.get
+    want = np.asarray([get(v, t.oov_token) for v in vals], np.int32)
+    np.testing.assert_array_equal(got, want)
+    # nulls in object arrays still map to OOV
+    obj = np.asarray(list(vals[:5000]) + [None, np.nan], object)
+    got2 = t.encode_category(obj)
+    assert got2[-1] == t.oov_token and got2[-2] == t.oov_token
