@@ -32,7 +32,7 @@ logger = logging.getLogger("recbox_tpu")
 
 __all__ = ["build_model", "build_trainer_config", "run_ranking_experiment",
            "run_matching_experiment", "run_sequential_experiment",
-           "run_rerank_experiment"]
+           "run_rerank_experiment", "run_kg_experiment"]
 
 
 def build_model(config: Mapping[str, Any], feature_map: FeatureMap):
@@ -291,4 +291,130 @@ def run_rerank_experiment(
     result = evaluate_rerank(np.asarray(scores), valid_lists["labels"],
                              valid_lists["mask"], ks=ks)
     logger.info("rerank experiment: %s", result)
+    return result
+
+
+def _union_params(a: dict, b: dict) -> dict:
+    """Recursive union of two param trees; `b` wins on shared leaves."""
+    out = dict(b)
+    for k, v in a.items():
+        if k not in out:
+            out[k] = v
+        elif isinstance(v, dict) and isinstance(out[k], dict):
+            out[k] = _union_params(v, out[k])
+    return out
+
+
+def run_kg_experiment(
+    config: Mapping[str, Any],
+    feature_map: FeatureMap,
+    train_arrays: Dict[str, np.ndarray],
+    corpus_arrays: Dict[str, np.ndarray],
+    kg,
+    eval_user_arrays: Dict[str, np.ndarray],
+    query_indices: np.ndarray,
+    train_user2items: Mapping[int, Any],
+    valid_user2items: Mapping[int, Any],
+    mesh=None,
+) -> Dict[str, float]:
+    """Knowledge-enhanced retrieval pipeline (recbole KGTrainer protocol,
+    `third_party/recbole/trainer/trainer.py` KGTrainer/KGATTrainer): each
+    epoch alternates a CF phase (pairwise loss over sampled-negative
+    batches) with a KG phase (``model.kg_loss`` over corrupted triples).
+
+    Args mirror `run_matching_experiment` plus ``kg`` — a
+    `data.knowledge.KnowledgeGraph`. Config extras: ``kg_learning_rate``
+    (default = learning_rate), ``kg_steps_per_epoch`` (default = the CF
+    epoch length), ``kg_batch_size`` (default 512).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.core import unfreeze
+    from flax.linen import meta as nn_meta
+
+    from recbox_tpu.data.loader import MASK_KEY
+
+    config = Config(config)
+    model, stage = build_model(config, feature_map)
+    metrics = list(config.get("metrics", ["Recall(k=20)", "NDCG(k=10)"]))
+    evaluator = RetrievalEvaluator(
+        eval_user_arrays, corpus_arrays, query_indices,
+        train_user2items, valid_user2items, metrics=metrics,
+        batch_size=config.get("eval_batch_size", 4096))
+    match_loss = get_matching_loss(
+        config.get("loss", "PairwiseLogisticLoss"))
+    trainer = Trainer(model, lambda out, b: match_loss(out),
+                      build_trainer_config(config), eval_fn=evaluator,
+                      mesh=mesh)
+    loader = MatchingLoader(
+        feature_map, train_arrays, corpus_arrays,
+        batch_size=config.get("batch_size", 2048),
+        num_negs=config.get("num_negs", 1), seed=config.get("seed", 2024))
+
+    sample = next(iter(loader))
+    sample.pop(MASK_KEY, None)
+    trainer.init(sample)
+
+    np_rng = np.random.default_rng(config.get("seed", 2024) + 7)
+    kg_bs = config.get("kg_batch_size", 512)
+
+    def kg_batch():
+        idx = np_rng.integers(0, kg.n_triples, size=kg_bs)
+        return {
+            "kg_head": jnp.asarray(kg.heads[idx]),
+            "kg_relation": jnp.asarray(kg.relations[idx]),
+            "kg_tail": jnp.asarray(kg.tails[idx]),
+            "kg_neg_tail": jnp.asarray(
+                np_rng.integers(0, kg.n_entities, size=kg_bs)),
+        }
+
+    kg_step = None
+    if hasattr(model, "kg_loss"):
+        # KG-only heads (e.g. MKR's kg tower) materialize only under the
+        # kg_loss path — union them into the CF-initialized tree, then
+        # rebuild the optimizer state over the full tree
+        rngk = jax.random.PRNGKey(config.get("seed", 2024) + 1)
+        kg_vars = model.init({"params": rngk, "dropout": rngk}, kg_batch(),
+                             method=model.kg_loss)
+        kg_params = nn_meta.unbox(unfreeze(kg_vars)["params"])
+        trainer.params = _union_params(kg_params, trainer.params)
+        trainer.opt_state = trainer.tx.init(trainer.params)
+
+        tx_kg = optax.adam(config.get("kg_learning_rate",
+                                      config.get("learning_rate", 1e-3)))
+        kg_opt_state = tx_kg.init(trainer.params)
+
+        @jax.jit
+        def _kg_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: model.apply({"params": p}, batch,
+                                      method=model.kg_loss))(params)
+            updates, opt_state = tx_kg.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def kg_step():
+            nonlocal kg_opt_state
+            trainer.params, kg_opt_state, loss = _kg_step(
+                trainer.params, kg_opt_state, kg_batch())
+            return loss
+
+    result: Dict[str, float] = {}
+    epochs = config.get("epochs", 10)
+    kg_steps = config.get("kg_steps_per_epoch", len(loader))
+    for epoch in range(epochs):
+        trainer.epoch = epoch
+        for batch in loader:
+            batch.pop(MASK_KEY, None)
+            trainer.train_step(batch)
+        if kg_step is not None:
+            kg_losses = [kg_step() for _ in range(kg_steps)]
+            logger.info("kg phase epoch %d: loss %.4f", epoch,
+                        float(jnp.mean(jnp.stack(kg_losses))))
+        result = trainer._evaluate_and_checkpoint()
+        if trainer._stopped:
+            break
+    trainer._restore_best()
+    logger.info("kg experiment %s: %s",
+                config.get("experiment_id", "?"), result)
     return result

@@ -226,3 +226,58 @@ def test_model_config_yaml_roundtrip(tmp_path):
     model, stage = build_model(cfg, fm)
     assert stage == "ranking"
     assert model.hidden_units == (400, 400, 400)
+
+
+def test_run_kg_experiment():
+    """One-call KG pipeline: alternating CF + kg_loss phases (KGTrainer)."""
+    import numpy as np
+    from recbox_tpu.data.knowledge import KnowledgeGraph
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.quick_start import run_kg_experiment
+
+    rng = np.random.default_rng(4)
+    n_users, n_items, n_blocks = 60, 48, 4
+    ub = rng.integers(0, n_blocks, size=n_users)
+    ib = np.arange(n_items) % n_blocks
+    users, items = [], []
+    for u in range(n_users):
+        block = np.flatnonzero(ib == ub[u])
+        chosen = rng.choice(block, size=8, replace=False)
+        users += [u] * 6
+        items += list(chosen[:6])
+    users, items = np.array(users, np.int32), np.array(items, np.int32)
+    # hold out one item per user for eval
+    train_u2i, valid_u2i = {}, {}
+    for u in range(n_users):
+        mine = items[users == u]
+        train_u2i[u] = [int(i) for i in mine[:-1]]
+        valid_u2i[u] = [int(mine[-1])]
+    tr_users = np.concatenate([[u] * len(v) for u, v in train_u2i.items()])
+    tr_items = np.concatenate([v for v in train_u2i.values()])
+
+    kg = KnowledgeGraph(heads=np.arange(n_items),
+                        relations=np.full(n_items, 1),
+                        tails=n_items + ib,
+                        n_entities=n_items + n_blocks, n_relations=2,
+                        n_items=n_items)
+    fm = FeatureMap(
+        "kgq", (FeatureSpec("user_id", "categorical", source="user",
+                            vocab_size=n_users, embedding_dim=16),
+                FeatureSpec("item_id", "categorical", source="item",
+                            vocab_size=n_items, embedding_dim=16)),
+        query_index="user_id", corpus_index="item_id", num_items=n_items)
+
+    cfg = {"model": "CKE", "embedding_dim": 16, "kg_dim": 8,
+           "num_users": n_users, "num_items": n_items,
+           "n_entities": n_items + n_blocks, "n_relations": 2,
+           "learning_rate": 5e-2, "epochs": 8, "patience": 6,
+           "batch_size": 128, "num_negs": 2, "kg_batch_size": 64,
+           "monitor": "Recall(k=20)", "lr_decay_factor": 1.0,
+           "reload_best_on_plateau": False}
+    uu = np.arange(n_users)
+    result = run_kg_experiment(
+        cfg, fm, {"user_id": tr_users.astype(np.int32),
+                  "item_id": tr_items.astype(np.int32)},
+        {"item_id": np.arange(n_items, dtype=np.int32)}, kg,
+        {"user_id": uu.astype(np.int32)}, uu, train_u2i, valid_u2i)
+    assert result["Recall(k=20)"] > 0.5, result
