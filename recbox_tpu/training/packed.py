@@ -239,6 +239,16 @@ class PackedEmbeddingTrainer(Trainer):
                    for p in self._bundles)
 
     def init(self, sample_batch) -> None:
+        from recbox_tpu.models.base import MatchingModel
+        if isinstance(self.model, MatchingModel):
+            # MatchingModel.__call__ rebuilds item sub-batches
+            # (extract_item_batch strips the item:: prefix and flattens),
+            # so externally gathered __rows__ keys never reach the item
+            # tower — the item table would silently stop training
+            raise NotImplementedError(
+                "PackedEmbeddingTrainer does not support MatchingModel "
+                "towers (item features flow through extract_item_batch, "
+                "bypassing the __rows__ protocol); use Trainer")
         # discover the full param tree ABSTRACTLY (no device allocation) so
         # the layout and the init strategy can be chosen before any table
         # bytes exist

@@ -381,6 +381,10 @@ class Trainer:
                         epoch, mean_loss, time.time() - t0, len(losses))
             if not self.config.eval_steps:
                 last_metrics = self._evaluate_and_checkpoint()
+            # a completed epoch advances the counter so that a checkpoint
+            # saved now RESUMES at the next epoch (recbole resume_checkpoint
+            # start_epoch semantics, `trainer.py:312-340`)
+            self.epoch = epoch + 1
             if self._stopped:
                 logger.info("early stop at epoch %d (best epoch %d)",
                             epoch, self.monitor.best_epoch)

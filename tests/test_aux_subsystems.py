@@ -188,3 +188,48 @@ def test_device_memory_stats():
     assert isinstance(out, dict)   # CPU may report nothing; must not raise
     for v in out.values():
         assert v >= 0
+
+
+def test_fit_resumes_from_checkpoint(tmp_path):
+    """recbole resume_checkpoint semantics (`trainer.py:312-340`): load()
+    restores params/opt/epoch/monitor and fit() continues from there."""
+    import numpy as np
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation import CTREvaluator
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    arrays = {"c": rng.integers(1, 30, n).astype(np.int32)}
+    arrays["click"] = (arrays["c"] % 2).astype(np.float32)
+    fm = FeatureMap("res", (
+        FeatureSpec("c", "categorical", vocab_size=30, embedding_dim=8),),
+        labels=("click",))
+    ev = CTREvaluator({k: v[:400] for k, v in arrays.items()},
+                      label="click", metrics=["AUC"])
+
+    def make():
+        return Trainer(
+            DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,)),
+            lambda o, b: binary_crossentropy(o, b["click"]),
+            TrainerConfig(learning_rate=1e-2, epochs=3, patience=10,
+                          monitor="AUC", lr_decay_factor=1.0,
+                          reload_best_on_plateau=False, seed=5), eval_fn=ev)
+
+    loader = ArrayLoader(arrays, batch_size=256, drop_last=True, seed=1)
+    t1 = make()
+    t1.fit(loader)                      # 3 epochs
+    ckpt = str(tmp_path / "state.ckpt")
+    t1.save(ckpt)
+    steps_after_3 = t1.step
+
+    t2 = make()
+    t2.init(next(iter(loader)))
+    t2.load(ckpt)
+    assert t2.epoch == t1.epoch and t2.step == steps_after_3
+    m = t2.fit(loader, epochs=5)        # continues: epochs 3..4 only
+    assert t2.step == steps_after_3 + 2 * len(loader)
+    assert m["AUC"] > 0.95

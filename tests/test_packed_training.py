@@ -356,3 +356,24 @@ def test_packed_honors_regularizers(rng):
         return float(t.train_step(dict(batch)))
 
     assert loss_after_step(0.0) != loss_after_step(10.0)
+
+
+def test_packed_rejects_matching_models(rng):
+    """MatchingModel towers bypass the __rows__ protocol via
+    extract_item_batch — the packed trainer must refuse, not mistrain."""
+    from recbox_tpu.models.matching.two_tower import MF
+    fm = FeatureMap(
+        "pkm", (FeatureSpec("user_id", "categorical", source="user",
+                            vocab_size=16, embedding_dim=8),
+                FeatureSpec("item_id", "categorical", source="item",
+                            vocab_size=16, embedding_dim=8)),
+        query_index="user_id", corpus_index="item_id", num_items=16)
+    t = PackedEmbeddingTrainer(
+        MF(feature_map=fm, embedding_dim=8),
+        lambda o, b: o.sum(), TrainerConfig(learning_rate=1e-2,
+                                            monitor="AUC"))
+    ids = np.array([[1, 2], [3, 4]], np.int32)
+    batch = {"user_id": np.array([0, 1], np.int32),
+             "__item_ids__": ids, "item::item_id": ids}
+    with pytest.raises(NotImplementedError, match="MatchingModel"):
+        t.init(batch)
