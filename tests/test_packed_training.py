@@ -377,3 +377,77 @@ def test_packed_rejects_matching_models(rng):
              "__item_ids__": ids, "item::item_id": ids}
     with pytest.raises(NotImplementedError, match="MatchingModel"):
         t.init(batch)
+
+
+def test_packed_trains_din_sequence_attention(rng):
+    """DIN (target attention over behavior sequences) through the packed
+    trainer: sequence + shared-table routing under attention pooling."""
+    from recbox_tpu.models.ranking.sequence_ctr import DIN
+    vocab, L, n = 40, 6, 2400
+    hist = rng.integers(1, vocab, size=(n, L)).astype(np.int32)
+    target = rng.integers(1, vocab, n).astype(np.int32)
+    # click iff target appeared in the history
+    y = (hist == target[:, None]).any(1).astype(np.float32)
+    fm = FeatureMap("dinpk", (
+        FeatureSpec("item_id", "categorical", vocab_size=vocab + 1,
+                    embedding_dim=8),
+        FeatureSpec("hist", "sequence", vocab_size=vocab + 1,
+                    embedding_dim=8, max_len=L, padding_idx=vocab,
+                    share_embedding="item_id"),
+    ), labels=("click",))
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=6, patience=8,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+    split = int(0.8 * n)
+    arrays = {"item_id": target, "hist": hist, "click": y}
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    def run(cls):
+        mdl = DIN(feature_map=fm, embedding_dim=8, history_feature="hist",
+                  target_feature="item_id", hidden_units=(32,),
+                  attention_hidden_units=(16,))
+        ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+        t = cls(mdl, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+                eval_fn=ev)
+        return t.fit(ArrayLoader(train, batch_size=256, drop_last=True,
+                                 seed=0))["AUC"]
+
+    packed_auc = run(PackedEmbeddingTrainer)
+    dense_auc = run(Trainer)
+    # routing parity: the packed step must learn like the dense step
+    assert packed_auc > 0.55 and packed_auc > dense_auc - 0.08, (
+        packed_auc, dense_auc)
+
+
+def test_packed_trains_mmoe_multitask(rng):
+    from recbox_tpu.evaluation.evaluators import MultiTaskEvaluator
+    from recbox_tpu.models.multitask.models import MMOE, multitask_loss
+    import jax.numpy as jnp
+    n = 3000
+    a = rng.integers(1, 50, n).astype(np.int32)
+    b = rng.integers(1, 30, n).astype(np.int32)
+    click = ((a % 2) == 0).astype(np.float32)
+    conv = ((a % 2 == 0) & (b % 2 == 0)).astype(np.float32)
+    fm = FeatureMap("mmoepk", (
+        FeatureSpec("a", "categorical", vocab_size=50, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=30, embedding_dim=8)),
+        labels=("click", "conversion"))
+    arrays = {"a": a, "b": b, "click": click, "conversion": conv}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    model = MMOE(feature_map=fm, num_experts=2, expert_units=(16,),
+                 tower_units=(8,))
+    labels = ["click", "conversion"]
+
+    def loss_fn(outputs, batch):
+        y = jnp.stack([batch[l] for l in labels], axis=1)
+        return multitask_loss(outputs, y)
+
+    ev = MultiTaskEvaluator(valid, labels, metrics=["AUC"])
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=6, patience=8,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+    t = PackedEmbeddingTrainer(model, loss_fn, cfg, eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["AUC"] > 0.9, m
