@@ -2,8 +2,12 @@ from recbox_tpu.parallel.mesh import (
     DATA_AXIS, MODEL_AXIS, make_mesh, param_partition_specs, replicate_specs,
     shard_batch, shard_params,
 )
+from recbox_tpu.parallel.distributed import (
+    host_shard_loader, initialize_distributed, process_info,
+)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "param_partition_specs",
     "replicate_specs", "shard_batch", "shard_params",
+    "initialize_distributed", "host_shard_loader", "process_info",
 ]

@@ -1,0 +1,62 @@
+"""Multi-host initialization + per-host input wiring.
+
+The reference's multi-process entry is `run_recboles` + NCCL TCP rendezvous
+(`quick_start.py:115-128`, `configurator.py:497-515`: ip/port/world_size/
+nproc/offset config keys). The TPU-native equivalent is
+`jax.distributed.initialize` (one process per host; on Cloud TPU the
+coordinator/process count auto-resolve from the TPU metadata), after which
+`jax.devices()` spans the slice and the SAME Mesh/pjit code runs unchanged —
+no backend code to write (SURVEY §5.8).
+
+What remains host-side is INPUT sharding: each process must read a disjoint
+slice of the training data (the reference's DistributedSampler,
+`abstract_dataloader.py:60-64`). `host_shard_loader` wires
+`ShardLoader(shard_index=process_index, num_shard_readers=process_count)`
+from the live runtime.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+
+logger = logging.getLogger("recbox_tpu")
+
+__all__ = ["initialize_distributed", "host_shard_loader", "process_info"]
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """`jax.distributed.initialize` with the reference's explicit-rendezvous
+    shape (ip:port / world_size / rank) or full auto-detection on Cloud TPU
+    (all args None). Safe to call once per process, before device use."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    logger.info("distributed: process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(), jax.device_count())
+
+
+def process_info() -> dict:
+    return {"process_index": jax.process_index(),
+            "process_count": jax.process_count(),
+            "local_devices": jax.local_device_count(),
+            "global_devices": jax.device_count()}
+
+
+def host_shard_loader(path: str, **loader_kwargs):
+    """A `ShardLoader` reading THIS process's disjoint shard partition —
+    the DistributedSampler analog for multi-host input pipelines."""
+    from recbox_tpu.data.shards import ShardLoader
+    return ShardLoader(path, shard_index=jax.process_index(),
+                       num_shard_readers=jax.process_count(),
+                       **loader_kwargs)

@@ -137,3 +137,20 @@ def test_packed_trainer_sharded_matches_unsharded():
     a = np.asarray(t_plain.tables["embedding/emb_cat_a"])
     b = np.asarray(t_shard.tables["embedding/emb_cat_a"])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_host_shard_loader_partitions_by_process(tmp_path):
+    """Single-process run: host_shard_loader reads ALL shards; the
+    partition args come from the live jax runtime."""
+    import numpy as np
+    from recbox_tpu.data import save_shards
+    from recbox_tpu.parallel.distributed import host_shard_loader, process_info
+
+    rng = np.random.default_rng(0)
+    arrays = {"a": rng.integers(0, 9, 600).astype(np.int32)}
+    save_shards(str(tmp_path), arrays, rows_per_shard=200)
+    info = process_info()
+    assert info["process_count"] == 1
+    loader = host_shard_loader(str(tmp_path), batch_size=100, shuffle=False)
+    rows = sum(int(b["__mask__"].sum()) for b in loader)
+    assert rows == 600
