@@ -60,6 +60,18 @@ class ArrayLoader:
     def num_samples(self) -> int:
         return self.n
 
+    def peek_batch(self) -> Dict[str, np.ndarray]:
+        """A shape-representative first batch WITHOUT epoch side effects
+        (no shuffle/RNG advance, no negative-sampling pass) — what
+        Trainer.init needs to trace shapes."""
+        bs = min(self.batch_size, self.n)
+        batch = {k: v[:bs] for k, v in self.arrays.items()}
+        if bs < self.batch_size:
+            pad = self.batch_size - bs
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                     for k, v in batch.items()}
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(self.n)
         if self.shuffle:
@@ -137,6 +149,23 @@ class MatchingLoader(ArrayLoader):
             self.seen_matrix = np.zeros(
                 (int(users.max()) + 1, self.num_items), bool)
             self.seen_matrix[users, items] = True
+
+    def peek_batch(self) -> Dict[str, np.ndarray]:
+        """Shape-representative batch with candidate columns, sampling
+        negatives for just batch_size rows (the full __iter__ front-loads
+        an entire epoch's negative sampling)."""
+        bs = min(self.batch_size, self.n)
+        batch = {k: v[:bs] for k, v in self.arrays.items()}
+        pos = np.asarray(batch[self.item_col], np.int64)
+        rng = np.random.default_rng(0)
+        negs = sample_negatives(pos, self.num_items, self.num_negs, rng,
+                                probs=self.sampling_probs,
+                                exclude_pos=self.exclude_pos)
+        ids = np.concatenate([pos[:, None], negs], axis=1)
+        batch["__item_ids__"] = ids.astype(np.int32)
+        for k, v in self.corpus_arrays.items():
+            batch[f"item::{k}"] = v[ids]
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         pos_items = self.arrays[self.item_col].astype(np.int64)

@@ -41,7 +41,6 @@ class AliasTable:
             (small if scaled[l] < 1.0 else large).append(l)
         for i in large + small:
             self.prob[i] = 1.0
-        self._scaled = scaled
 
     def sample(self, size, rng: np.random.Generator) -> np.ndarray:
         idx = rng.integers(0, self.n, size=size)

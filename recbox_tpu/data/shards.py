@@ -137,6 +137,19 @@ class ShardLoader:
     def num_samples(self) -> int:
         return self.n
 
+    def peek_batch(self) -> Dict[str, np.ndarray]:
+        """First batch from the first shard, without starting the prefetch
+        pipeline (Trainer.init shape tracing)."""
+        part = dict(np.load(self.files[0]))
+        bs = self.batch_size
+        batch = {k: v[:bs] for k, v in part.items()}
+        n = len(next(iter(batch.values())))
+        if n < bs:
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], bs - n, axis=0)])
+                     for k, v in batch.items()}
+        batch[MASK_KEY] = np.ones(bs, dtype=np.float32)
+        return batch
+
     def _producer(self, order: List[str], out: "queue.Queue",
                   seeds: List[int], stop: threading.Event) -> None:
         def put(item) -> bool:

@@ -97,9 +97,16 @@ class RetrievalEvaluator:
             num_items = item_embs.shape[0]
             train_lists = [list(self.train_user2items.get(q, ()))
                            for q in self.query_indices]
-            _, topk_ids = full_sort_topk(
-                user_embs, item_embs, self.beyond_topk,
-                train_items=_pad_lists(train_lists, pad=num_items))
+            train_padded = _pad_lists(train_lists, pad=num_items)
+            # chunk users — full_sort_topk over everyone at once would
+            # materialize the whole (U, I) score matrix on device
+            chunks = []
+            for s in range(0, len(user_embs), 1024):
+                _, ids = full_sort_topk(
+                    user_embs[s:s + 1024], item_embs, self.beyond_topk,
+                    train_items=train_padded[s:s + 1024])
+                chunks.append(ids)
+            topk_ids = np.concatenate(chunks, axis=0)
             counts = self.item_counts
             if counts is None:
                 # popularity from the FULL training mapping (recbole's

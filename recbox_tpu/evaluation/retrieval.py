@@ -63,9 +63,12 @@ def _topk_chunk(user_embs, item_embs, train_items, max_topk: int):
                          preferred_element_type=jnp.float32)
     # scatter −1e9 at train-clicked items; padded entries (= num_items) drop
     rows = jnp.arange(scores.shape[0])[:, None]
-    scores = scores.at[rows, train_items].add(NEG_INF, mode="drop")
-    _, topk_items = jax.lax.top_k(scores, max_topk)
-    return topk_items
+    masked = scores.at[rows, train_items].add(NEG_INF, mode="drop")
+    _, topk_items = jax.lax.top_k(masked, max_topk)
+    # unmasked scores of the selected items ride along so callers never
+    # recompute the dominant U x I matmul
+    top_scores = jnp.take_along_axis(scores, topk_items, axis=1)
+    return topk_items, top_scores
 
 
 @functools.partial(jax.jit, static_argnames=("ks",))
@@ -151,7 +154,8 @@ def evaluate_retrieval(
             cu = np.pad(cu, ((0, pad_rows),) + ((0, 0),) * (cu.ndim - 1))
             ct = np.pad(ct, ((0, pad_rows), (0, 0)), constant_values=num_items)
             cv = np.pad(cv, ((0, pad_rows), (0, 0)), constant_values=-1)
-        topk = _topk_chunk(jnp.asarray(cu), item_embs, jnp.asarray(ct), max_topk)
+        topk, _ = _topk_chunk(jnp.asarray(cu), item_embs, jnp.asarray(ct),
+                              max_topk)
         vals = _metrics_chunk(topk, jnp.asarray(cv), parsed)
         n_real = end - start
         for key, v in vals.items():
@@ -172,17 +176,11 @@ def full_sort_topk(user_embs, item_embs, k: int,
     full_sort_topk analog): scores every corpus item for the given users,
     optionally masking train-clicked items (padded with num_items), and
     returns (scores, item_ids) — the offline inspection/serving helper."""
-    import numpy as np
     user_embs = jnp.asarray(user_embs)
     item_embs = jnp.asarray(item_embs)
     if train_items is None:
         train_items = jnp.full((user_embs.shape[0], 1), item_embs.shape[0],
                                dtype=jnp.int32)
-    ids = _topk_chunk(user_embs, item_embs, jnp.asarray(train_items), k)
-    if user_embs.ndim == 3:
-        scores = jnp.einsum("ukd,id->uki", user_embs, item_embs).max(axis=1)
-    else:
-        scores = jnp.dot(user_embs, item_embs.T,
-                         preferred_element_type=jnp.float32)
-    top_scores = jnp.take_along_axis(scores, ids, axis=1)
+    ids, top_scores = _topk_chunk(user_embs, item_embs,
+                                  jnp.asarray(train_items), k)
     return np.asarray(top_scores), np.asarray(ids)

@@ -201,7 +201,12 @@ def stack_embeddings(emb_dict: Dict[str, jnp.ndarray], feats: Tuple[FeatureSpec,
         if spec.name not in emb_dict:
             continue
         e = emb_dict[spec.name]
-        if e.ndim == 3:  # a pooled view is required for field stacking
-            e = jnp.mean(e, axis=1)
+        if e.ndim == 3:
+            # a pooled view is required for field stacking. Padding steps
+            # arrive zero-masked from FeatureEmbedding, so divide by the
+            # VALID count (an unmasked mean over L dilutes short histories)
+            valid = jnp.any(e != 0, axis=-1).astype(e.dtype)       # (B, L)
+            counts = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+            e = jnp.sum(e, axis=1) / counts[:, None]
         parts.append(e)
     return jnp.stack(parts, axis=1)

@@ -722,38 +722,11 @@ class PackedEmbeddingTrainer(Trainer):
                         b.row_offset:b.row_offset + b.rows, col]
         return out
 
+    # base predict/apply use full_params(), which merges the packed state
     def full_params(self) -> dict:
         if not self.packs:
             return self.params
         return _merge_params(self.params, self.tables, self._table_paths)
-
-    # -- inference over merged params -------------------------------------------
-    def _forward(self):
-        if not hasattr(self, "_fwd_fn"):
-            model = self.model
-            self._fwd_fn = jax.jit(
-                lambda variables, batch: model.apply(variables, batch,
-                                                     train=False))
-        return self._fwd_fn
-
-    def predict(self, loader, output_key=None) -> np.ndarray:
-        from recbox_tpu.data.loader import MASK_KEY
-        outs = []
-        variables = {"params": self.full_params(), **self.model_state}
-        fwd = self._forward()
-        for batch in loader:
-            mask = batch.pop(MASK_KEY, None)
-            out = np.asarray(fwd(variables, self._device_batch(batch)))
-            if mask is not None:
-                out = out[mask.astype(bool)] if mask.ndim == 1 else out
-            outs.append(out)
-        return np.concatenate(outs, axis=0)
-
-    def apply(self, batch, method=None, train: bool = False):
-        variables = {"params": self.full_params(), **self.model_state}
-        kwargs = {} if method is not None else {"train": train}
-        return self.model.apply(variables, self._device_batch(batch),
-                                method=method, **kwargs)
 
     # -- best weights + checkpointing --------------------------------------------
     def _capture_best(self) -> None:

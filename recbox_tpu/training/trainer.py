@@ -198,11 +198,9 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt_state, loss
 
-        donate = (0, 1, 2)
-        if self.mesh is not None:
-            # shard params by their flax partitioning metadata; batch by 'data'
-            return jax.jit(step_fn, donate_argnums=donate)
-        return jax.jit(step_fn, donate_argnums=donate)
+        # sharded and single-device paths compile identically: params carry
+        # committed shardings from init, batches are placed by _device_batch
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> float:
         if self.params is None:
@@ -253,8 +251,15 @@ class Trainer:
 
             self._fused_step = fused
         rng, self._rng = jax.random.split(self._rng)
-        dbatches = self._device_batch(batches) if self.mesh is None else {
-            k: jnp.asarray(v) for k, v in batches.items()}
+        if self.mesh is not None:
+            # stacked (K, B, ...) megabatches shard their BATCH dim (axis 1)
+            # over 'data'; plain jnp.asarray would replicate the whole stack
+            # on every device
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            dbatches = {k: jax.device_put(np.asarray(v), sharding)
+                        for k, v in batches.items()}
+        else:
+            dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
         self.params, self.model_state, self.opt_state, losses = \
             self._fused_step(self.params, self.model_state, self.opt_state,
                              dbatches, rng)
@@ -330,9 +335,18 @@ class Trainer:
     # -- fit loop ------------------------------------------------------------
     def fit(self, train_loader, epochs: Optional[int] = None,
             valid_loader=None) -> Dict[str, float]:
+        if valid_loader is not None:
+            # evaluation is driven by eval_fn (a metric callable), not a raw
+            # loader — fail loudly instead of silently skipping validation
+            raise TypeError(
+                "fit() does not consume a raw valid_loader; pass an "
+                "evaluator as eval_fn= at construction (e.g. "
+                "CTREvaluator/RetrievalEvaluator)")
         epochs = epochs or self.config.epochs
+        self._stopped = False   # a prior early-stopped fit() must not leak
         if self.params is None:
-            sample = next(iter(train_loader))
+            peek = getattr(train_loader, "peek_batch", None)
+            sample = peek() if peek is not None else next(iter(train_loader))
             self.init(sample)
         last_metrics: Dict[str, float] = {}
         K = max(1, self.config.fused_steps)
@@ -412,8 +426,13 @@ class Trainer:
         return metrics
 
     # -- inference -----------------------------------------------------------
+    def full_params(self) -> dict:
+        """The complete params tree for inference (sparse/packed trainers
+        override this to materialize their table state)."""
+        return self.params
+
     def apply(self, batch: Dict[str, np.ndarray], method=None, train: bool = False):
-        variables = {"params": self.params, **self.model_state}
+        variables = {"params": self.full_params(), **self.model_state}
         kwargs = {} if method is not None else {"train": train}
         return self.model.apply(variables, self._device_batch(batch),
                                 method=method, **kwargs)
@@ -428,13 +447,21 @@ class Trainer:
         return self._fwd_fn
 
     def predict(self, loader, output_key: Optional[Callable] = None) -> np.ndarray:
-        """Run forward over a loader, honoring tail-batch masks."""
+        """Run forward over a loader, honoring tail-batch masks.
+
+        ``output_key`` extracts the prediction array from structured model
+        outputs (a callable, or a mapping key) before concatenation."""
         outs = []
-        variables = {"params": self.params, **self.model_state}
+        variables = {"params": self.full_params(), **self.model_state}
         fwd = self._forward()
         for batch in loader:
             mask = batch.pop(MASK_KEY, None)
-            out = np.asarray(fwd(variables, self._device_batch(batch)))
+            raw = fwd(variables, self._device_batch(batch))
+            if callable(output_key):
+                raw = output_key(raw)
+            elif output_key is not None:
+                raw = raw[output_key]
+            out = np.asarray(raw)
             if mask is not None:
                 out = out[mask.astype(bool)] if mask.ndim == 1 else out
             outs.append(out)

@@ -233,3 +233,68 @@ def test_fit_resumes_from_checkpoint(tmp_path):
     m = t2.fit(loader, epochs=5)        # continues: epochs 3..4 only
     assert t2.step == steps_after_3 + 2 * len(loader)
     assert m["AUC"] > 0.95
+
+
+def test_fit_rejects_raw_valid_loader():
+    import numpy as np
+    import pytest
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    fm = FeatureMap("vl", (FeatureSpec("c", "categorical", vocab_size=5,
+                                       embedding_dim=4),), labels=("click",))
+    t = Trainer(DeepFM(feature_map=fm, embedding_dim=4, hidden_units=(8,)),
+                lambda o, b: binary_crossentropy(o, b["click"]),
+                TrainerConfig(monitor="AUC"))
+    arrays = {"c": np.array([1, 2], np.int32),
+              "click": np.array([1., 0.], np.float32)}
+    loader = ArrayLoader(arrays, batch_size=2)
+    with pytest.raises(TypeError, match="eval_fn"):
+        t.fit(loader, valid_loader=loader)
+
+
+def test_fit_resets_stopped_flag():
+    """A second fit() after an early stop must train again."""
+    import numpy as np
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    arrays = {"c": rng.integers(1, 20, 512).astype(np.int32)}
+    arrays["click"] = (arrays["c"] % 2).astype(np.float32)
+    fm = FeatureMap("st", (FeatureSpec("c", "categorical", vocab_size=20,
+                                       embedding_dim=4),), labels=("click",))
+    # constant metric -> never improves after the first eval -> early stop
+    t = Trainer(DeepFM(feature_map=fm, embedding_dim=4, hidden_units=(8,)),
+                lambda o, b: binary_crossentropy(o, b["click"]),
+                TrainerConfig(learning_rate=1e-2, epochs=10, patience=1,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False),
+                eval_fn=lambda tr: {"AUC": 0.5})
+    loader = ArrayLoader(arrays, batch_size=128, drop_last=True, seed=1)
+    t.fit(loader)
+    assert t._stopped
+    steps = t.step
+    t.fit(loader, epochs=t.epoch + 2)
+    assert t.step > steps   # trained again despite the earlier stop
+
+
+def test_peek_batch_has_no_epoch_side_effects():
+    import numpy as np
+    from recbox_tpu.data import ArrayLoader
+
+    rng = np.random.default_rng(0)
+    arrays = {"a": rng.integers(0, 9, 300).astype(np.int32)}
+    l1 = ArrayLoader(arrays, batch_size=64, seed=3)
+    l2 = ArrayLoader(arrays, batch_size=64, seed=3)
+    _ = l1.peek_batch()
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b1["a"], b2["a"])   # RNG untouched
+    assert l1.peek_batch()["a"].shape == (64,)

@@ -88,7 +88,9 @@ def test_learns_interaction(ctr_data, model_cls, kwargs):
 def test_slow_interaction_models(ctr_data, model_cls, kwargs):
     fm, train, valid = ctr_data
     model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
-    metrics = _fit(model, train, valid, epochs=12, lr=2e-2)
+    # tiny-init multiplicative paths have a slow warmup that can outlast
+    # the early-stop patience at lr 2e-2 — the higher lr escapes quickly
+    metrics = _fit(model, train, valid, epochs=18, lr=5e-2)
     assert metrics["AUC"] > 0.75, metrics
 
 
@@ -97,7 +99,7 @@ def test_slow_interaction_models(ctr_data, model_cls, kwargs):
 def test_pure_factorization_learns_interaction(ctr_data, model_cls, kwargs):
     fm, train, valid = ctr_data
     model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
-    metrics = _fit(model, train, valid, epochs=8, lr=2e-2)
+    metrics = _fit(model, train, valid, epochs=14, lr=2e-2)
     assert metrics["AUC"] > 0.75, metrics
 
 

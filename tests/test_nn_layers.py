@@ -194,3 +194,22 @@ class TestMLPDice:
         mask = jnp.array([[1, 1, 0]], dtype=bool)
         np.testing.assert_allclose(masked_pool(seq, mask, "sum")[0], [2.0, 2.0])
         np.testing.assert_allclose(masked_pool(seq, mask, "mean")[0], [1.0, 1.0])
+
+
+def test_stack_embeddings_masked_mean_over_sequences():
+    """Zero-masked pad steps must not dilute the pooled field vector."""
+    import jax.numpy as jnp
+    import numpy as np
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.nn.embedding import stack_embeddings
+
+    fm = FeatureMap("se", (
+        FeatureSpec("a", "categorical", vocab_size=5, embedding_dim=4),
+        FeatureSpec("s", "sequence", vocab_size=5, embedding_dim=4,
+                    max_len=4),), labels=())
+    a = jnp.ones((2, 4))
+    # 1 valid step out of 4 (pads are zero rows, as FeatureEmbedding emits)
+    s = jnp.zeros((2, 4, 4)).at[:, 0, :].set(2.0)
+    out = stack_embeddings({"a": a, "s": s}, fm.input_features)
+    assert out.shape == (2, 2, 4)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), 2.0)  # not 2/4

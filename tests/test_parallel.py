@@ -154,3 +154,22 @@ def test_host_shard_loader_partitions_by_process(tmp_path):
     loader = host_shard_loader(str(tmp_path), batch_size=100, shuffle=False)
     rows = sum(int(b["__mask__"].sum()) for b in loader)
     assert rows == 600
+
+
+def test_fused_steps_shard_over_data_axis():
+    """train_steps_fused under a mesh must shard the stacked batches'
+    batch dim over 'data' (previously replicated everywhere)."""
+    rng = np.random.default_rng(5)
+    fm, arrays = _make_data(rng, n=512)
+    mesh = make_mesh(num_model_shards=2)
+    model = DeepFM(feature_map=fm, embedding_dim=16, hidden_units=(16,))
+    cfg = TrainerConfig(learning_rate=1e-2, epochs=1, monitor="AUC",
+                        fused_steps=2)
+    trainer = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]),
+                      cfg, mesh=mesh)
+    batch = {k: v[:64] for k, v in arrays.items()}
+    batches = {k: np.stack([v, v]) for k, v in batch.items()}
+    trainer.init(batch)
+    losses = trainer.train_steps_fused(batches)
+    assert losses.shape == (2,)
+    assert np.isfinite(np.asarray(losses)).all()
