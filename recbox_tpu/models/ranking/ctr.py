@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from recbox_tpu.features.schema import FeatureMap
 from recbox_tpu.models.base import RankingModel
-from recbox_tpu.nn.core import MLP, FactorizationMachine
+from recbox_tpu.nn.core import MLP, FactorizationMachine, LogisticRegression
 from recbox_tpu.nn.embedding import FeatureEmbedding, concat_embeddings, stack_embeddings
 from recbox_tpu.nn.interactions import (
     BilinearInteraction, CompressedInteractionNet, CrossNet, CrossNetMix,
@@ -74,9 +74,10 @@ class _FieldModel(RankingModel):
         return FeatureEmbedding(self.feature_map, embedding_dim=1, name="linear")
 
     def _first_order(self, lin_embs) -> jnp.ndarray:
-        x = stack_embeddings(lin_embs, self.feature_map.input_features)  # (B,F,1)
-        bias = self.param("bias", nn.initializers.zeros, (1,))
-        return jnp.sum(x, axis=(1, 2))[:, None] + bias  # (B,1)
+        # the nn/core.py LogisticRegression block over stacked (B, F, 1)
+        # dim-1 lookups — single source of truth for the first-order term
+        x = stack_embeddings(lin_embs, self.feature_map.input_features)
+        return LogisticRegression(name="lr")(x)  # (B, 1)
 
 
 class LR(_FieldModel):
@@ -106,7 +107,7 @@ class DNN(_FieldModel):
     def __call__(self, batch, train: bool = False):
         embs = self._embedding()(batch)
         x = concat_embeddings(embs, self.feature_map.input_features)
-        logit = MLP(self.hidden_units, activation=self.activation, output_dim=1,
+        logit = MLP(self.hidden_units, dtype=self._dtype, activation=self.activation, output_dim=1,
                     dropout=self.dropout, batch_norm=self.batch_norm)(x, train=train)
         return logit.reshape(-1)
 
@@ -121,7 +122,7 @@ class WideDeep(_FieldModel):
         lin = self._linear_embedding()(batch)
         embs = self._embedding()(batch)
         x = concat_embeddings(embs, self.feature_map.input_features)
-        deep = MLP(self.hidden_units, activation=self.activation, output_dim=1,
+        deep = MLP(self.hidden_units, dtype=self._dtype, activation=self.activation, output_dim=1,
                    dropout=self.dropout)(x, train=train)
         return (self._first_order(lin) + deep).reshape(-1)
 
@@ -159,7 +160,7 @@ class NFM(_FieldModel):
         # bi-interaction pooling: 0.5(sum² − sum of squares) kept as a vector
         bi = 0.5 * (jnp.square(jnp.sum(field, axis=1))
                     - jnp.sum(jnp.square(field), axis=1))  # (B, D)
-        deep = MLP(self.hidden_units, output_dim=1,
+        deep = MLP(self.hidden_units, dtype=self._dtype, output_dim=1,
                    dropout=self.dropout)(bi, train=train)
         return (self._first_order(lin) + deep).reshape(-1)
 
@@ -196,7 +197,7 @@ class DCN(_FieldModel):
         embs = self._embedding()(batch)
         x = concat_embeddings(embs, self.feature_map.input_features)
         cross = CrossNet(self.num_cross_layers)(x)
-        deep = MLP(self.hidden_units, dropout=self.dropout)(x, train=train)
+        deep = MLP(self.hidden_units, dtype=self._dtype, dropout=self.dropout)(x, train=train)
         logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(
             jnp.concatenate([cross, deep], axis=-1))
         return logit.reshape(-1)
@@ -223,9 +224,9 @@ class DCNv2(_FieldModel):
         if self.model_structure == "crossnet_only":
             out = cross
         elif self.model_structure == "stacked":
-            out = MLP(self.hidden_units, dropout=self.dropout)(cross, train=train)
+            out = MLP(self.hidden_units, dtype=self._dtype, dropout=self.dropout)(cross, train=train)
         else:
-            deep = MLP(self.hidden_units, dropout=self.dropout)(x, train=train)
+            deep = MLP(self.hidden_units, dtype=self._dtype, dropout=self.dropout)(x, train=train)
             out = jnp.concatenate([cross, deep], axis=-1)
         logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)
         return logit.reshape(-1)
@@ -243,7 +244,7 @@ class xDeepFM(_FieldModel):
         field = stack_embeddings(embs, self.feature_map.input_features)
         flat = field.reshape(field.shape[0], -1)
         cin = CompressedInteractionNet(tuple(self.cin_layer_sizes))(field)
-        deep = MLP(self.hidden_units, output_dim=1,
+        deep = MLP(self.hidden_units, dtype=self._dtype, output_dim=1,
                    dropout=self.dropout)(flat, train=train)
         return (self._first_order(lin) + cin + deep).reshape(-1)
 
@@ -266,7 +267,7 @@ class AutoInt(_FieldModel):
             x.reshape(x.shape[0], -1))
         if self.hidden_units:
             flat = field.reshape(field.shape[0], -1)
-            logit = logit + MLP(tuple(self.hidden_units), output_dim=1,
+            logit = logit + MLP(tuple(self.hidden_units), dtype=self._dtype, output_dim=1,
                                 dropout=self.dropout)(flat, train=train)
         return logit.reshape(-1)
 
@@ -282,7 +283,7 @@ class PNN(_FieldModel):
         flat = field.reshape(field.shape[0], -1)
         inner = InnerProduct()(field)
         x = jnp.concatenate([flat, inner], axis=-1)
-        logit = MLP(self.hidden_units, output_dim=1,
+        logit = MLP(self.hidden_units, dtype=self._dtype, output_dim=1,
                     dropout=self.dropout)(x, train=train)
         return logit.reshape(-1)
 
@@ -302,6 +303,6 @@ class FiBiNET(_FieldModel):
         bi_raw = BilinearInteraction(self.bilinear_type, name="bilinear_raw")(field)
         bi_se = BilinearInteraction(self.bilinear_type, name="bilinear_se")(senet_field)
         x = jnp.concatenate([bi_raw, bi_se], axis=-1)
-        deep = MLP(self.hidden_units, output_dim=1,
+        deep = MLP(self.hidden_units, dtype=self._dtype, output_dim=1,
                    dropout=self.dropout)(x, train=train)
         return (self._first_order(lin) + deep).reshape(-1)

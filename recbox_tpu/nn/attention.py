@@ -121,10 +121,16 @@ class TransformerEncoder(nn.Module):
 class CapsuleNetwork(nn.Module):
     """MIND behavior-to-interest dynamic routing → (B, K, D) interest capsules.
 
-    Re-design of `rechub/basic/layers.py:553-650`: routing logits are
-    resampled-free (zero-init), ``routing_rounds`` iterations of
-    squash(softmax-routing); the bilinear map S is shared across capsules.
-    Stop-gradient on the logits update matches the reference detach().
+    Re-design of `rechub/basic/layers.py:553-650`: routing logits start from
+    a FIXED random draw shared across the batch — the reference's
+    non-trainable randn routing logits; a zero init would leave every
+    capsule identical forever (uniform softmax → same squash(mean) → same
+    logits update, a symmetry nothing breaks). ``routing_rounds`` iterations
+    of squash(softmax-routing); the bilinear map S is shared across
+    capsules. Stop-gradient on the logits update matches the reference
+    detach(). Padded behaviors are excluded by ZEROING their routing weight
+    after the softmax (the softmax runs over the capsule axis, so an
+    additive per-position mask would cancel out).
     """
     interest_num: int = 4
     routing_rounds: int = 3
@@ -134,8 +140,12 @@ class CapsuleNetwork(nn.Module):
         B, L, D = history.shape
         S = self.param("bilinear", nn.initializers.xavier_normal(), (D, D))
         u = jnp.einsum("bld,de->ble", history, S)  # (B, L, D)
-        logits = jnp.zeros((B, self.interest_num, L), u.dtype)
-        mask_add = jnp.where(mask, 0.0, NEG_INF)[:, None, :]
+        # deterministic symmetry-breaking init (reference: fixed randn)
+        logits = jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(17),
+                              (1, self.interest_num, L), u.dtype),
+            (B, self.interest_num, L))
+        keep = mask[:, None, :].astype(u.dtype)    # (B, 1, L)
 
         def squash(v):
             n2 = jnp.sum(v * v, axis=-1, keepdims=True)
@@ -143,7 +153,7 @@ class CapsuleNetwork(nn.Module):
 
         caps = jnp.zeros((B, self.interest_num, D), u.dtype)
         for _ in range(self.routing_rounds):
-            w = jax.nn.softmax(logits + mask_add, axis=1)
+            w = jax.nn.softmax(logits, axis=1) * keep
             caps = squash(jnp.einsum("bkl,bld->bkd", w, u))
             logits = logits + jnp.einsum(
                 "bkd,bld->bkl", caps, jax.lax.stop_gradient(u))

@@ -213,3 +213,26 @@ def test_stack_embeddings_masked_mean_over_sequences():
     out = stack_embeddings({"a": a, "s": s}, fm.input_features)
     assert out.shape == (2, 2, 4)
     np.testing.assert_allclose(np.asarray(out[:, 1]), 2.0)  # not 2/4
+
+
+def test_capsule_network_interests_diverge_and_mask_matters():
+    """Zero-init routing logits left every MIND interest identical and the
+    pad mask a softmax no-op — both must hold the fixed semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from recbox_tpu.nn.attention import CapsuleNetwork
+
+    rng = np.random.default_rng(0)
+    hist = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+    m = CapsuleNetwork(interest_num=4, routing_rounds=3)
+    v = m.init(jax.random.PRNGKey(0), hist, mask)
+    caps = m.apply(v, hist, mask)
+    assert float(jnp.abs(caps[:, 0] - caps[:, 1]).max()) > 1e-4
+    # changing a PADDED position must not move the output
+    caps2 = m.apply(v, hist.at[0, 4].set(99.0), mask)
+    assert float(jnp.abs(caps2[0] - caps[0]).max()) < 1e-6
+    # changing a VALID position must
+    caps3 = m.apply(v, hist.at[0, 1].set(99.0), mask)
+    assert float(jnp.abs(caps3[0] - caps[0]).max()) > 1e-3
