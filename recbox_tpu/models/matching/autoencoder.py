@@ -49,7 +49,7 @@ class MultiVAE(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def _forward(self, batch, train: bool = False):
         x = _normalize(batch["history"])
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         for i, hu in enumerate(self.hidden_units):
@@ -65,21 +65,35 @@ class MultiVAE(nn.Module):
         for i, hu in enumerate(reversed(self.hidden_units)):
             h = jnp.tanh(nn.Dense(hu, name=f"dec{i}")(h))
         logits = nn.Dense(self.num_items, name="out")(h)
-        self.sow("intermediates", "kl",
-                 -0.5 * jnp.mean(jnp.sum(
-                     1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)))
+        kl = -0.5 * jnp.sum(
+            1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)   # per-user (B,)
+        return logits, kl
+
+    def __call__(self, batch, train: bool = False):
+        logits, kl = self._forward(batch, train)
+        self.sow("intermediates", "kl", kl)
         return logits
 
     def full_scores(self, batch, train: bool = False):
         return self(batch, train)
 
+    def elbo_loss(self, batch, beta: float = 0.2,
+                  train: bool = True) -> jnp.ndarray:
+        """Self-contained training loss so the generic Trainer drives this
+        model like any other: ``Trainer(model, lambda out, b: out,
+        train_method='elbo_loss')`` (the sown-KL + custom-loop protocol
+        stays available for β-annealing schedules)."""
+        logits, kl = self._forward(batch, train)
+        return multivae_loss(logits, batch, kl, beta=beta)
+
 
 def multivae_loss(logits, batch, kl, beta: float = 0.2) -> jnp.ndarray:
     """Multinomial CE + β·KL (`multivae.py` calculate_loss; β annealing is
-    the caller's job via the beta argument)."""
+    the caller's job via the beta argument). ``kl`` may be the batch mean or
+    a per-user (B,) vector (it is reduced here)."""
     log_softmax = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.mean(jnp.sum(log_softmax * batch["history"], axis=-1))
-    return ce + beta * kl
+    return ce + beta * jnp.mean(kl)
 
 
 class MacridVAE(nn.Module):
@@ -122,9 +136,9 @@ class MacridVAE(nn.Module):
             jax.nn.softmax(jnp.dot(zs[k], items_n.T) / self.tau, axis=-1)
             * cates[None, :, k]
             for k in range(self.k_factors))
-        kl = sum(-0.5 * jnp.mean(jnp.sum(
-            1 + lv - mu ** 2 - jnp.exp(lv), axis=1))
-            for mu, lv in zip(mus, logvars)) / self.k_factors
+        kl = sum(-0.5 * jnp.sum(
+            1 + lv - mu ** 2 - jnp.exp(lv), axis=1)
+            for mu, lv in zip(mus, logvars)) / self.k_factors  # (B,)
         self.sow("intermediates", "kl", kl)
         return jnp.log(probs + 1e-12)
 
@@ -194,8 +208,8 @@ class RecVAE(nn.Module):
             z = mu
         logits = self.dec(z)
         self.sow("intermediates", "kl",
-                 -0.5 * jnp.mean(jnp.sum(
-                     1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)))
+                 -0.5 * jnp.sum(
+                     1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1))  # (B,)
         return logits, mu, logvar, z
 
     def composite_prior_logpdf(self, batch, z):
@@ -303,5 +317,5 @@ def ract_critic_features(logits, batch, kl) -> jnp.ndarray:
     log_softmax = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.sum(log_softmax * batch["history"], axis=-1)
     counts = jnp.sum(batch["history"], axis=-1)
-    kl_b = jnp.broadcast_to(kl, ce.shape)
+    kl_b = jnp.broadcast_to(kl, ce.shape)  # per-user (B,) passes through
     return jnp.stack([ce, kl_b, jnp.log1p(counts)], axis=-1)

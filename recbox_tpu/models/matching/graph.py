@@ -63,9 +63,12 @@ class _GraphBase(MatchingModel):
         c = jnp.asarray(np.asarray(self.edge_coefs, dtype=np.float32))
         return u, i, c
 
-    def _propagate_hop(self, user_emb, item_emb):
-        """One symmetric-normalized hop over the bipartite graph."""
+    def _propagate_hop(self, user_emb, item_emb, coefs=None):
+        """One symmetric-normalized hop over the bipartite graph; ``coefs``
+        overrides the edge coefficients (e.g. SGL's dropout-rescaled views)."""
         u, i, c = self._edges()
+        if coefs is not None:
+            c = coefs
         msg_to_user = jax.ops.segment_sum(
             item_emb[i] * c[:, None], u, num_segments=self.num_users)
         msg_to_item = jax.ops.segment_sum(
@@ -84,12 +87,12 @@ class LightGCN(_GraphBase):
         self.item_table = self.param("emb_item", init,
                                      (self.num_items, self.embedding_dim))
 
-    def propagated(self):
+    def propagated(self, coefs=None):
         ue = jnp.asarray(self.user_table)
         ie = jnp.asarray(self.item_table)
         user_layers, item_layers = [ue], [ie]
         for _ in range(self.n_layers):
-            ue, ie = self._propagate_hop(ue, ie)
+            ue, ie = self._propagate_hop(ue, ie, coefs=coefs)
             user_layers.append(ue)
             item_layers.append(ie)
         return (jnp.mean(jnp.stack(user_layers), axis=0),
@@ -126,8 +129,8 @@ class _NGCFLayer(nn.Module):
 
 class NGCF(_GraphBase):
     """NGCF: transformed propagation with bi-interaction, concat of layer
-    outputs (`ngcf.py` shape). Message dropout omitted for determinism; add
-    via `dropout` if configured."""
+    outputs (`ngcf.py` shape). `dropout` applies the reference's message
+    dropout to each layer's output during training."""
 
     dropout: float = 0.0
 
@@ -139,6 +142,7 @@ class NGCF(_GraphBase):
                                      (self.num_items, self.embedding_dim))
         self.layers = [_NGCFLayer(self.embedding_dim, name=f"gnn{k}")
                        for k in range(self.n_layers)]
+        self.msg_dropout = nn.Dropout(self.dropout)
 
     def propagated(self, train: bool = False):
         ue = jnp.asarray(self.user_table)
@@ -148,6 +152,9 @@ class NGCF(_GraphBase):
             su, si = self._propagate_hop(ue, ie)
             ue = layer(ue, su)
             ie = layer(ie, si)
+            if self.dropout:
+                ue = self.msg_dropout(ue, deterministic=not train)
+                ie = self.msg_dropout(ie, deterministic=not train)
             un = ue / jnp.maximum(jnp.linalg.norm(ue, axis=-1, keepdims=True), 1e-12)
             inm = ie / jnp.maximum(jnp.linalg.norm(ie, axis=-1, keepdims=True), 1e-12)
             user_layers.append(un)

@@ -48,8 +48,12 @@ def kmeans_prototypes(emb: np.ndarray, k: int, n_iters: int = 20,
     (centers (k, D), assignments (N,))."""
     rng = np.random.default_rng(seed)
     centers = emb[rng.choice(len(emb), size=k, replace=False)].copy()
+    e2 = (emb ** 2).sum(-1, keepdims=True)                  # (N, 1)
     for _ in range(n_iters):
-        d = ((emb[:, None, :] - centers[None]) ** 2).sum(-1)
+        # ||e - c||² = ||e||² − 2e·c + ||c||² via one (N, k) matmul — the
+        # broadcast form materializes an (N, k, D) tensor and OOMs at NCL
+        # scale (100k users × 1000 clusters × 64 dims ≈ 51 GB)
+        d = e2 - 2.0 * emb @ centers.T + (centers ** 2).sum(-1)[None, :]
         assign = d.argmin(1)
         for j in range(k):
             sel = emb[assign == j]
@@ -66,22 +70,13 @@ class SGL(LightGCN):
     drop_ratio: float = 0.1
 
     def _propagate_with_mask(self, edge_keep: Optional[jnp.ndarray]):
-        u, i, c = self._edges()
+        # LightGCN propagation with dropout-rescaled edge coefficients —
+        # routed through the shared hop so fixes there apply here
+        coefs = None
         if edge_keep is not None:
-            c = c * edge_keep / (1.0 - self.drop_ratio)
-        ue = jnp.asarray(self.user_table)
-        ie = jnp.asarray(self.item_table)
-        user_layers, item_layers = [ue], [ie]
-        for _ in range(self.n_layers):
-            msg_u = jax.ops.segment_sum(ie[i] * c[:, None], u,
-                                        num_segments=self.num_users)
-            msg_i = jax.ops.segment_sum(ue[u] * c[:, None], i,
-                                        num_segments=self.num_items)
-            ue, ie = msg_u, msg_i
-            user_layers.append(ue)
-            item_layers.append(ie)
-        return (jnp.mean(jnp.stack(user_layers), axis=0),
-                jnp.mean(jnp.stack(item_layers), axis=0))
+            _, _, c = self._edges()
+            coefs = c * edge_keep / (1.0 - self.drop_ratio)
+        return self.propagated(coefs=coefs)
 
     def ssl_loss(self, batch) -> jnp.ndarray:
         """InfoNCE over two dropout views, restricted to the batch's users
@@ -185,14 +180,20 @@ class DGCF(_GraphBase):
         for _ in range(self.n_layers):
             hu, hi = out_u, out_i
             for _ in range(self.n_routing):
-                # neighbor-normalized weights per intent
-                w = jnp.stack([self._segment_softmax(logits[:, k], u,
-                                                     self.num_users)
-                               for k in range(K)], axis=1)       # (E, K)
+                # neighbor-normalized weights per intent, normalized over
+                # the RECEIVING node's edges on each side (a user-side
+                # softmax reused for item messages would leave item inboxes
+                # unnormalized — popular items' mass grows with degree)
+                w_u = jnp.stack([self._segment_softmax(logits[:, k], u,
+                                                       self.num_users)
+                                 for k in range(K)], axis=1)     # (E, K)
+                w_i = jnp.stack([self._segment_softmax(logits[:, k], i,
+                                                       self.num_items)
+                                 for k in range(K)], axis=1)     # (E, K)
                 msg_u = jax.ops.segment_sum(
-                    hi[i] * w[..., None], u, num_segments=self.num_users)
+                    hi[i] * w_u[..., None], u, num_segments=self.num_users)
                 msg_i = jax.ops.segment_sum(
-                    hu[u] * w[..., None], i, num_segments=self.num_items)
+                    hu[u] * w_i[..., None], i, num_segments=self.num_items)
                 # routing update: affinity of tanh'd messages along edges
                 logits = logits + jnp.sum(
                     jnp.tanh(msg_u[u]) * hi[i], axis=-1)

@@ -179,15 +179,13 @@ class NAIS(_HistoryScorer):
         self.att_out = nn.Dense(1, use_bias=False, name="att_out")
 
     def score(self, batch, item_ids, train: bool = False):
-        hist = batch["hist"]
-        src = jnp.take(jnp.asarray(self.src_table), hist, axis=0)
+        # shares the sim/validity machinery (incl. the self-exclusion
+        # invariant) with FISM via _history
+        sim, valid, _ = self._history(batch, item_ids)
+        src = jnp.take(jnp.asarray(self.src_table), batch["hist"], axis=0)
         dst = jnp.take(jnp.asarray(self.dst_table), item_ids, axis=0)
         prod = src[:, None, :, :] * dst[:, :, None, :]          # (B,S,L,D)
         logits = self.att_out(jax.nn.relu(self.att_mlp(prod)))[..., 0]
-        sim = jnp.einsum("bld,bsd->bsl", src, dst)
-        mask = hist != 0
-        self_mask = hist[:, None, :] == item_ids[:, :, None]
-        valid = mask[:, None, :] & ~self_mask
         w = jnp.where(valid, jnp.exp(logits), 0.0)
         denom = jnp.power(jnp.maximum(jnp.sum(w, axis=-1), 1e-12), self.beta)
         agg = jnp.sum(w * sim, axis=-1) / denom

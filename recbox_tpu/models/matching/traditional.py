@@ -27,9 +27,9 @@ __all__ = ["Pop", "ItemKNN", "EASE", "PureSVD", "SLIM", "ADMMSLIM",
 
 def build_interaction_matrix(user_ids, item_ids, num_users: int,
                              num_items: int) -> np.ndarray:
-    X = np.zeros((num_users, num_items), dtype=np.float32)
-    X[np.asarray(user_ids), np.asarray(item_ids)] = 1.0
-    return X
+    """Alias of `autoencoder.build_history_matrix` (one multi-hot builder)."""
+    from recbox_tpu.models.matching.autoencoder import build_history_matrix
+    return build_history_matrix(user_ids, item_ids, num_users, num_items)
 
 
 class Pop:

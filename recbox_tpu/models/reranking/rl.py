@@ -199,22 +199,38 @@ def list_reward_ndcg(perm, labels, mask, k: int = 10) -> jnp.ndarray:
     return dcg / jnp.maximum(idcg, 1e-9)
 
 
-def reinforce_loss(logp, reward, baseline=None) -> jnp.ndarray:
-    """REINFORCE with optional baseline (`rl_reranker.py` RLModel)."""
+def _masked_sum(logp, step_mask):
+    """Sum per-step log-probs over VALID decode steps only. Slates shorter
+    than N emit filler picks of padded slots once real candidates run out;
+    their log-probs are meaningless and must not drive gradients."""
+    if step_mask is None:
+        return jnp.sum(logp, axis=-1)
+    return jnp.sum(logp * step_mask.astype(logp.dtype), axis=-1)
+
+
+def reinforce_loss(logp, reward, baseline=None,
+                   step_mask=None) -> jnp.ndarray:
+    """REINFORCE with optional baseline (`rl_reranker.py` RLModel).
+    ``step_mask`` (B, N) flags the valid (non-filler) decode steps — e.g.
+    ``arange(N)[None] < mask.sum(1)[:, None]``."""
     adv = reward if baseline is None else reward - baseline
-    return -jnp.mean(jnp.sum(logp, axis=-1) * jax.lax.stop_gradient(adv))
+    return -jnp.mean(_masked_sum(logp, step_mask)
+                     * jax.lax.stop_gradient(adv))
 
 
 def ppo_loss(logp_new, logp_old, advantage, value, reward,
              clip_eps: float = 0.2, vf_coef: float = 0.5,
-             ent_coef: float = 0.0, entropy=None) -> jnp.ndarray:
+             ent_coef: float = 0.0, entropy=None,
+             step_mask=None) -> jnp.ndarray:
     """Clipped PPO objective (`rl_reranker.py:215-309` PPOModel): per-list
-    ratio over summed step log-probs, value MSE, optional entropy bonus."""
-    ratio = jnp.exp(jnp.sum(logp_new - logp_old, axis=-1))
+    ratio over summed step log-probs, value MSE, optional entropy bonus.
+    ``step_mask`` excludes filler decode steps (see reinforce_loss)."""
+    ratio = jnp.exp(_masked_sum(logp_new - logp_old, step_mask))
     adv = jax.lax.stop_gradient(advantage)
     pg = -jnp.mean(jnp.minimum(
         ratio * adv,
         jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv))
     vf = jnp.mean(jnp.square(value - reward))
-    ent = 0.0 if entropy is None else -jnp.mean(jnp.sum(entropy, axis=-1))
+    ent = 0.0 if entropy is None else -jnp.mean(
+        _masked_sum(entropy, step_mask))
     return pg + vf_coef * vf + ent_coef * ent

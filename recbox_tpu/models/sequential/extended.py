@@ -505,10 +505,13 @@ class _LightSANsLayer(nn.Module):
         attn = jax.nn.softmax(
             jnp.einsum("blhd,bkhd->bhlk", q, k_low) / jnp.sqrt(dh), axis=-1)
         ctx = jnp.einsum("bhlk,bkhd->blhd", attn, v_low)
-        # decoupled positional attention
+        # decoupled positional attention — key-mask the PAD positions: their
+        # v rows are arbitrary after LayerNorm/deeper layers, and an
+        # unmasked softmax would mix them into every output
         pq, pk = heads(pos, "pq"), heads(pos, "pk")
-        pattn = jax.nn.softmax(
-            jnp.einsum("blhd,bmhd->bhlm", pq, pk) / jnp.sqrt(dh), axis=-1)
+        pscores = jnp.einsum("blhd,bmhd->bhlm", pq, pk) / jnp.sqrt(dh)
+        pscores = jnp.where(mask[:, None, None, :], pscores, -1e9)
+        pattn = jax.nn.softmax(pscores, axis=-1)
         pctx = jnp.einsum("bhlm,bmhd->blhd", pattn, v)
         out = (ctx + pctx).reshape(B, L, D)
         out = nn.Dense(D, name="o")(out)

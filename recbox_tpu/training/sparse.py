@@ -184,11 +184,11 @@ class SparseEmbeddingTrainer(Trainer):
                 if mutable_keys:
                     outputs, new_state = model.apply(
                         variables, full_batch, train=True,
-                        rngs={"dropout": rng}, mutable=mutable_keys,
+                        rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}, mutable=mutable_keys,
                         **apply_kwargs)
                 else:
                     outputs = model.apply(variables, full_batch, train=True,
-                                          rngs={"dropout": rng}, **apply_kwargs)
+                                          rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}, **apply_kwargs)
                     new_state = self.model_state
                 return loss_fn(outputs, batch), new_state
 

@@ -139,7 +139,9 @@ class Trainer:
         if self.train_method is not None:
             init_kwargs["method"] = getattr(self.model, self.train_method)
         variables = self.model.init(
-            {"params": rng, "dropout": rng}, batch, train=True, **init_kwargs)
+            {"params": rng, "dropout": rng,
+             "reparam": jax.random.fold_in(rng, 1)},
+            batch, train=True, **init_kwargs)
         variables = unfreeze(variables)
         params = variables.pop("params")
         # extract flax partitioning metadata (embedding tables → ('model', None))
@@ -177,11 +179,11 @@ class Trainer:
                 if mutable_keys:
                     outputs, new_state = model.apply(
                         variables, batch, train=True,
-                        rngs={"dropout": rng}, mutable=mutable_keys,
+                        rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}, mutable=mutable_keys,
                         **apply_kwargs)
                 else:
                     outputs = model.apply(variables, batch, train=True,
-                                          rngs={"dropout": rng}, **apply_kwargs)
+                                          rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}, **apply_kwargs)
                     new_state = model_state
                 loss = loss_fn(outputs, batch)
                 if cfg.embedding_regularizer:

@@ -271,3 +271,30 @@ class TestTraditionalExtended:
         assert np.allclose(np.diag(W), 0)
         assert (W >= 0).all()
         assert (W == 0).mean() > 0.3  # l1 actually sparsifies
+
+
+def test_multivae_trains_through_generic_trainer(block):
+    """The generic Trainer must drive the VAE (reparam rng supplied by the
+    step; loss self-contained via train_method='elbo_loss')."""
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    users, items, ub, ib = block
+    X = build_history_matrix(users, items, N_USERS, N_ITEMS)
+    model = MultiVAE(num_items=N_ITEMS, hidden_units=(64,), latent_dim=16,
+                     dropout=0.2)
+
+    class _Loader:
+        def __iter__(self):
+            rng = np.random.default_rng(0)
+            for _ in range(6):
+                sel = rng.integers(0, N_USERS, 32)
+                yield {"history": X[sel]}
+
+    t = Trainer(model, lambda out, b: out,
+                TrainerConfig(learning_rate=1e-2, epochs=6, patience=8,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False),
+                train_method="elbo_loss")
+    t.fit(_Loader())
+    scores = np.asarray(t.apply({"history": X}, method=model.full_scores))
+    assert _block_auc(scores, ub, ib) > 0.8
