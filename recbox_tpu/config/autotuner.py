@@ -58,7 +58,10 @@ def grid_search(
         logger.info("[%d/%d] %s -> %s", i + 1, len(combos),
                     params["experiment_id"], metrics)
     sign = -1 if mode == "max" else 1
-    results.sort(key=lambda r: sign * r["metrics"].get(monitor, float("-inf")))
+    # runs missing the monitor metric must sort LAST in either mode
+    # (sign * -inf would rank them FIRST under mode='min')
+    results.sort(key=lambda r: sign * r["metrics"].get(
+        monitor, float("-inf") if mode == "max" else float("inf")))
     return results
 
 

@@ -35,7 +35,7 @@ def load_atomic_file(path: str, seq_sep: str = " ") -> Dict[str, np.ndarray]:
     {name: column}. token → str array, float → float32, *_seq → object
     array of lists (pad later at batch time)."""
     with open(path) as fh:
-        header = fh.readline().rstrip("\n").split("\t")
+        header = fh.readline().rstrip("\r\n").split("\t")
         names, types = [], []
         for col in header:
             if ":" not in col:
@@ -45,7 +45,7 @@ def load_atomic_file(path: str, seq_sep: str = " ") -> Dict[str, np.ndarray]:
                 raise ValueError(f"{path}: unknown column type {t!r}")
             names.append(n)
             types.append(t)
-        rows = [line.rstrip("\n").split("\t") for line in fh if line.strip()]
+        rows = [line.rstrip("\r\n").split("\t") for line in fh if line.strip()]
     cols: Dict[str, np.ndarray] = {}
     for j, (n, t) in enumerate(zip(names, types)):
         raw = [r[j] if j < len(r) else "" for r in rows]
@@ -66,18 +66,26 @@ def load_atomic_file(path: str, seq_sep: str = " ") -> Dict[str, np.ndarray]:
 
 
 def remap_tokens(columns: Sequence[np.ndarray],
-                 vocab: Optional[Dict[str, int]] = None
+                 vocab: Optional[Dict[str, int]] = None,
+                 start: int = 0
                  ) -> Tuple[List[np.ndarray], Dict[str, int]]:
     """Shared contiguous remap across columns (recbole `_remap_ID_all`):
     ids start at 1; 0 is PAD. First-appearance order (recbole uses the same
-    insertion-order semantics)."""
+    insertion-order semantics).
+
+    New tokens are numbered from max(existing ids, ``start``) + 1 — NOT
+    len(vocab)+1, which collides when ``vocab`` is pre-seeded with sparse
+    ids (e.g. KG entities seeded with their linked item ids). ``start``
+    reserves an id range (entities must not alias unlinked items)."""
     vocab = dict(vocab or {})
+    nxt = max(max(vocab.values(), default=0), start)
     out = []
     for col in columns:
         ids = np.zeros(len(col), dtype=np.int64)
         for i, tok in enumerate(col):
             if tok not in vocab:
-                vocab[tok] = len(vocab) + 1
+                nxt += 1
+                vocab[tok] = nxt
             ids[i] = vocab[tok]
         out.append(ids)
     return out, vocab
@@ -206,8 +214,11 @@ def load_atomic_dataset(data_dir: str, name: str,
             # seed entity vocab so linked entities get their item's id
             for ent, iid in zip(link["entity_id"], link[item_field + "_id"]):
                 entity_vocab[ent] = int(iid)
+        # unlinked entities start AFTER the whole item id space so they can
+        # never alias an (unlinked) item id
         (kg_h, kg_t), entity_vocab = remap_tokens(
-            [kg["head_id"], kg["tail_id"]], vocab=entity_vocab)
+            [kg["head_id"], kg["tail_id"]], vocab=entity_vocab,
+            start=len(item_vocab))
         (kg_r,), relation_vocab = remap_tokens([kg["relation_id"]])
         kg = dict(kg)
         kg["head_id"], kg["tail_id"], kg["relation_id"] = kg_h, kg_t, kg_r

@@ -65,8 +65,12 @@ class InteractionDataset:
             bad_i = set(i_vals[i_counts < min_item_inter])
             if not bad_u and not bad_i:
                 return ds
-            keep = np.array([u not in bad_u and i not in bad_i
-                             for u, i in zip(ds.user_ids, ds.item_ids)])
+            keep = ~(np.isin(ds.user_ids,
+                             np.fromiter(bad_u, ds.user_ids.dtype,
+                                         len(bad_u)))
+                     | np.isin(ds.item_ids,
+                               np.fromiter(bad_i, ds.item_ids.dtype,
+                                           len(bad_i))))
             ds = ds._select(keep)
             if len(ds) == 0:
                 return ds
@@ -84,16 +88,22 @@ class InteractionDataset:
         return ds
 
     # -- remapping -----------------------------------------------------------
-    def remap_ids(self) -> "InteractionDataset":
-        """Map raw user/item ids to contiguous ints 0..n−1, first-appearance
-        order (recbole remap gives deterministic contiguous ids)."""
+    def remap_ids(self, start: int = 0) -> "InteractionDataset":
+        """Map raw user/item ids to contiguous ints start..start+n−1 in
+        SORTED raw-id order (deterministic, like recbole's remap).
+
+        Use ``start=1`` when the result feeds the SEQUENTIAL pipeline
+        (`data/sequential.py`) or any padded consumer: id 0 is the framework
+        PAD, and a real item remapped to 0 would be indistinguishable from
+        left-padding (masked out of attention and targets)."""
         u_vals, u_new = np.unique(self.user_ids, return_inverse=True)
         i_vals, i_new = np.unique(self.item_ids, return_inverse=True)
         ds = InteractionDataset(
-            u_new.astype(np.int32), i_new.astype(np.int32), self.ratings,
+            (u_new + start).astype(np.int32),
+            (i_new + start).astype(np.int32), self.ratings,
             self.timestamps, self.extra)
-        ds.user_map = {v: k for k, v in enumerate(u_vals.tolist())}
-        ds.item_map = {v: k for k, v in enumerate(i_vals.tolist())}
+        ds.user_map = {v: k + start for k, v in enumerate(u_vals.tolist())}
+        ds.item_map = {v: k + start for k, v in enumerate(i_vals.tolist())}
         return ds
 
     @property
@@ -157,7 +167,12 @@ class InteractionDataset:
         """LS: per user, last interaction → test, second-to-last → valid
         (`dataset.py:1791-1807`)."""
         rng = np.random.default_rng(seed)
-        idx = self._order(order if self.timestamps is not None else "RO", rng)
+        if order == "TO" and self.timestamps is None:
+            # silent fallback to random order would change the documented
+            # temporal protocol; require the caller to opt in explicitly
+            raise ValueError("split_leave_one_out(order='TO') needs "
+                             "timestamps; pass order='RO' for random order")
+        idx = self._order(order, rng)
         users = self.user_ids[idx]
         order_sorted = idx[np.argsort(users, kind="mergesort")]
         users = self.user_ids[order_sorted]

@@ -86,10 +86,21 @@ class FeatureEncoder:
         ``item_corpus`` and the corpus_index column becomes the item-id space
         (reference join semantics: `recbox/matching/features.py:105-156`).
         """
-        specs: List[FeatureSpec] = []
+        spec_by_name: Dict[str, FeatureSpec] = {}
         num_items = 0
-        for col in self.feature_cols:
+        # process share_embedding columns AFTER their base columns so the
+        # shared vocab exists when they fit (a share column listed first
+        # would otherwise silently build its own incompatible vocab)
+        order = sorted(self.feature_cols,
+                       key=lambda c: bool(c.get("share_embedding")))
+        for col in order:
             name = col["name"]
+            share_target = col.get("share_embedding")
+            if share_target and share_target not in {
+                    c["name"] for c in self.feature_cols}:
+                raise ValueError(
+                    f"feature {name!r} shares embedding with unknown "
+                    f"column {share_target!r}")
             ftype = col.get("type", CATEGORICAL)
             source = col.get("source", "")
             table = item_corpus if (item_corpus is not None and source == "item") else train_table
@@ -97,14 +108,15 @@ class FeatureEncoder:
             emb_dim = col.get("embedding_dim", self.default_embedding_dim)
 
             if ftype == META:
-                specs.append(FeatureSpec(name=name, type=META, source=source))
+                spec_by_name[name] = FeatureSpec(name=name, type=META, source=source)
                 continue
             if ftype == NUMERIC:
                 norm = Normalizer(col.get("normalizer", "StandardScaler"))
                 norm.fit(values)
                 self.normalizers[name] = norm
-                specs.append(FeatureSpec(
-                    name=name, type=NUMERIC, source=source, embedding_dim=emb_dim))
+                spec_by_name[name] = FeatureSpec(
+                    name=name, type=NUMERIC, source=source,
+                    embedding_dim=emb_dim)
                 continue
 
             share = col.get("share_embedding")
@@ -124,10 +136,10 @@ class FeatureEncoder:
                     )
                     tok.fit(values, use_padding=False)
                 self.tokenizers[name] = tok
-                specs.append(FeatureSpec(
+                spec_by_name[name] = FeatureSpec(
                     name=name, type=CATEGORICAL, source=source,
                     vocab_size=tok.vocab_size, embedding_dim=emb_dim,
-                    share_embedding=share))
+                    share_embedding=share)
             elif ftype == SEQUENCE:
                 tok = Tokenizer(
                     min_freq=col.get("min_categr_count", min_categr_count),
@@ -145,16 +157,18 @@ class FeatureEncoder:
                     tok.vocab[Tokenizer.PAD] = base.vocab_size
                     tok.vocab_size = base.vocab_size + 1
                 self.tokenizers[name] = tok
-                specs.append(FeatureSpec(
+                spec_by_name[name] = FeatureSpec(
                     name=name, type=SEQUENCE, source=source,
                     vocab_size=tok.vocab_size, embedding_dim=emb_dim,
                     max_len=tok.max_len, share_embedding=share,
                     padding_idx=tok.padding_idx,
-                    pooling=col.get("pooling", "mean")))
+                    pooling=col.get("pooling", "mean"))
             else:
                 raise ValueError(f"unknown feature type {ftype!r} for {name}")
 
-        # vocab growth through merges means shared specs need a final pass
+        # assemble specs in the DECLARED column order (processing order was
+        # share-last); vocab growth through merges needs a final pass
+        specs = [spec_by_name[c["name"]] for c in self.feature_cols]
         fixed: List[FeatureSpec] = []
         for s in specs:
             if s.name in self.tokenizers:

@@ -116,7 +116,8 @@ class FeatureMap:
     def by_source(self, source: str) -> Tuple[FeatureSpec, ...]:
         """Features routed to a tower; '' (unset) features go to every tower."""
         return tuple(
-            f for f in self.features if f.source == source and f.type != META
+            f for f in self.features
+            if f.source in (source, "") and f.type != META
         )
 
     @property

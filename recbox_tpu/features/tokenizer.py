@@ -108,6 +108,15 @@ class Tokenizer:
         return self
 
     def build_vocab(self, word_counts) -> None:
+        if self.lower:
+            # fold case BEFORE ranking: lowering after would both leave raw
+            # tokens unfindable at encode time and create duplicate vocab
+            # entries whose overwrite leaves index gaps (under-sized tables)
+            folded: Counter = Counter()
+            for token, count in word_counts.items():
+                key = token.lower() if isinstance(token, str) else token
+                folded[key] += count
+            word_counts = folded
         items = sorted(word_counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
         words: List[str] = []
         for token, count in items:
@@ -115,7 +124,7 @@ class Tokenizer:
                 continue
             if self.na_value is not None and token == self.na_value:
                 continue
-            words.append(token.lower() if self.lower else token)
+            words.append(token)
         if self.topk_words:
             words = words[: self.topk_words]
         self.vocab = {tok: idx for idx, tok in enumerate(words, 1 + self.oov_token)}
@@ -143,6 +152,8 @@ class Tokenizer:
         # Criteo scale is a genuine native-kernel case (retrieval/native.py)
         arr = np.asarray(values if not hasattr(values, "values")
                          else values.values)
+        if self.lower:
+            arr = np.char.lower(arr.astype("U"))
         if len(arr) >= 4096:
             from recbox_tpu.retrieval.native import vocab_encode_native
             out = vocab_encode_native(arr, self.vocab, self.oov_token)
@@ -168,7 +179,10 @@ class Tokenizer:
             if self._is_null(text) or text == "":
                 seqs.append([])
             else:
-                seqs.append([get(t, oov) for t in str(text).split(self.splitter)])
+                parts = str(text).split(self.splitter)
+                if self.lower:
+                    parts = [t.lower() for t in parts]
+                seqs.append([get(t, oov) for t in parts])
         pad_value = self.padding_idx if self.padding_idx is not None else self.vocab_size - 1
         return pad_sequences(
             seqs, maxlen=self.max_len, value=pad_value,
@@ -255,7 +269,11 @@ class Normalizer:
 
     def transform(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, dtype=np.float64)
-        return ((x - self.mean_) / self.scale_).astype(np.float32)
+        out = ((x - self.mean_) / self.scale_).astype(np.float32)
+        # missing values impute to the fitted center (0 after standardizing,
+        # the min after min-max) — NaN would otherwise reach the model and
+        # NaN the loss (fit already ignores NaN; transform must too)
+        return np.where(np.isnan(out), np.float32(0.0), out)
 
     def state(self) -> dict:
         return {"kind": self.kind, "mean": self.mean_, "scale": self.scale_}

@@ -108,3 +108,18 @@ def test_exclude_seen_negative_sampling():
     negs = sample_negatives(pos, 6, 8, rng, seen_matrix=seen,
                             user_rows=users)
     assert not seen[users[:, None], negs].any()
+
+
+def test_remap_start_one_for_sequential():
+    ds = InteractionDataset(["b", "a"], [100, 50]).remap_ids(start=1)
+    assert ds.user_ids.min() == 1 and ds.item_ids.min() == 1
+    assert ds.user_map["a"] == 1
+
+
+def test_loo_requires_timestamps_for_temporal_order():
+    import pytest
+    ds = InteractionDataset([1, 1, 2, 2], [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="timestamps"):
+        ds.split_leave_one_out(order="TO")
+    parts = ds.split_leave_one_out(order="RO")   # explicit opt-in works
+    assert sum(len(p) for p in parts) == 4

@@ -259,3 +259,28 @@ class TestGNNModels:
              "ripple_tails": jnp.asarray(rs["tails"][all_rows])},
             method=model.full_scores)
         assert _block_auc(np.asarray(scores)[:, :N_ITEMS], ub, ib) > 0.75
+
+
+class TestAtomicEntityRemap:
+    def test_unlinked_entities_never_alias_items(self, tmp_path):
+        """Entity ids seeded from sparse linked-item ids must not collide
+        with other entities nor land inside the unlinked-item id range."""
+        from recbox_tpu.data.atomic import load_atomic_dataset
+        (tmp_path / "t.inter").write_text(
+            "user_id:token\titem_id:token\n" +
+            "".join(f"u{k}\ti{k}\n" for k in range(4)))
+        # only item i3 is linked; three more standalone entities
+        (tmp_path / "t.link").write_text(
+            "item_id:token\tentity_id:token\ni3\te_d\n")
+        (tmp_path / "t.kg").write_text(
+            "head_id:token\trelation_id:token\ttail_id:token\n"
+            "e_d\tr\te_x\ne_x\tr\te_y\ne_y\tr\te_z\n")
+        ds = load_atomic_dataset(str(tmp_path), "t")
+        item_ids = set(ds.item_vocab.values())
+        ent_items = {e: i for e, i in ds.entity_vocab.items()}
+        # linked entity shares its item id
+        assert ent_items["e_d"] == ds.item_vocab["i3"]
+        # unlinked entities: distinct ids OUTSIDE the item range
+        others = [ent_items[e] for e in ("e_x", "e_y", "e_z")]
+        assert len(set(others)) == 3
+        assert not (set(others) & item_ids)

@@ -154,3 +154,51 @@ class TestFeatureMap:
                         max_len=5, pooling="concat"),
         ))
         assert fm.sum_emb_out_dim() == 8 + 4 * 5
+
+
+def test_lower_folds_case_end_to_end():
+    from recbox_tpu.features.tokenizer import Tokenizer
+    t = Tokenizer(lower=True)
+    t.fit(["Apple", "apple", "Pear"])
+    # case-folded counting: one vocab entry per folded token, no index gaps
+    assert t.vocab_size == max(t.vocab.values()) + 1
+    got = t.encode_category(["APPLE", "pear", "unknown"])
+    assert got[0] == t.vocab["apple"]
+    assert got[1] == t.vocab["pear"]
+    assert got[2] == t.oov_token
+
+
+def test_normalizer_imputes_nan_on_transform():
+    import numpy as np
+    from recbox_tpu.features.tokenizer import Normalizer
+    n = Normalizer("StandardScaler").fit(np.array([1.0, 3.0, np.nan]))
+    out = n.transform(np.array([np.nan, 2.0]))
+    assert np.isfinite(out).all()
+    assert out[0] == 0.0          # mean-imputed after standardization
+
+
+def test_share_embedding_order_independent():
+    """A share column listed BEFORE its base must still share the vocab."""
+    import numpy as np
+    from recbox_tpu.features.encoder import FeatureEncoder
+    table = {"hist": np.asarray(["a^b", "c^a", "b"]),
+             "item_id": np.asarray(["a", "b", "c"])}
+    enc = FeatureEncoder(
+        feature_cols=[
+            {"name": "hist", "type": "sequence", "splitter": "^",
+             "share_embedding": "item_id", "max_len": 3},
+            {"name": "item_id", "type": "categorical"},
+        ], dataset_id="share_order")
+    fm = enc.fit(table)
+    # ids must resolve through the base vocab
+    hist_tok = enc.tokenizers["hist"]
+    base_tok = enc.tokenizers["item_id"]
+    for tok in ("a", "b", "c"):
+        assert hist_tok.vocab[tok] == base_tok.vocab[tok]
+    # unknown share target fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="unknown"):
+        FeatureEncoder(feature_cols=[
+            {"name": "x", "type": "categorical",
+             "share_embedding": "nope"}], dataset_id="bad").fit(
+            {"x": np.asarray(["a"])})
