@@ -71,7 +71,7 @@ class KnowledgeGraph:
 def build_neighbor_table(kg: KnowledgeGraph, n_neighbors: int,
                          seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """(n_entities, K) entity + relation neighbor tables with uniform
-    sampling (with replacement when deg>K, resampling when deg<K) —
+    sampling (sampling WITH replacement only when deg < K; a plain subsample otherwise) —
     `kgcn.py:construct_adj`. Entities with no out-triples self-loop on the
     interact relation (contributes the entity's own embedding)."""
     rng = np.random.default_rng(seed)
@@ -104,6 +104,8 @@ def build_ripple_sets(kg: KnowledgeGraph, user_items: Dict[int, list],
     rng = np.random.default_rng(seed)
     order = np.argsort(kg.heads, kind="stable")
     h_sorted = kg.heads[order]
+    r_sorted = kg.relations[order]     # hoisted: re-sorting per user/hop
+    t_sorted = kg.tails[order]         # copies the whole KG repeatedly
     starts = np.searchsorted(h_sorted, np.arange(kg.n_entities), "left")
     ends = np.searchsorted(h_sorted, np.arange(kg.n_entities), "right")
 
@@ -133,8 +135,8 @@ def build_ripple_sets(kg: KnowledgeGraph, user_items: Dict[int, list],
             pick = rng.choice(cand, size=n_memory,
                               replace=len(cand) < n_memory)
             heads[ui, hop] = h_sorted[pick]
-            rels[ui, hop] = kg.relations[order][pick]
-            tails[ui, hop] = kg.tails[order][pick]
+            rels[ui, hop] = r_sorted[pick]
+            tails[ui, hop] = t_sorted[pick]
             seeds = list(tails[ui, hop])
     return {"users": np.asarray(users, np.int32),
             "heads": heads, "relations": rels, "tails": tails}
@@ -146,7 +148,13 @@ def collaborative_kg_edges(kg: KnowledgeGraph, user_ids, item_ids,
     ids, users are offset by n_entities; user→item edges get the reserved
     interact relation. Returns (heads, relations, tails) including inverse
     interact edges so propagation reaches users."""
-    u = np.asarray(user_ids) + kg.n_entities
+    u = np.asarray(user_ids)
+    if num_users and len(u) and int(u.max()) >= num_users:
+        raise ValueError(
+            f"user id {int(u.max())} >= num_users={num_users}: KGAT sizes "
+            "its node table as n_entities + num_users, and out-of-range "
+            "gathers clamp SILENTLY on TPU")
+    u = u + kg.n_entities
     i = np.asarray(item_ids)
     heads = np.concatenate([kg.heads, u, i])
     rels = np.concatenate([kg.relations,

@@ -51,17 +51,21 @@ class AliasTable:
 def popularity_distribution(item_counts: np.ndarray, strategy: int = 1) -> np.ndarray:
     """rechub `negative_sample` distributions (`utils/match.py:22-63`).
 
-    strategy: 1 = count^0.75 (word2vec), 2 = log(rank+2)-based decay,
-    3 = tencent (count^0.75 over sum, then normalized).
+    strategy: 0 = uniform, 1 = count^0.75 (word2vec), 2 = log(count+1)
+    popularity, 3 = tencent RALM log-rank decay
+    (log(k+2)−log(k+1))/log(n+1) over the popularity rank k.
     """
     counts = np.asarray(item_counts, dtype=np.float64)
-    if strategy == 1 or strategy == 3:
+    if strategy == 1:
         p = np.power(np.maximum(counts, 0.0), 0.75)
     elif strategy == 2:
+        p = np.log(np.maximum(counts, 0.0) + 1.0) + 1e-6
+    elif strategy == 3:
         order = np.argsort(-counts)
         ranks = np.empty_like(order)
         ranks[order] = np.arange(len(counts))
-        p = np.log(ranks + 2.0) - np.log(ranks + 1.0)
+        p = (np.log(ranks + 2.0) - np.log(ranks + 1.0)) \
+            / np.log(len(counts) + 1.0)
     else:
         p = np.ones_like(counts)
     total = p.sum()
@@ -91,6 +95,8 @@ def sample_negatives(
     which matters for dense users where uniform negatives often hit other
     positives.
     """
+    if seen_matrix is not None and user_rows is None:
+        raise ValueError("seen_matrix needs user_rows (per-row user ids)")
     n = len(pos_items)
     shape = (n, num_negs)
     if probs is None:

@@ -5,8 +5,8 @@ sklearn, pandas, or mp.Pool:
 
 * AUC — exact Mann-Whitney rank statistic with average-rank tie handling
   (numerically identical to sklearn.roc_auc_score);
-* grouped metrics — one lexicographic argsort by (group, score) and
-  segment reductions instead of a pandas groupby + process pool;
+* grouped metrics — one group sort into contiguous segments, then
+  per-segment numpy reductions (no pandas groupby / process pool);
 * weighting matches the reference exactly: gAUC weights groups by sample
   count, avgAUC weights equally, both skip single-class groups
   (`metrics.py:71-87`); MRR/NDCG average over all groups with weight 1.
@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Dict, Optional, Sequence
 
+import re
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,7 +150,15 @@ def evaluate_ctr(
             elif metric == "MRR":
                 out[metric] = _grouped_rank_metric(y_true, y_pred, group_id, _mrr)
             else:
-                k = int(metric.split("k=")[-1].rstrip(")")) if "k=" in metric else 10
+                # accept NDCG(k=5), NDCG@5, NDCG(k = 5); reject anything
+                # else — a silent k=10 fallback reported under the requested
+                # name would be a wrong number
+                m = re.search(r"(?:k\s*=\s*|@)(\d+)", metric)
+                if metric != "NDCG" and m is None:
+                    raise ValueError(
+                        f"cannot parse k from metric {metric!r}; use "
+                        "'NDCG(k=10)' or 'NDCG@10'")
+                k = int(m.group(1)) if m else 10
                 out[metric] = _grouped_rank_metric(
                     y_true, y_pred, group_id, lambda t, p: _ndcg(t, p, k))
         else:

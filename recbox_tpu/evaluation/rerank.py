@@ -48,13 +48,16 @@ def evaluate_rerank(
         hits = np.sum(binary, axis=1)
         ap = np.sum(prec * binary, axis=1) / np.maximum(hits, 1.0)
         out[f"MAP@{k}"] = float(np.mean(np.where(hits > 0, ap, 0.0)))
-        # NDCG@k with gain = label (graded), log2 discounts
+        # NDCG@k with EXPONENTIAL gain 2^label − 1 (librerank
+        # evaluate_multi; linear gain coincides only for binary labels —
+        # de-biased fractional labels and graded clicks need the reference
+        # gain for comparable numbers)
         disc = 1.0 / np.log2(np.arange(kk) + 2.0)
-        dcg = np.sum(top * disc, axis=1)
+        dcg = np.sum((np.power(2.0, top) - 1.0) * disc, axis=1)
         ideal = np.take_along_axis(
             labels * mask, np.argsort(-(labels * mask), axis=1, kind="stable"),
             axis=1)[:, :kk]
-        idcg = np.sum(ideal * disc, axis=1)
+        idcg = np.sum((np.power(2.0, ideal) - 1.0) * disc, axis=1)
         out[f"NDCG@{k}"] = float(np.mean(np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)))
     return out
 
