@@ -27,6 +27,7 @@ namespace {
 struct TopK {
   explicit TopK(int k) : k_(k) {}
   void push(float score, int32_t id) {
+    if (k_ <= 0) return;  // empty heap_.front() below would be UB
     if (static_cast<int>(heap_.size()) < k_) {
       heap_.emplace_back(score, id);
       std::push_heap(heap_.begin(), heap_.end(), cmp);
@@ -209,14 +210,19 @@ void rbn_sample_negatives(const int32_t* positives, int n_rows, int n_items,
                           int num_negs, uint64_t seed, int32_t* out,
                           int n_threads) {
   parallel_for(n_rows, n_threads, [&](int lo, int hi) {
-    std::mt19937_64 rng(seed + static_cast<uint64_t>(lo) * 0x9E3779B97F4A7C15ull);
     std::uniform_int_distribution<int32_t> dist(0, n_items - 1);
     for (int r = lo; r < hi; ++r) {
+      // per-ROW seeding: results are identical for a fixed seed regardless
+      // of the thread count / chunking (a per-chunk seed tied results to
+      // the host's core count)
+      std::mt19937_64 rng(seed + static_cast<uint64_t>(r)
+                                     * 0x9E3779B97F4A7C15ull);
       int32_t pos = positives[r];
       int32_t* row = out + static_cast<int64_t>(r) * num_negs;
       for (int j = 0; j < num_negs; ++j) {
         int32_t v = dist(rng);
-        while (v == pos) v = dist(rng);
+        // n_items==1 would spin forever; the Python wrapper rejects it
+        while (v == pos && n_items > 1) v = dist(rng);
         row[j] = v;
       }
     }

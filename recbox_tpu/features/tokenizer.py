@@ -152,23 +152,30 @@ class Tokenizer:
         # Criteo scale is a genuine native-kernel case (retrieval/native.py)
         arr = np.asarray(values if not hasattr(values, "values")
                          else values.values)
+        # null mask comes from the ORIGINAL dtype — lowering rebinds arr to
+        # 'U', where None/NaN have already become the literal tokens
+        # 'none'/'nan' and would match real vocab entries
+        null = None
+        if arr.dtype == object or arr.dtype.kind == "f":
+            null = np.asarray([self._is_null(v) for v in arr], bool)
         if self.lower:
             arr = np.char.lower(arr.astype("U"))
         if len(arr) >= 4096:
             from recbox_tpu.retrieval.native import vocab_encode_native
             out = vocab_encode_native(arr, self.vocab, self.oov_token)
             if out is not None:
-                if arr.dtype == object or arr.dtype.kind == "f":
-                    null = np.asarray([self._is_null(v) for v in arr], bool)
-                    if null.any():
-                        out = np.where(null, self.oov_token, out)
+                if null is not None and null.any():
+                    out = np.where(null, self.oov_token, out)
                 return out.astype(np.int32)
         get = self.vocab.get
         oov = self.oov_token
-        return np.asarray(
+        out = np.asarray(
             [oov if self._is_null(v) else get(str(v), oov) for v in arr],
             dtype=np.int32,
         )
+        if null is not None and null.any():   # lowered arr hides nulls
+            out = np.where(null, oov, out).astype(np.int32)
+        return out
 
     def encode_sequence(self, texts: Iterable) -> np.ndarray:
         assert self.splitter is not None, "encode_sequence needs a splitter"

@@ -36,6 +36,13 @@ def load_native(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "librecbox_native.so")
+    if _LIB is not None and rebuild:
+        # the .so is already dlopen-mapped: rebuilding in place risks SIGBUS
+        # in in-flight calls and dlopen would return the stale image anyway
+        logging.getLogger("recbox_tpu").warning(
+            "native lib already loaded; restart the process to pick up a "
+            "rebuild")
+        return _LIB
     if (rebuild or not os.path.exists(so)) and os.path.exists(
             os.path.join(_NATIVE_DIR, "Makefile")):
         try:
@@ -139,8 +146,12 @@ class IVFFlatIndex:
             rng = np.random.default_rng(self.seed)
             self.centroids[:] = self.items[
                 rng.choice(ni, nlist, replace=False)]
+            x2 = (self.items ** 2).sum(-1, keepdims=True)
             for _ in range(self.kmeans_iters):
-                d2 = ((self.items[:, None] - self.centroids[None]) ** 2).sum(-1)
+                # (ni, nlist) matmul form — the broadcast form materializes
+                # an (ni, nlist, d) tensor and OOMs at corpus scale
+                d2 = (x2 - 2.0 * self.items @ self.centroids.T
+                      + (self.centroids ** 2).sum(-1)[None, :])
                 assign = d2.argmin(1).astype(np.int32)
                 for c in range(nlist):
                     sel = self.items[assign == c]
@@ -197,6 +208,9 @@ def sample_negatives_native(positives: np.ndarray, n_items: int,
     """Threaded uniform negative sampling with positive exclusion
     (`h5_generator.py:72-95` semantics). numpy fallback when no native lib."""
     positives = np.ascontiguousarray(positives, np.int32)
+    if n_items <= 1:
+        raise ValueError("negative sampling needs n_items > 1 "
+                         "(positive exclusion would spin forever)")
     n = len(positives)
     lib = load_native()
     if lib is not None:
@@ -236,7 +250,10 @@ def vocab_encode_native(values: np.ndarray, vocab: dict, oov: int,
     try:
         arr = np.asarray(values)
         if arr.dtype.kind == "S":
-            keys = arr
+            # raw bytes do NOT match the Tokenizer's str() vocab semantics
+            # (str(b'x') == "b'x'"); fall back to the dict loop rather than
+            # silently encoding whole columns to OOV
+            return None
         elif arr.dtype.kind in "OUfiu":
             keys = to_bytes(arr if arr.dtype.kind == "U"
                             else arr.astype("U"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import logging
 import os
 import sys
@@ -27,6 +28,8 @@ def set_logger(log_file: Optional[str] = None, level: int = logging.INFO,
                name: str = "recbox_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(level)
+    for h in logger.handlers:   # close before dropping: reconfiguring in
+        h.close()                # a sweep leaked one fd per run
     logger.handlers.clear()
     fmt = logging.Formatter(
         "%(asctime)s P%(process)d %(levelname)s %(message)s")
@@ -60,6 +63,10 @@ class MetricsWriter:
     def log(self, metrics: Dict[str, float], step: int) -> None:
         rec = {"step": step, "time": time.time(), **{
             k: float(v) for k, v in metrics.items()}}
+        # NaN/Infinity are invalid JSON — sanitize so strict JSONL
+        # consumers (pandas, jq) can read the whole file
+        rec = {k: (None if isinstance(v, float) and not math.isfinite(v)
+                   else v) for k, v in rec.items()}
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
         if self._tb is not None:

@@ -15,4 +15,7 @@ __all__ = ["seed_everything"]
 def seed_everything(seed: int = 2024) -> None:
     random.seed(seed)
     np.random.seed(seed)
+    # NOTE: affects SUBPROCESSES only — hash randomization for this
+    # process was fixed at interpreter startup (set it in the launcher for
+    # in-process str-hash determinism)
     os.environ["PYTHONHASHSEED"] = str(seed)

@@ -107,9 +107,9 @@ def test_vocab_encode_native_matches_dict():
     out = vocab_encode_native(vals, vocab, oov=0)
     want = np.asarray([vocab.get(v, 0) for v in vals], np.int32)
     np.testing.assert_array_equal(out, want)
-    # bytes input fast path
-    out_b = vocab_encode_native(vals.astype("S"), vocab, oov=0)
-    np.testing.assert_array_equal(out_b, want)
+    # raw bytes ('S') input declines the fast path: str(b'x') == "b'x'"
+    # would diverge from the Tokenizer's dict semantics
+    assert vocab_encode_native(vals.astype("S"), vocab, oov=0) is None
     # unicode tokens fall back to utf-8 encoding and still resolve
     uvocab = {"héllo": 1, "wörld": 2, "plain": 3}
     uvals = np.asarray(["héllo", "nope", "plain", "wörld"])
