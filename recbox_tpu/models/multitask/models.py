@@ -153,11 +153,17 @@ class PLE(_MTLBase):
                     nn.Dense(cand.shape[1], use_bias=False,
                              name=f"l{level}_gate{t}")(task_inputs[t]), axis=-1)
                 new_task_inputs.append(jnp.einsum("beh,be->bh", cand, gate))
-            all_experts = jnp.concatenate(task_expert_outs + [shared_out], axis=1)
-            shared_gate = jax.nn.softmax(
-                nn.Dense(all_experts.shape[1], use_bias=False,
-                         name=f"l{level}_shared_gate")(shared_input), axis=-1)
-            shared_input = jnp.einsum("beh,be->bh", all_experts, shared_gate)
+            if level < self.num_levels - 1:
+                # the final CGC level has no shared branch (its mixture
+                # would feed nothing — only the towers read task_inputs)
+                all_experts = jnp.concatenate(
+                    task_expert_outs + [shared_out], axis=1)
+                shared_gate = jax.nn.softmax(
+                    nn.Dense(all_experts.shape[1], use_bias=False,
+                             name=f"l{level}_shared_gate")(shared_input),
+                    axis=-1)
+                shared_input = jnp.einsum("beh,be->bh", all_experts,
+                                          shared_gate)
             task_inputs = new_task_inputs
         outs = [MLP(self.tower_units, output_dim=1, dropout=self.dropout,
                     name=f"tower_{t}")(task_inputs[t], train=train)

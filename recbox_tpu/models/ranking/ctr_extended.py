@@ -15,6 +15,14 @@ holographic_interaction}.py`).
 
 All pairwise interactions use batched einsum/gram forms (MXU-tiled), never
 per-pair Python loops; pair indices are static `triu_indices`.
+
+Known reference deviations (tracked for a follow-up pass):
+  * ONN/CCPM/FGCNN/EDCN omit the deepctr first-order linear logit their
+    references add (FFM/FwFM/FmFM/FEFM/FLEN/HFM here do include it);
+  * FiGNN's readout gate is per-field (Dense(1) on h_i) where recbole's
+    AttentionalPrediction gates each field from the flattened full state;
+  * EulerNet applies a learned bias to the real component post-exp only,
+    not the reference's bias_lam/bias_theta inside the complex rotation.
 """
 
 from __future__ import annotations

@@ -34,7 +34,10 @@ def listwise_bce(scores: jnp.ndarray, labels: jnp.ndarray,
     labels = labels.astype(scores.dtype)
     m = mask.astype(scores.dtype)
     per = jax.nn.softplus(scores) - labels * scores
-    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+    # where(), not multiplication: a NaN/inf score at a masked position
+    # would survive per*0 and poison the whole-batch loss
+    per = jnp.where(m > 0, per, 0.0)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def listwise_softmax_ce(scores: jnp.ndarray, labels: jnp.ndarray,
@@ -121,8 +124,13 @@ class MiDNN(nn.Module):
         small = jnp.where(m > 0, item_feats, jnp.inf)
         fmax = jnp.max(big, axis=1, keepdims=True)
         fmin = jnp.min(small, axis=1, keepdims=True)
+        # fully-masked rows give fmax=-inf/fmin=+inf: -inf*0 = NaN would
+        # poison the batch loss — neutralize the stats for empty lists
+        empty = ~jnp.isfinite(fmax)
+        fmax = jnp.where(empty, 0.0, fmax)
+        fmin = jnp.where(empty, 0.0, fmin)
         denom = jnp.maximum(fmax - fmin, 1e-9)
-        global_feat = (item_feats - fmin) / denom * m
+        global_feat = jnp.where(m > 0, (item_feats - fmin) / denom, 0.0)
         x = jnp.concatenate([item_feats, global_feat], axis=-1)
         return MLP(self.hidden_units, output_dim=1, dropout=self.dropout,
                    name="mlp")(x, train=train)[..., 0]

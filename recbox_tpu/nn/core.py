@@ -92,7 +92,7 @@ class MLP(nn.Module):
                          kernel_init=nn.initializers.xavier_normal())(x)
             if self.batch_norm:
                 x = nn.BatchNorm(use_running_average=not train)(x)
-            if acts[i] == "dice":
+            if str(acts[i]).lower() == "dice":
                 x = Dice()(x, train=train)
             else:
                 x = get_activation(acts[i])(x)

@@ -103,7 +103,10 @@ def run_ranking_experiment(
     if test_arrays is not None:
         test_eval = CTREvaluator(test_arrays, label=labels[0], metrics=metrics,
                                  group_id=group_id) if stage != "multitask" \
-            else MultiTaskEvaluator(test_arrays, labels, metrics=metrics)
+            else MultiTaskEvaluator(
+                test_arrays, labels, metrics=metrics,
+                from_logits=getattr(model, "output_type",
+                                    "logits") == "logits")
         result = {**result, **{f"test_{k}": v
                                for k, v in test_eval(trainer).items()}}
     logger.info("experiment %s: %s", config.get("experiment_id", "?"), result)
