@@ -31,11 +31,12 @@ def average_popularity(topk_items: np.ndarray,
 
 
 def shannon_entropy(topk_items: np.ndarray) -> float:
-    """Entropy of the recommended-item distribution
-    (`metrics.py` ShannonEntropy) — higher = more diverse."""
+    """Entropy of the recommended-item distribution, normalized by the
+    number of distinct recommended items (`metrics.py` ShannonEntropy
+    `get_entropy`: ``result / len(item_count)``) — higher = more diverse."""
     _, counts = np.unique(topk_items, return_counts=True)
     p = counts / counts.sum()
-    return float(-np.sum(p * np.log(p)))
+    return float(-np.sum(p * np.log(p)) / len(counts))
 
 
 def gini_index(topk_items: np.ndarray, num_items: int) -> float:
@@ -54,9 +55,19 @@ def gini_index(topk_items: np.ndarray, num_items: int) -> float:
 def tail_percentage(topk_items: np.ndarray, item_counts: np.ndarray,
                     tail_ratio: float = 0.1) -> float:
     """Share of recommended items from the long tail — the least-popular
-    `tail_ratio` of the catalog (`metrics.py` TailPercentage)."""
-    order = np.argsort(item_counts)
-    n_tail = max(1, int(len(item_counts) * tail_ratio))
+    `tail_ratio` of the items THAT APPEAR IN TRAINING DATA
+    (`metrics.py` TailPercentage `get_tail`: candidates come from
+    ``count_items``, i.e. observed items only — never-interacted catalog
+    items and padding are not tail candidates). Ties broken by
+    (count, item id) like the reference's stable sorted() over dict items."""
+    item_counts = np.asarray(item_counts)
+    observed = np.flatnonzero(item_counts > 0)
+    if len(observed) == 0:
+        return 0.0
+    # lexsort: primary key counts, secondary key item id (reference iterates
+    # dict items in id order before the stable count sort)
+    order = observed[np.lexsort((observed, item_counts[observed]))]
+    n_tail = max(1, int(len(observed) * tail_ratio))
     tail = np.zeros(len(item_counts), bool)
     tail[order[:n_tail]] = True
     flat = np.clip(topk_items.reshape(-1), 0, len(item_counts) - 1)

@@ -149,7 +149,7 @@ def evaluate_ctr(
                 out[metric] = grouped_auc(y_true, y_pred, group_id, weighted=False)
             elif metric == "MRR":
                 out[metric] = _grouped_rank_metric(y_true, y_pred, group_id, _mrr)
-            else:
+            elif metric.startswith("NDCG"):
                 # accept NDCG(k=5), NDCG@5, NDCG(k = 5); reject anything
                 # else — a silent k=10 fallback reported under the requested
                 # name would be a wrong number
@@ -161,6 +161,8 @@ def evaluate_ctr(
                 k = int(m.group(1)) if m else 10
                 out[metric] = _grouped_rank_metric(
                     y_true, y_pred, group_id, lambda t, p: _ndcg(t, p, k))
+            else:  # structurally unreachable; keeps the dispatch closed
+                raise ValueError(f"metric={metric} not supported.")
         else:
             raise ValueError(f"metric={metric} not supported.")
     return dict(out)

@@ -549,11 +549,15 @@ class PackedEmbeddingTrainer(Trainer):
         if self.train_method is not None:
             apply_kwargs["method"] = getattr(model, self.train_method)
 
-        def step_fn(dense_params, packs, accs, opt_state, batch, rng, step):
+        def step_fn(dense_params, packs, accs, model_state, opt_state, batch,
+                    rng, step):
             rows, ctx = self._gather_rows(packs, accs, batch)
 
             def compute_loss(dp, rows):
-                variables = {"params": dp, **self.model_state}
+                # model_state is a step argument (NOT closed over), so
+                # mutable collections (batch_stats, …) accumulate across
+                # steps and through the K-step scans below
+                variables = {"params": dp, **model_state}
                 full_batch = {**batch, **rows}
                 if mutable_keys:
                     outputs, new_state = model.apply(
@@ -564,7 +568,7 @@ class PackedEmbeddingTrainer(Trainer):
                     outputs = model.apply(variables, full_batch, train=True,
                                           rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)},
                                           **apply_kwargs)
-                    new_state = self.model_state
+                    new_state = model_state
                 loss = loss_fn(outputs, batch)
                 if cfg.embedding_regularizer:
                     # p2 penalty on the TOUCHED rows (the sparse analog of
@@ -589,7 +593,7 @@ class PackedEmbeddingTrainer(Trainer):
             return (new_dense, new_packs, new_accs, new_state,
                     new_opt_state, loss)
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def train_step(self, batch) -> float:
         if self.params is None:
@@ -602,8 +606,8 @@ class PackedEmbeddingTrainer(Trainer):
         dbatch = self._device_batch(batch)
         (self.params, self.packs, self.accs, self.model_state,
          self.opt_state, loss) = self._train_step(
-            self.params, self.packs, self.accs, self.opt_state, dbatch, rng,
-            jnp.int32(self.step + 1))
+            self.params, self.packs, self.accs, self.model_state,
+            self.opt_state, dbatch, rng, jnp.int32(self.step + 1))
         self.step += 1
         return loss
 
@@ -618,29 +622,32 @@ class PackedEmbeddingTrainer(Trainer):
             inner = self._train_step
 
             @partial(jax.jit, static_argnames=("n",),
-                     donate_argnums=(0, 1, 2, 3))
-            def repeat(dense, packs, accs, opt_state, batch, rng, step0, n):
+                     donate_argnums=(0, 1, 2, 3, 4))
+            def repeat(dense, packs, accs, model_state, opt_state, batch,
+                       rng, step0, n):
                 rngs = jax.random.split(rng, n)
                 steps = step0 + jnp.arange(1, n + 1, dtype=jnp.int32)
 
                 def body(carry, inp):
                     step_rng, step = inp
-                    dense, packs, accs, opt_state = carry
-                    dense, packs, accs, _, opt_state, loss = inner(
-                        dense, packs, accs, opt_state, batch, step_rng, step)
-                    return (dense, packs, accs, opt_state), loss
+                    dense, packs, accs, model_state, opt_state = carry
+                    dense, packs, accs, model_state, opt_state, loss = inner(
+                        dense, packs, accs, model_state, opt_state, batch,
+                        step_rng, step)
+                    return (dense, packs, accs, model_state, opt_state), loss
 
                 carry, losses = jax.lax.scan(
-                    body, (dense, packs, accs, opt_state), (rngs, steps))
+                    body, (dense, packs, accs, model_state, opt_state),
+                    (rngs, steps))
                 return carry + (losses,)
 
             self._repeat_step = repeat
         rng, self._rng = jax.random.split(self._rng)
         dbatch = self._device_batch(batch)
-        (self.params, self.packs, self.accs, self.opt_state, losses) = \
-            self._repeat_step(self.params, self.packs, self.accs,
-                              self.opt_state, dbatch, rng,
-                              jnp.int32(self.step), n_steps)
+        (self.params, self.packs, self.accs, self.model_state,
+         self.opt_state, losses) = self._repeat_step(
+            self.params, self.packs, self.accs, self.model_state,
+            self.opt_state, dbatch, rng, jnp.int32(self.step), n_steps)
         self.step += n_steps
         return losses
 
@@ -655,31 +662,33 @@ class PackedEmbeddingTrainer(Trainer):
         if not hasattr(self, "_fused_step"):
             inner = self._train_step
 
-            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-            def fused(dense, packs, accs, opt_state, batches, rng, step0):
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+            def fused(dense, packs, accs, model_state, opt_state, batches,
+                      rng, step0):
                 K = len(jax.tree_util.tree_leaves(batches)[0])
                 rngs = jax.random.split(rng, K)
                 steps = step0 + jnp.arange(1, K + 1, dtype=jnp.int32)
 
                 def body(carry, inp):
-                    dense, packs, accs, opt_state = carry
+                    dense, packs, accs, model_state, opt_state = carry
                     batch, step_rng, step = inp
-                    dense, packs, accs, _, opt_state, loss = inner(
-                        dense, packs, accs, opt_state, batch, step_rng, step)
-                    return (dense, packs, accs, opt_state), loss
+                    dense, packs, accs, model_state, opt_state, loss = inner(
+                        dense, packs, accs, model_state, opt_state, batch,
+                        step_rng, step)
+                    return (dense, packs, accs, model_state, opt_state), loss
 
                 carry, losses = jax.lax.scan(
-                    body, (dense, packs, accs, opt_state),
+                    body, (dense, packs, accs, model_state, opt_state),
                     (batches, rngs, steps))
                 return carry + (losses,)
 
             self._fused_step = fused
         rng, self._rng = jax.random.split(self._rng)
         dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
-        (self.params, self.packs, self.accs, self.opt_state, losses) = \
-            self._fused_step(self.params, self.packs, self.accs,
-                             self.opt_state, dbatches, rng,
-                             jnp.int32(self.step))
+        (self.params, self.packs, self.accs, self.model_state,
+         self.opt_state, losses) = self._fused_step(
+            self.params, self.packs, self.accs, self.model_state,
+            self.opt_state, dbatches, rng, jnp.int32(self.step))
         self.step += int(losses.shape[0])
         return losses
 

@@ -172,14 +172,19 @@ class SparseEmbeddingTrainer(Trainer):
         if self.train_method is not None:
             apply_kwargs["method"] = getattr(model, self.train_method)
 
-        def step_fn(dense_params, tables, accums, opt_state, batch, rng):
+        def step_fn(dense_params, tables, accums, model_state, opt_state,
+                    batch, rng):
             # 1. gather rows outside the grad
             rows = {}
             for fname, tkey, rkey in feature_tables:
                 rows[rkey] = jnp.take(tables[tkey], batch[fname], axis=0)
 
             def compute_loss(dp, rows):
-                variables = {"params": dp, **self.model_state}
+                # model_state is a step argument (NOT closed over): mutable
+                # collections (batch_stats, …) must thread through the step
+                # and the K-step scans, or running stats would be frozen at
+                # their trace-time values
+                variables = {"params": dp, **model_state}
                 full_batch = {**batch, **rows}
                 if mutable_keys:
                     outputs, new_state = model.apply(
@@ -189,7 +194,7 @@ class SparseEmbeddingTrainer(Trainer):
                 else:
                     outputs = model.apply(variables, full_batch, train=True,
                                           rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}, **apply_kwargs)
-                    new_state = self.model_state
+                    new_state = model_state
                 return loss_fn(outputs, batch), new_state
 
             (loss, new_state), (dgrads, row_grads) = jax.value_and_grad(
@@ -225,7 +230,7 @@ class SparseEmbeddingTrainer(Trainer):
             return new_dense, new_tables, new_accums, new_state, \
                 new_opt_state, loss
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def train_step(self, batch) -> float:
         if self.params is None:
@@ -238,8 +243,8 @@ class SparseEmbeddingTrainer(Trainer):
         dbatch = self._device_batch(batch)
         (self.params, self.tables, self.accumulators, self.model_state,
          self.opt_state, loss) = self._train_step(
-            self.params, self.tables, self.accumulators, self.opt_state,
-            dbatch, rng)
+            self.params, self.tables, self.accumulators, self.model_state,
+            self.opt_state, dbatch, rng)
         self.step += 1
         return loss
 
@@ -315,26 +320,75 @@ class SparseEmbeddingTrainer(Trainer):
             inner = self._train_step
 
             @functools.partial(jax.jit, static_argnames=("n",),
-                               donate_argnums=(0, 1, 2, 3))
-            def repeat(dense, tables, accums, opt_state, batch, rng, n):
+                               donate_argnums=(0, 1, 2, 3, 4))
+            def repeat(dense, tables, accums, model_state, opt_state, batch,
+                       rng, n):
                 rngs = jax.random.split(rng, n)
 
                 def body(carry, step_rng):
-                    dense, tables, accums, opt_state = carry
-                    dense, tables, accums, _, opt_state, loss = inner(
-                        dense, tables, accums, opt_state, batch, step_rng)
-                    return (dense, tables, accums, opt_state), loss
+                    dense, tables, accums, model_state, opt_state = carry
+                    dense, tables, accums, model_state, opt_state, loss = \
+                        inner(dense, tables, accums, model_state, opt_state,
+                              batch, step_rng)
+                    return (dense, tables, accums, model_state,
+                            opt_state), loss
 
-                (dense, tables, accums, opt_state), losses = jax.lax.scan(
-                    body, (dense, tables, accums, opt_state), rngs)
-                return dense, tables, accums, opt_state, losses
+                carry, losses = jax.lax.scan(
+                    body, (dense, tables, accums, model_state, opt_state),
+                    rngs)
+                return carry + (losses,)
 
             self._repeat_step = repeat
         rng, self._rng = jax.random.split(self._rng)
         dbatch = self._device_batch(batch)
-        (self.params, self.tables, self.accumulators, self.opt_state,
-         losses) = self._repeat_step(self.params, self.tables,
-                                     self.accumulators, self.opt_state,
-                                     dbatch, rng, n_steps)
+        (self.params, self.tables, self.accumulators, self.model_state,
+         self.opt_state, losses) = self._repeat_step(
+            self.params, self.tables, self.accumulators, self.model_state,
+            self.opt_state, dbatch, rng, n_steps)
         self.step += n_steps
+        return losses
+
+    def train_steps_fused(self, batches):
+        """K stacked batches through one compiled lax.scan with the sparse
+        table/accumulator/model state threaded through the carry (the base
+        5-arg fused scan cannot drive the 7-arg sparse step)."""
+        first = {k: v[0] for k, v in batches.items()}
+        if self.params is None:
+            self.init(first)
+        if not self.tables:
+            return super().train_steps_fused(batches)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        if not hasattr(self, "_fused_step"):
+            import functools
+            inner = self._train_step
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+            def fused(dense, tables, accums, model_state, opt_state,
+                      batches, rng):
+                K = len(jax.tree_util.tree_leaves(batches)[0])
+                rngs = jax.random.split(rng, K)
+
+                def body(carry, inp):
+                    dense, tables, accums, model_state, opt_state = carry
+                    batch, step_rng = inp
+                    dense, tables, accums, model_state, opt_state, loss = \
+                        inner(dense, tables, accums, model_state, opt_state,
+                              batch, step_rng)
+                    return (dense, tables, accums, model_state,
+                            opt_state), loss
+
+                carry, losses = jax.lax.scan(
+                    body, (dense, tables, accums, model_state, opt_state),
+                    (batches, rngs))
+                return carry + (losses,)
+
+            self._fused_step = fused
+        rng, self._rng = jax.random.split(self._rng)
+        dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
+        (self.params, self.tables, self.accumulators, self.model_state,
+         self.opt_state, losses) = self._fused_step(
+            self.params, self.tables, self.accumulators, self.model_state,
+            self.opt_state, dbatches, rng)
+        self.step += int(losses.shape[0])
         return losses

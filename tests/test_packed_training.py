@@ -451,3 +451,62 @@ def test_packed_trains_mmoe_multitask(rng):
     t = PackedEmbeddingTrainer(model, loss_fn, cfg, eval_fn=ev)
     m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
     assert m["AUC"] > 0.9, m
+
+
+def _state_movement(trainer):
+    import jax
+    leaves = jax.tree_util.tree_leaves(trainer.model_state)
+    return sum(float(np.abs(np.asarray(l)).sum()) for l in leaves
+               if l.dtype.kind == "f")
+
+
+def test_packed_batch_stats_accumulate_across_steps(rng):
+    """Mutable collections (BatchNorm batch_stats) must thread THROUGH the
+    jitted step — not be baked in at trace time. Regression for the
+    round-1 advisor finding: packed steps froze batch_stats ~one momentum
+    step from init."""
+    fm, arrays = _fixture(rng, n=2048)
+    loss = lambda o, b: binary_crossentropy(o, b["click"])
+    cfg = TrainerConfig(learning_rate=1e-2, monitor="AUC", seed=3)
+
+    def run(cls, n_steps=12):
+        model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,),
+                       batch_norm=True)
+        t = cls(model, loss, cfg)
+        loader = ArrayLoader(arrays, batch_size=128, drop_last=True, seed=0)
+        it = iter(loader)
+        for _ in range(n_steps):
+            batch = next(it)
+            batch.pop("__mask__", None)
+            t.train_step(batch)
+        return t
+
+    dense = run(Trainer)
+    packed = run(PackedEmbeddingTrainer)
+    assert "batch_stats" in packed.model_state
+    # running stats must move by the same order of magnitude as the dense
+    # trainer's (they were ~40x smaller when frozen at trace time)
+    d_move = abs(_state_movement(dense))
+    p_move = abs(_state_movement(packed))
+    assert p_move > 0.25 * d_move, (p_move, d_move)
+
+
+def test_packed_batch_stats_accumulate_in_scans(rng):
+    """batch_stats must also thread through the repeat/fused lax.scan
+    carries (they were discarded per scan iteration)."""
+    fm, arrays = _fixture(rng, n=512)
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,),
+                   batch_norm=True)
+    t = PackedEmbeddingTrainer(
+        model, lambda o, b: binary_crossentropy(o, b["click"]),
+        TrainerConfig(learning_rate=1e-2, monitor="AUC", seed=3))
+    batch = {k: v[:128] for k, v in arrays.items()}
+    t.init(batch)
+    before = _state_movement(t)
+    t.train_steps_repeat(batch, 8)
+    mid = _state_movement(t)
+    assert mid != before
+    stacked = {k: np.stack([v[i * 128:(i + 1) * 128] for i in range(4)])
+               for k, v in arrays.items()}
+    t.train_steps_fused(stacked)
+    assert _state_movement(t) != mid

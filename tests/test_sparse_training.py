@@ -260,3 +260,44 @@ def test_fused_steps_eval_cadence_crosses_multiples():
     assert len(calls) >= 3, calls
     markers = [s // 7 for s in calls]
     assert len(set(markers)) == len(markers), calls
+
+
+def test_sparse_fused_steps_and_batch_stats(rng):
+    """SparseEmbeddingTrainer.train_steps_fused threads tables/accums/
+    model_state through the scan (the base 5-arg fused scan used to
+    TypeError at trace time with the 7-arg sparse step), and BatchNorm
+    batch_stats accumulate instead of being baked in at trace time."""
+    import jax
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    n, vocab = 1024, 64
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    y = (((a % 2) == (b % 2))).astype(np.float32)
+    fm = FeatureMap("spf", (
+        FeatureSpec("cat_a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("cat_b", "categorical", vocab_size=vocab, embedding_dim=8),
+    ), labels=("click",))
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,),
+                   batch_norm=True)
+    t = SparseEmbeddingTrainer(
+        model, lambda o, b_: binary_crossentropy(o, b_["click"]),
+        TrainerConfig(learning_rate=1e-2, monitor="AUC", seed=3,
+                      fused_steps=4))
+    arrays = {"cat_a": a, "cat_b": b, "click": y}
+    stacked = {k: np.stack([v[i * 128:(i + 1) * 128] for i in range(4)])
+               for k, v in arrays.items()}
+    first = {k: v[0] for k, v in stacked.items()}
+    t.init(first)
+    def movement():
+        leaves = jax.tree_util.tree_leaves(t.model_state)
+        return sum(float(np.abs(np.asarray(l)).sum()) for l in leaves
+                   if l.dtype.kind == "f")
+    m0 = movement()
+    losses = t.train_steps_fused(stacked)
+    assert losses.shape == (4,)
+    assert t.step == 4
+    m1 = movement()
+    assert m1 != m0
+    # repeat scan also threads state
+    t.train_steps_repeat(first, 3)
+    assert movement() != m1
