@@ -13,7 +13,8 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 __all__ = ["item_coverage", "average_popularity", "shannon_entropy",
-           "gini_index", "tail_percentage", "evaluate_beyond_accuracy"]
+           "gini_index", "tail_percentage", "diversity",
+           "evaluate_beyond_accuracy"]
 
 
 def item_coverage(topk_items: np.ndarray, num_items: int) -> float:
@@ -74,12 +75,37 @@ def tail_percentage(topk_items: np.ndarray, item_counts: np.ndarray,
     return float(np.mean(tail[flat]))
 
 
+def diversity(topk_items: np.ndarray,
+              item_categories: np.ndarray) -> float:
+    """Intra-list diversity: mean pairwise Euclidean distance between the
+    category vectors of each user's recommended items, averaged over users
+    (daisy `utils/metrics.py:125-148` Diversity — vectorized via the Gram
+    matrix instead of the O(U·K²) Python loops).
+
+    item_categories: (num_items, num_categories) 0/1 matrix.
+    """
+    topk_items = np.asarray(topk_items)
+    cats = np.asarray(item_categories, dtype=np.float64)
+    U, K = topk_items.shape
+    if K < 2:
+        return 0.0
+    c = cats[np.clip(topk_items, 0, len(cats) - 1)]        # (U, K, C)
+    sq = np.sum(c * c, axis=-1)                            # (U, K)
+    gram = np.einsum("ukc,ulc->ukl", c, c)                 # (U, K, K)
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+    d = np.sqrt(np.maximum(d2, 0.0))
+    iu = np.triu_indices(K, k=1)
+    per_user = d[:, iu[0], iu[1]].mean(axis=1)             # mean over pairs
+    return float(per_user.mean())
+
+
 def evaluate_beyond_accuracy(
         topk_items: np.ndarray, num_items: int,
         item_counts: Optional[np.ndarray] = None,
         metrics: Sequence[str] = ("ItemCoverage", "ShannonEntropy",
                                   "GiniIndex"),
-        tail_ratio: float = 0.1) -> Dict[str, float]:
+        tail_ratio: float = 0.1,
+        item_categories: Optional[np.ndarray] = None) -> Dict[str, float]:
     """Dispatch over the beyond-accuracy metric names (recbole spelling)."""
     out: Dict[str, float] = {}
     for m in metrics:
@@ -98,6 +124,10 @@ def evaluate_beyond_accuracy(
             if item_counts is None:
                 raise ValueError("TailPercentage needs item_counts")
             out[m] = tail_percentage(topk_items, item_counts, tail_ratio)
+        elif key == "diversity":
+            if item_categories is None:
+                raise ValueError("Diversity needs item_categories")
+            out[m] = diversity(topk_items, item_categories)
         else:
             raise NotImplementedError(f"unknown beyond-accuracy metric {m}")
     return out

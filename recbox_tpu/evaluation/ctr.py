@@ -141,6 +141,16 @@ def evaluate_ctr(
         elif metric in ("ACC", "accuracy"):
             out[metric] = float(np.mean((np.asarray(y_pred).reshape(-1) > 0.5)
                                         == (np.asarray(y_true).reshape(-1) > 0.5)))
+        elif metric == "MAE":
+            # recbole value metric (`evaluator/metrics.py:383-404`)
+            out[metric] = float(np.mean(np.abs(
+                np.asarray(y_true, np.float64).reshape(-1)
+                - np.asarray(y_pred, np.float64).reshape(-1))))
+        elif metric == "RMSE":
+            # recbole value metric (`evaluator/metrics.py:406-424`)
+            out[metric] = float(np.sqrt(np.mean(np.square(
+                np.asarray(y_true, np.float64).reshape(-1)
+                - np.asarray(y_pred, np.float64).reshape(-1)))))
         elif metric in ("gAUC", "avgAUC") or metric == "MRR" or metric.startswith("NDCG"):
             assert group_id is not None, "group_index is required."
             if metric == "gAUC":

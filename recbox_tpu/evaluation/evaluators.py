@@ -38,6 +38,9 @@ class RetrievalEvaluator:
         beyond_accuracy_metrics: Sequence[str] = (),
         beyond_topk: int = 20,
         item_counts: Optional[np.ndarray] = None,
+        item_categories: Optional[np.ndarray] = None,
+        protocol: str = "full",
+        protocol_seed: int = 2024,
     ):
         self.user_loader = ArrayLoader(user_arrays, batch_size=batch_size,
                                        shuffle=False)
@@ -47,6 +50,19 @@ class RetrievalEvaluator:
         self.train_user2items = train_user2items
         self.valid_user2items = valid_user2items
         self.metrics = list(metrics)
+        # evaluation protocol (recbole eval_args mode): 'full' = full-sort
+        # over the whole corpus; 'uniN'/'popN' = each positive ranked
+        # against N sampled negatives (NegSampleEvalDataLoader,
+        # `general_dataloader.py:74-183`). Candidates are sampled ONCE at
+        # first evaluation (fixed seed) like the reference's
+        # loader-construction-time sampling, so every eval round ranks the
+        # same candidate lists.
+        self.protocol = protocol
+        self.protocol_seed = protocol_seed
+        self._candidates = None
+        if protocol != "full":
+            from recbox_tpu.evaluation.candidate import parse_protocol
+            parse_protocol(protocol)  # fail fast on bad spellings
         # beyond-accuracy (recbole evaluator parity: ItemCoverage,
         # AveragePopularity, ShannonEntropy, GiniIndex, TailPercentage) over
         # the masked top-`beyond_topk` lists; popularity counts default to
@@ -54,6 +70,9 @@ class RetrievalEvaluator:
         self.beyond_accuracy_metrics = list(beyond_accuracy_metrics)
         self.beyond_topk = beyond_topk
         self.item_counts = item_counts
+        # (num_items, num_categories) 0/1 matrix for the daisy Diversity
+        # metric (`daisy/utils/metrics.py:125-148`)
+        self.item_categories = item_categories
         self._encode = None
 
     def _encoders(self, trainer):
@@ -82,11 +101,38 @@ class RetrievalEvaluator:
 
         return run(self.user_loader, user_fn), run(self.corpus_loader, item_fn)
 
+    def _train_item_counts(self, num_items: int) -> np.ndarray:
+        all_items = [np.asarray(l, np.int64)
+                     for l in self.train_user2items.values() if len(l)]
+        return np.bincount(
+            np.concatenate(all_items) if all_items
+            else np.zeros(0, np.int64), minlength=num_items)
+
     def __call__(self, trainer) -> Dict[str, float]:
         user_embs, item_embs = self.encode_all(trainer)
-        out = evaluate_retrieval(
-            user_embs, item_embs, self.train_user2items, self.valid_user2items,
-            self.query_indices, self.metrics)
+        if self.protocol == "full":
+            out = evaluate_retrieval(
+                user_embs, item_embs, self.train_user2items,
+                self.valid_user2items, self.query_indices, self.metrics)
+        else:
+            from recbox_tpu.evaluation.candidate import (
+                evaluate_candidate_retrieval, parse_protocol,
+                sample_eval_candidates,
+            )
+            if self._candidates is None:
+                dist, n_neg = parse_protocol(self.protocol)
+                counts = self.item_counts
+                if counts is None and dist == "popularity":
+                    counts = self._train_item_counts(item_embs.shape[0])
+                self._candidates = sample_eval_candidates(
+                    self.query_indices, self.train_user2items,
+                    self.valid_user2items, item_embs.shape[0], n_neg,
+                    distribution=dist, item_counts=counts,
+                    seed=self.protocol_seed)
+            cand_ids, cand_valid, true_padded = self._candidates
+            out = evaluate_candidate_retrieval(
+                user_embs, item_embs, cand_ids, cand_valid, true_padded,
+                self.metrics)
         if self.beyond_accuracy_metrics:
             from recbox_tpu.evaluation.beyond_accuracy import (
                 evaluate_beyond_accuracy,
@@ -112,15 +158,11 @@ class RetrievalEvaluator:
                 # popularity from the FULL training mapping (recbole's
                 # AveragePopularity counts all train interactions), not just
                 # the evaluated queries' lists
-                all_items = [np.asarray(l, np.int64)
-                             for l in self.train_user2items.values()
-                             if len(l)]
-                counts = np.bincount(
-                    np.concatenate(all_items) if all_items
-                    else np.zeros(0, np.int64), minlength=num_items)
+                counts = self._train_item_counts(num_items)
             out.update(evaluate_beyond_accuracy(
                 topk_ids, num_items, item_counts=counts,
-                metrics=self.beyond_accuracy_metrics))
+                metrics=self.beyond_accuracy_metrics,
+                item_categories=self.item_categories))
         return out
 
 

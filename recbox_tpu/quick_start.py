@@ -135,7 +135,11 @@ def run_matching_experiment(
         # recbole-parity beyond-accuracy metrics over the masked top-k lists,
         # e.g. beyond_accuracy_metrics: [ItemCoverage, GiniIndex]
         beyond_accuracy_metrics=config.get("beyond_accuracy_metrics", ()),
-        beyond_topk=config.get("beyond_topk", 20))
+        beyond_topk=config.get("beyond_topk", 20),
+        # recbole eval_args mode: 'full' (full-sort) or 'uniN'/'popN'
+        # (candidate-set protocol, NegSampleEvalDataLoader parity)
+        protocol=config.get("eval_protocol", "full"),
+        protocol_seed=config.get("seed", 2024))
 
     loss_name = config.get("loss", "PairwiseLogisticLoss")
     train_method = None

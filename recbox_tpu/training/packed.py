@@ -427,9 +427,23 @@ class PackedEmbeddingTrainer(Trainer):
                                             self.adagrad_init, jnp.float32)
 
     # -- gather/update as pure functions over (packs, accs) -------------------
+    @property
+    def _rows_dtype(self):
+        """dtype the row slices are handed to the model in: the model's
+        compute dtype. When the model runs bf16 (the bench regime), slicing
+        out of the gathered block directly in bf16 halves the bytes of the
+        slice/stack passes AND of the row-grad concat on the way back —
+        ~2 ms/step at Criteo shapes — and merely moves the cast the model
+        was doing anyway. Pack values/optimizer state stay f32 (master
+        weights)."""
+        if getattr(self.model, "compute_dtype", None) == "bfloat16":
+            return jnp.bfloat16
+        return jnp.float32
+
     def _gather_rows(self, packs, accs, batch):
         """Returns (rows_dict for the batch, per-pack update context)."""
         rows, ctx = {}, {}
+        rdtype = self._rows_dtype
         for pname, bundles in self._bundles.items():
             slots = self._slots[pname]
             segs = []     # (fname, bundle, flat_len, orig_shape)
@@ -454,7 +468,7 @@ class PackedEmbeddingTrainer(Trainer):
                     rkey = rows_key_for(s.module_path, fname)
                     rows[rkey] = G[off:off + n,
                                    s.col_start:s.col_start + s.dim] \
-                        .reshape(shape + (s.dim,))
+                        .astype(rdtype).reshape(shape + (s.dim,))
                 off += n
             ctx[pname] = (ids, segs, G, v_pre)
         return rows, ctx
@@ -477,7 +491,16 @@ class PackedEmbeddingTrainer(Trainer):
         for pname, (ids, segs, G, v_pre) in ctx.items():
             slots = self._slots[pname]
             w_val = self._value_width[pname]
-            grads = self._slot_grads(slots, segs, row_grads)
+            # row grads arrive in the model's compute dtype (possibly bf16,
+            # see _rows_dtype); optimizer math runs f32 — the upcast fuses
+            # into the delta elementwise chain. The optimization_barrier
+            # pins the layout boundary HERE: without it XLA propagates the
+            # model's feature-major activation layout through the whole
+            # delta pipeline and re-layouts the final (N, 128) f32 scatter
+            # update with a 436 MB transposing copy (seen in HLO as
+            # %copy f32[851968,128]{1,0} copy(%concatenate{0,1})).
+            grads = [g.astype(jnp.float32)
+                     for g in self._slot_grads(slots, segs, row_grads)]
             if self.embedding_optimizer == "adam":
                 # lazy Adam: m/v blocks mirror the value-column layout at
                 # offsets w_val and 2*w_val; scatter-ADD writes the state
@@ -575,7 +598,8 @@ class PackedEmbeddingTrainer(Trainer):
                     # the dense path's whole-table penalty — untouched rows
                     # receive no gradient either way)
                     loss = loss + cfg.embedding_regularizer * sum(
-                        jnp.sum(jnp.square(r)) for r in rows.values())
+                        jnp.sum(jnp.square(r.astype(jnp.float32)))
+                        for r in rows.values())
                 if cfg.net_regularizer:
                     from recbox_tpu.ops.losses import embedding_reg_loss
                     loss = loss + cfg.net_regularizer * embedding_reg_loss(

@@ -159,3 +159,52 @@ def test_retrieval_evaluator_reports_beyond_accuracy():
     assert 0 <= out["GiniIndex"] <= 1
     assert 0 <= out["TailPercentage"] <= 1
     assert out["AveragePopularity"] >= 0
+
+
+class TestDiversityAndValueMetrics:
+    def test_diversity_hand_computed(self):
+        from recbox_tpu.evaluation.beyond_accuracy import diversity
+        # items: 0,1 share category A; item 2 is category B
+        cats = np.array([[1, 0], [1, 0], [0, 1]], float)
+        # user0 recommends [0,1] (same cat, distance 0)
+        # user1 recommends [0,2] (different, distance sqrt(2))
+        topk = np.array([[0, 1], [0, 2]])
+        expected = (0.0 + np.sqrt(2.0)) / 2
+        assert diversity(topk, cats) == pytest.approx(expected)
+
+    def test_diversity_matches_reference_loop(self):
+        from recbox_tpu.evaluation.beyond_accuracy import diversity
+        rng = np.random.default_rng(0)
+        cats = (rng.random((20, 5)) > 0.6).astype(float)
+        topk = rng.integers(0, 20, size=(7, 4))
+        # daisy reference loops (metrics.py:125-148)
+        res = []
+        for u in range(len(topk)):
+            ild = []
+            for i in range(topk.shape[1]):
+                for j in range(i + 1, topk.shape[1]):
+                    ild.append(np.linalg.norm(cats[topk[u, i]]
+                                              - cats[topk[u, j]]))
+            res.append(np.mean(ild))
+        assert diversity(topk, cats) == pytest.approx(np.mean(res))
+
+    def test_diversity_dispatch(self):
+        from recbox_tpu.evaluation.beyond_accuracy import (
+            evaluate_beyond_accuracy,
+        )
+        cats = np.eye(4)
+        out = evaluate_beyond_accuracy(
+            np.array([[0, 1]]), 4, metrics=["Diversity"],
+            item_categories=cats)
+        assert out["Diversity"] == pytest.approx(np.sqrt(2.0))
+        with pytest.raises(ValueError):
+            evaluate_beyond_accuracy(np.array([[0, 1]]), 4,
+                                     metrics=["Diversity"])
+
+    def test_mae_rmse(self):
+        from recbox_tpu.evaluation.ctr import evaluate_ctr
+        y = np.array([1.0, 0.0, 3.0])
+        p = np.array([2.0, 0.0, 1.0])
+        out = evaluate_ctr(y, p, ["MAE", "RMSE"])
+        assert out["MAE"] == pytest.approx(1.0)
+        assert out["RMSE"] == pytest.approx(np.sqrt(5 / 3))

@@ -101,3 +101,126 @@ def test_train_items_masked():
 def test_bad_metric_string():
     with pytest.raises(NotImplementedError):
         parse_metric("Recall@20")
+
+
+class TestCandidateProtocol:
+    """uni100/pop100 sampled-negative evaluation (NegSampleEvalDataLoader
+    parity, `general_dataloader.py:74-183`)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(0)
+        U, I, D = 30, 50, 8
+        user_embs = rng.normal(size=(U, D)).astype(np.float32)
+        item_embs = rng.normal(size=(I, D)).astype(np.float32)
+        train = {u: list(rng.choice(I, size=5, replace=False)) for u in range(U)}
+        valid = {u: [int(x) for x in rng.choice(
+            [i for i in range(I) if i not in train[u]], size=2,
+            replace=False)] for u in range(U)}
+        return user_embs, item_embs, train, valid, U, I
+
+    def test_negatives_exclude_used_items(self):
+        from recbox_tpu.evaluation.candidate import sample_eval_candidates
+        _, _, train, valid, U, I = self._setup()
+        q = np.arange(U)
+        cand, cand_valid, true_p = sample_eval_candidates(
+            q, train, valid, I, num_negs=10, seed=3)
+        P = true_p.shape[1]
+        for i, u in enumerate(q):
+            used = set(train[u]) | set(valid[u])
+            negs = cand[i, P:]
+            assert not (set(negs.tolist()) & used), (u, set(negs) & used)
+            # positive slots carry the true items
+            pos = set(cand[i, :P][cand_valid[i, :P]].tolist())
+            assert pos == set(valid[u])
+
+    def test_perfect_model_gets_perfect_hitrate(self):
+        """If the model scores the true items highest, candidate-set
+        HitRate@1..k must be 1 (sanity for ranking within candidates)."""
+        from recbox_tpu.evaluation.candidate import (
+            evaluate_candidate_retrieval, sample_eval_candidates,
+        )
+        _, _, train, valid, U, I = self._setup()
+        D = 64
+        # one-hot item embeddings; user embedding = sum of true items
+        item_embs = np.eye(I, D).astype(np.float32)
+        user_embs = np.stack([
+            item_embs[valid[u]].sum(0) for u in range(U)])
+        cand, cvalid, true_p = sample_eval_candidates(
+            np.arange(U), train, valid, I, num_negs=20, seed=1)
+        out = evaluate_candidate_retrieval(
+            user_embs, item_embs, cand, cvalid, true_p,
+            ["HitRate(k=2)", "Recall(k=2)", "NDCG(k=2)"])
+        assert out["HitRate(k=2)"] == pytest.approx(1.0)
+        assert out["Recall(k=2)"] == pytest.approx(1.0)
+        assert out["NDCG(k=2)"] == pytest.approx(1.0)
+
+    def test_uni_easier_than_full_sort(self):
+        """Ranking against 10 negatives is never harder than the whole
+        catalog: uni metrics >= full-sort metrics for the same model."""
+        from recbox_tpu.evaluation.candidate import (
+            evaluate_candidate_retrieval, sample_eval_candidates,
+        )
+        user_embs, item_embs, train, valid, U, I = self._setup()
+        q = np.arange(U)
+        full = evaluate_retrieval(user_embs, item_embs, train, valid, q,
+                                  ["Recall(k=5)", "NDCG(k=5)"])
+        cand, cvalid, true_p = sample_eval_candidates(
+            q, train, valid, I, num_negs=10, seed=7)
+        uni = evaluate_candidate_retrieval(
+            user_embs, item_embs, cand, cvalid, true_p,
+            ["Recall(k=5)", "NDCG(k=5)"])
+        assert uni["Recall(k=5)"] >= full["Recall(k=5)"] - 1e-9
+        assert uni["NDCG(k=5)"] >= full["NDCG(k=5)"] - 1e-9
+
+    def test_popularity_distribution_skews_negatives(self):
+        from recbox_tpu.evaluation.candidate import sample_eval_candidates
+        _, _, train, valid, U, I = self._setup()
+        counts = np.zeros(I); counts[:10] = 100.0; counts[10:] = 1.0
+        cand, _, true_p = sample_eval_candidates(
+            np.arange(U), train, valid, I, num_negs=50,
+            distribution="popularity", item_counts=counts, seed=5)
+        P = true_p.shape[1]
+        negs = cand[:, P:].reshape(-1)
+        frac_head = float(np.mean(negs < 10))
+        assert frac_head > 0.3  # 10/50 uniform would give ~0.2
+
+    def test_protocol_parsing(self):
+        from recbox_tpu.evaluation.candidate import parse_protocol
+        assert parse_protocol("uni100") == ("uniform", 100)
+        assert parse_protocol("pop50") == ("popularity", 50)
+        with pytest.raises(NotImplementedError):
+            parse_protocol("weird9")
+
+    def test_evaluator_protocol_switch(self):
+        """RetrievalEvaluator(protocol='uni20') runs end-to-end and caches
+        its candidate lists across eval rounds."""
+        from recbox_tpu.evaluation import RetrievalEvaluator
+        from recbox_tpu.features import FeatureMap, FeatureSpec
+        from recbox_tpu.models.matching.two_tower import MF
+        from recbox_tpu.training import Trainer, TrainerConfig
+        rng = np.random.default_rng(2)
+        n_users, n_items = 20, 30
+        fm = FeatureMap(
+            "cp", (FeatureSpec("user_id", "categorical", source="user",
+                               vocab_size=n_users, embedding_dim=8),
+                   FeatureSpec("item_id", "categorical", source="item",
+                               vocab_size=n_items, embedding_dim=8)),
+            query_index="user_id", corpus_index="item_id", num_items=n_items)
+        train = {u: [int(u) % n_items] for u in range(n_users)}
+        valid = {u: [(int(u) + 1) % n_items] for u in range(n_users)}
+        uu = np.arange(n_users)
+        ev = RetrievalEvaluator(
+            {"user_id": uu.astype(np.int32)},
+            {"item_id": np.arange(n_items, dtype=np.int32)}, uu,
+            train, valid, metrics=["Recall(k=5)"], protocol="uni20",
+            batch_size=16)
+        tr = Trainer(MF(feature_map=fm, embedding_dim=8), lambda o, b: o.sum(),
+                     TrainerConfig(learning_rate=0.05, monitor="Recall(k=5)"))
+        tr.init({"user_id": uu[:4].astype(np.int32),
+                 "__item_ids__": np.array([[0, 1]] * 4, np.int32),
+                 "item::item_id": np.array([[0, 1]] * 4, np.int32)})
+        out1 = ev(tr)
+        cands = ev._candidates
+        out2 = ev(tr)
+        assert ev._candidates is cands  # sampled once, reused
+        assert out1.keys() == out2.keys() and 0 <= out1["Recall(k=5)"] <= 1

@@ -80,7 +80,8 @@ def main():
                 dense = optax.apply_updates(dense, updates)
             if do_row_update:
                 packs, accs = tr._apply_row_updates(packs, accs, row_grads,
-                                                    ctx, emb_lr)
+                                                    ctx, emb_lr,
+                                                    jnp.int32(1))
             return dense, packs, accs, opt_state, loss
         return step
 
