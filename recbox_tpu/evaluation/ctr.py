@@ -153,12 +153,13 @@ def evaluate_ctr(
                 - np.asarray(y_pred, np.float64).reshape(-1)))))
         elif metric in ("gAUC", "avgAUC") or metric == "MRR" or metric.startswith("NDCG"):
             assert group_id is not None, "group_index is required."
-            if metric == "gAUC":
-                out[metric] = grouped_auc(y_true, y_pred, group_id, weighted=True)
-            elif metric == "avgAUC":
-                out[metric] = grouped_auc(y_true, y_pred, group_id, weighted=False)
-            elif metric == "MRR":
-                out[metric] = _grouped_rank_metric(y_true, y_pred, group_id, _mrr)
+            # grouped metrics run the segment-sorted device engine
+            # (evaluation/grouped.py) — no per-group Python; the host loop
+            # versions below remain as the test oracle
+            from recbox_tpu.evaluation.grouped import grouped_metrics_device
+            if metric in ("gAUC", "avgAUC", "MRR"):
+                out[metric] = grouped_metrics_device(
+                    y_true, y_pred, group_id, [metric])[metric]
             elif metric.startswith("NDCG"):
                 # accept NDCG(k=5), NDCG@5, NDCG(k = 5); reject anything
                 # else — a silent k=10 fallback reported under the requested
@@ -169,8 +170,8 @@ def evaluate_ctr(
                         f"cannot parse k from metric {metric!r}; use "
                         "'NDCG(k=10)' or 'NDCG@10'")
                 k = int(m.group(1)) if m else 10
-                out[metric] = _grouped_rank_metric(
-                    y_true, y_pred, group_id, lambda t, p: _ndcg(t, p, k))
+                out[metric] = grouped_metrics_device(
+                    y_true, y_pred, group_id, [], ndcg_ks=(k,))[k]
             else:  # structurally unreachable; keeps the dispatch closed
                 raise ValueError(f"metric={metric} not supported.")
         else:

@@ -24,7 +24,8 @@ import jax
 
 logger = logging.getLogger("recbox_tpu")
 
-__all__ = ["initialize_distributed", "host_shard_loader", "process_info"]
+__all__ = ["initialize_distributed", "host_shard_loader", "process_info",
+           "merge_host_metrics"]
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -51,6 +52,29 @@ def process_info() -> dict:
             "process_count": jax.process_count(),
             "local_devices": jax.local_device_count(),
             "global_devices": jax.device_count()}
+
+
+def merge_host_metrics(metrics: dict, weight: float) -> dict:
+    """Sample-weighted cross-process metric merge.
+
+    The reference all-gathers (metric, num_samples) pairs from every rank
+    and weight-averages (`trainer/trainer.py:630-652` `_map_reduce`); here
+    each process evaluates ITS shard of the eval data (`host_shard_loader`)
+    and calls this with the local metric dict + its local sample count.
+    Single-process runs return the input unchanged.
+    """
+    if jax.process_count() == 1:
+        return dict(metrics)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    local = np.asarray([metrics[k] * weight for k in keys] + [weight],
+                       np.float64)
+    gathered = multihost_utils.process_allgather(local)  # (P, M+1)
+    totals = gathered.sum(axis=0)
+    total_w = max(float(totals[-1]), 1e-12)
+    return {k: float(totals[i]) / total_w for i, k in enumerate(keys)}
 
 
 def host_shard_loader(path: str, **loader_kwargs):

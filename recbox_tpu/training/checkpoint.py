@@ -17,6 +17,14 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 
 
 def save_checkpoint(path: str, state: dict) -> None:
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host discipline: only rank 0 writes (every process would
+        # otherwise race on the same file — reference guard at
+        # `third_party/recbole/trainer/trainer.py:294-295`). State passed
+        # here must be host-replicated (Trainer state is; fully-sharded
+        # global arrays need a process_allgather first).
+        return
     dirname = os.path.dirname(os.path.abspath(path))
     os.makedirs(dirname, exist_ok=True)
     data = serialization.to_bytes(state)

@@ -71,3 +71,53 @@ def test_auc_jax_close_to_exact(rng):
 def test_group_metric_requires_group_id():
     with pytest.raises(AssertionError):
         evaluate_ctr(np.array([0, 1]), np.array([0.2, 0.8]), ["gAUC"])
+
+
+class TestGroupedDeviceEngine:
+    """Segment-sorted device grouped metrics == host loop oracle."""
+
+    def _rand(self, n, n_groups, seed, ties=False):
+        rng = np.random.default_rng(seed)
+        y = (rng.random(n) > 0.6).astype(np.float32)
+        p = rng.random(n).astype(np.float32)
+        if ties:
+            p = np.round(p * 10) / 10.0   # heavy ties
+        g = rng.integers(0, n_groups, n).astype(np.int32)
+        return y, p, g
+
+    def test_matches_host_loop(self):
+        from recbox_tpu.evaluation.ctr import (
+            _grouped_rank_metric, _mrr, _ndcg, grouped_auc,
+        )
+        from recbox_tpu.evaluation.grouped import grouped_metrics_device
+        for seed, ties in [(0, False), (1, True), (2, False)]:
+            y, p, g = self._rand(500, 37, seed, ties)
+            dev = grouped_metrics_device(y, p, g,
+                                         ["gAUC", "avgAUC", "MRR"],
+                                         ndcg_ks=(5,))
+            assert dev["gAUC"] == pytest.approx(
+                grouped_auc(y, p, g, weighted=True), abs=1e-5)
+            assert dev["avgAUC"] == pytest.approx(
+                grouped_auc(y, p, g, weighted=False), abs=1e-5)
+            assert dev["MRR"] == pytest.approx(
+                _grouped_rank_metric(y, p, g, _mrr), abs=1e-5)
+            assert dev[5] == pytest.approx(
+                _grouped_rank_metric(y, p, g,
+                                     lambda t, q: _ndcg(t, q, 5)), abs=1e-5)
+
+    def test_single_class_groups_skipped(self):
+        from recbox_tpu.evaluation.grouped import grouped_metrics_device
+        y = np.array([1, 1, 0, 1], np.float32)      # group 0 all-pos
+        p = np.array([0.5, 0.2, 0.1, 0.9], np.float32)
+        g = np.array([0, 0, 1, 1], np.int32)
+        out = grouped_metrics_device(y, p, g, ["gAUC", "avgAUC"])
+        assert out["gAUC"] == pytest.approx(1.0)     # only group 1 counts
+        assert out["avgAUC"] == pytest.approx(1.0)
+
+    def test_all_single_class_returns_zero(self):
+        from recbox_tpu.evaluation.grouped import grouped_metrics_device
+        y = np.ones(4, np.float32)
+        p = np.random.default_rng(0).random(4).astype(np.float32)
+        g = np.array([0, 0, 1, 1], np.int32)
+        out = grouped_metrics_device(y, p, g, ["gAUC", "avgAUC"])
+        assert out["gAUC"] == 0.0 and out["avgAUC"] == 0.0

@@ -1,0 +1,74 @@
+"""Two-process jax.distributed simulation: checkpoint write discipline +
+cross-host metric merge (VERDICT round-1 weak-point 7 / reference
+semantics `third_party/recbole/trainer/trainer.py:294-295,630-652`).
+
+Spawns two REAL processes (JAX_PLATFORMS=cpu) that rendezvous through a
+local coordinator — the closest CPU-only analog of a 2-host TPU pod.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax
+    from recbox_tpu.parallel.distributed import (
+        initialize_distributed, merge_host_metrics, process_info)
+    from recbox_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    rank = int(sys.argv[1])
+    initialize_distributed("127.0.0.1:{port}", num_processes=2,
+                           process_id=rank)
+    info = process_info()
+    assert info["process_count"] == 2, info
+
+    # 1. checkpoint: EVERY process calls save; only rank 0 may write
+    state = {{"x": np.full(4, 7.0), "rank_of_writer": np.asarray(rank)}}
+    path = {ckpt!r}
+    save_checkpoint(path, state)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("ckpt_written")
+    restored = load_checkpoint(path, {{"x": np.zeros(4),
+                                      "rank_of_writer": np.asarray(9)}})
+    assert int(restored["rank_of_writer"]) == 0, restored
+    assert not os.path.exists(path + ".tmp")
+
+    # 2. metric merge: weighted mean across hosts
+    local = {{"AUC": 1.0}} if rank == 0 else {{"AUC": 0.0}}
+    weight = 1.0 if rank == 0 else 3.0
+    merged = merge_host_metrics(local, weight)
+    assert abs(merged["AUC"] - 0.25) < 1e-9, merged
+    print("WORKER_OK", rank)
+""")
+
+
+def test_two_process_checkpoint_and_metric_merge(tmp_path):
+    port = None
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _WORKER.format(repo=repo, port=port,
+                            ckpt=str(tmp_path / "mh.ckpt"))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "JAX_PLATFORM_NAME": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(r)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for r in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"WORKER_OK {r}" in out
+    # exactly one durable file, no stale tmp
+    assert (tmp_path / "mh.ckpt").exists()
+    assert not (tmp_path / "mh.ckpt.tmp").exists()
