@@ -33,7 +33,7 @@ __all__ = ["KGCN", "KGNNLS", "KGAT", "RippleNet"]
 
 
 def _sharded(std: float = 0.01):
-    return nn.with_partitioning(emb_init(std), ("model", None))
+    return nn.with_partitioning(emb_init(std), (("data", "model"), None))
 
 
 class KGCN(PairScoringModel):

@@ -29,7 +29,7 @@ __all__ = ["KGIN", "MCCLK", "KSR"]
 
 
 def _sharded(std: float = 0.01):
-    return nn.with_partitioning(emb_init(std), ("model", None))
+    return nn.with_partitioning(emb_init(std), (("data", "model"), None))
 
 
 class KGIN(MatchingModel):
@@ -245,7 +245,7 @@ class KSR(SequentialRecommender):
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
         D = self.embedding_dim
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param("emb_item", init, (spec.vocab_size, D))
         self.entity_table = self.param("emb_entity", _sharded(),
                                        (self.n_entities, D))

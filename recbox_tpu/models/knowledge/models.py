@@ -43,7 +43,7 @@ class StaticArray:
 
 
 def _sharded(std: float = 1e-4):
-    return nn.with_partitioning(emb_init(std), ("model", None))
+    return nn.with_partitioning(emb_init(std), (("data", "model"), None))
 
 
 def _l2sq(x, axis=-1):

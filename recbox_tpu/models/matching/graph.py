@@ -81,7 +81,7 @@ class LightGCN(_GraphBase):
     (`lightgcn.py:32-120`)."""
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,
@@ -135,7 +135,7 @@ class NGCF(_GraphBase):
     dropout: float = 0.0
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,

@@ -54,7 +54,7 @@ class Item2Vec(nn.Module):
     embedding_dim: int = 64
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(0.05), ("model", None))
+        init = nn.with_partitioning(emb_init(0.05), (("data", "model"), None))
         self.center_table = self.param("emb_center", init,
                                        (self.num_items, self.embedding_dim))
         self.context_table = self.param("emb_context", init,

@@ -53,7 +53,7 @@ class _MultiInterestBase(MatchingModel):
 
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param("emb_item", init,
                                      (spec.vocab_size, self.embedding_dim))
         self.extractor = self.make_extractor()
@@ -124,7 +124,7 @@ class SimpleX(MatchingModel):
     def setup(self):
         uspec = self.feature_map[self.feature_map.query_index]
         ispec = self.feature_map[self.feature_map.corpus_index]
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.user_table = self.param("emb_user", init,
                                      (uspec.vocab_size, self.embedding_dim))
         self.item_table = self.param("emb_item", init,

@@ -30,7 +30,7 @@ __all__ = ["PairScoringModel", "NeuMF", "ConvNCF", "NAIS", "FISM", "ENMF"]
 
 
 def _sharded(init=None):
-    return nn.with_partitioning(init or emb_init(), ("model", None))
+    return nn.with_partitioning(init or emb_init(), (("data", "model"), None))
 
 
 class PairScoringModel(MatchingModel):

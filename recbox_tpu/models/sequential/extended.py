@@ -36,7 +36,7 @@ __all__ = ["BERT4Rec", "FPMC", "TransRec", "HGN", "SHAN", "FOSSIL", "HRM",
 
 
 def _sharded_emb_init():
-    return nn.with_partitioning(emb_init(), ("model", None))
+    return nn.with_partitioning(emb_init(), (("data", "model"), None))
 
 
 def _masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray,

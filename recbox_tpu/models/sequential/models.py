@@ -65,7 +65,7 @@ class SequentialRecommender(MatchingModel):
 
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param(
             "emb_item", init, (spec.vocab_size, self.embedding_dim))
         self.encoder = self.make_encoder()

@@ -50,7 +50,7 @@ class S3Rec(SequentialRecommender):
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
         self._vocab = spec.vocab_size
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param(
             "emb_item", init, (spec.vocab_size + 1, self.embedding_dim))
         self.encoder = _BERT4RecEncoder(
@@ -196,7 +196,7 @@ class GRU4RecF(GRU4Rec):
 
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param("emb_item", init,
                                      (spec.vocab_size, self.embedding_dim))
         if self.feature_vocab:

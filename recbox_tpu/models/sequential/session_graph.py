@@ -102,7 +102,7 @@ class SRGNN(SequentialRecommender):
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
         from recbox_tpu.nn.embedding import emb_init
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param("emb_item", init,
                                      (spec.vocab_size, self.embedding_dim))
         self.gnn = _GGNN(self.embedding_dim, self.steps, name="gnn")
@@ -137,7 +137,7 @@ class GCSAN(SequentialRecommender):
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
         from recbox_tpu.nn.embedding import emb_init
-        init = nn.with_partitioning(emb_init(), ("model", None))
+        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
         self.item_table = self.param("emb_item", init,
                                      (spec.vocab_size, self.embedding_dim))
         self.gnn = _GGNN(self.embedding_dim, self.steps, name="gnn")

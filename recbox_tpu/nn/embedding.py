@@ -11,7 +11,12 @@ EmbeddingDictLayer and `third_party/rechub/basic/layers.py:29-150`):
   mean/sum pooling or raw (B, L, D) for attention models;
 * `padding_idx` rows are zeroed by masking at lookup time (instead of relying
   on a zeroed parameter row, which an optimizer would un-zero);
-* tables carry flax partitioning metadata ``('model', None)`` so a pjit over a
+* tables carry flax partitioning metadata ``(('data','model'), None)`` —
+  row-sharded over the COMBINED device grid, so no replica of a table exists
+  anywhere and per-step collective bytes stay batch-scaled (a 'model'-only
+  spec replicates tables across 'data' and GSPMD then all-reduces a DENSE
+  vocab-sized gradient across data shards; measured vocab-scaled in
+  `tools/inspect_sharded_hlo.py`) — so a pjit over a
   Mesh(('data','model')) row-shards every vocabulary across the model axis —
   XLA then emits the gather + collectives over ICI (the reference has no
   analog; its tables are replicated nn.Embedding).
@@ -130,7 +135,7 @@ class FeatureEmbedding(nn.Module):
             else:
                 init = emb_init(self.emb_init_std)
             if self.shard_tables:
-                init = nn.with_partitioning(init, ("model", None))
+                init = nn.with_partitioning(init, (("data", "model"), None))
             table = self.param(f"emb_{tname}", init, (rows, dim), self.param_dtype)
             tables[tname] = table
             return table

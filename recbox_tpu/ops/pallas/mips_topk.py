@@ -1,0 +1,156 @@
+"""Fused MIPS scoring + segment-winner candidates: the retrieval kernel.
+
+The serving hot path (`recbox/core/metrics.py:28-68` faiss search /
+`recbox/utils/ann/faiss.py`) is, TPU-natively, scores = Q·Cᵀ followed by
+top-k. The XLA decomposition materializes the (Q, N) score matrix in HBM
+(Q=128, N=1M ⇒ 512 MB written + re-read by the top-k — ~4× the matmul's
+own time), and `lax.approx_max_k`'s fused path more than doubles the
+matmul-only cost at k=500 (round-1 measurements in
+`tools/prof_retrieval_topk.py`: matmul ceiling 476k qps, approx top-500
+219k, segmented-merge 318k @ recall .956).
+
+This kernel keeps scores entirely in VMEM: per (query-tile, corpus-block)
+grid step it runs the (Qt, Bc) matmul on the MXU and immediately reduces
+each 128-item segment to its (max, argmax) winner, writing only
+(Qt, Bc/128) candidates — a 128× smaller HBM footprint that the caller
+finishes with one exact `lax.top_k` over ~N/128 candidates per query.
+
+Recall semantics match `lax.approx_max_k`'s bucketed strategy (≤1 winner
+per 128-item segment): for top-k ≪ N/128 the expected loss is the segment
+collision rate ≈ k²·64/N (~3% at k=500, N=1M). Exactness switch: callers
+needing exact top-k use this as a candidate generator with k' > k and
+verify, or the exact paths in `retrieval/index.py`.
+
+Corpus blocks stream HBM→VMEM via the grid BlockSpec (Pallas
+double-buffers automatically), so the kernel runs at
+max(matmul, corpus-bandwidth) — amortize the corpus stream by scoring
+128-512 queries per sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mips_segment_candidates", "pallas_mips_topk", "SEGMENT"]
+
+SEGMENT = 128          # items per candidate segment (one winner each)
+_SUB = 2048            # rows scored per inner iteration (f32 scores 4 MB)
+
+
+def _subs_per_block(corpus_dtype) -> int:
+    """Inner iterations per grid step, sized so the double-buffered corpus
+    block + the 4 MB f32 score buffer stay under the 16 MB VMEM budget
+    (bf16 corpus: 16K-row blocks; f32: 8K)."""
+    return 8 if jnp.dtype(corpus_dtype).itemsize <= 2 else 4
+
+
+def _make_kernel(subs_per_block: int):
+    c_block = _SUB * subs_per_block
+
+    def _kernel(q_ref, c_ref, out_s_ref, out_i_ref):
+        """One grid step: c_block corpus rows → c_block/128 candidates.
+
+        The corpus block is scored in inner sub-chunks so the f32 score
+        buffer stays at 4 MB; big grid steps matter — at 2K-row steps the
+        ~15 µs/step grid overhead dominated the 1.3 µs matmul. Scores are
+        computed CORPUS-major ((rows, Qt), not (Qt, rows)) so the segment
+        max/argmax reduce over the sublane-tiled axis and the (n_seg, Qt)
+        winners store without any transpose."""
+        b = pl.program_id(0)
+        q = q_ref[:]                                   # (Qt, D)
+
+        def sub(j, _):
+            c = c_ref[pl.ds(j * _SUB, _SUB), :]        # (SUB, D)
+            s = jax.lax.dot_general(
+                c, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (SUB, Qt)
+            qt = s.shape[1]
+            n_seg = _SUB // SEGMENT
+            seg = s.reshape(n_seg, SEGMENT, qt)
+            win = jnp.max(seg, axis=1)                 # (n_seg, Qt)
+            arg = jnp.argmax(seg, axis=1).astype(jnp.int32)
+            base = (b * c_block + j * _SUB
+                    + jax.lax.broadcasted_iota(jnp.int32, (n_seg, qt), 0)
+                    * SEGMENT)
+            out_s_ref[pl.ds(j * n_seg, n_seg), :] = win
+            out_i_ref[pl.ds(j * n_seg, n_seg), :] = base + arg
+            return 0
+
+        jax.lax.fori_loop(0, subs_per_block, sub, 0)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mips_segment_candidates(queries, corpus, interpret: bool = False):
+    """(n_segments, Qt) candidate scores + global item ids
+    (candidate-major layout; `pallas_mips_topk` transposes back).
+
+    queries (Qt, D), corpus (N, D) with N a multiple of 2048 and D a
+    multiple of 128 (pad; padded corpus rows should be -inf-able — the
+    caller masks ids >= true N). dtypes are used as given — pass bf16 for
+    MXU-rate scoring with f32 accumulation.
+    """
+    qt, d = queries.shape
+    n, d2 = corpus.shape
+    assert d == d2, (queries.shape, corpus.shape)
+    spb = _subs_per_block(corpus.dtype)
+    c_block = _SUB * spb
+    assert n % c_block == 0, f"pad corpus to a multiple of {c_block}"
+    assert d % 128 == 0, "pad embedding dim to a multiple of 128"
+    n_blocks = n // c_block
+    n_seg = c_block // SEGMENT      # candidate rows per grid step
+    grid = (n_blocks,)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.int32),
+    )
+    return pl.pallas_call(
+        _make_kernel(spb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, d), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block, d), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_seg, qt), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_seg, qt), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(queries, corpus)
+
+
+def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
+                     interpret: bool = False):
+    """Top-k (scores, ids) over the corpus via the fused candidate kernel.
+
+    Pads corpus rows/dims as needed; `valid_items` (default = corpus rows
+    before padding) masks padded rows out of the result. Queries are swept
+    in tiles that amortize the corpus stream.
+    """
+    queries = jnp.asarray(queries)
+    corpus = jnp.asarray(corpus)
+    n_items = corpus.shape[0] if valid_items is None else valid_items
+    # pad corpus rows to the block multiple, dims to the lane multiple
+    n_pad = (-corpus.shape[0]) % (_SUB * _subs_per_block(corpus.dtype))
+    d_pad = (-corpus.shape[1]) % 128
+    if n_pad or d_pad:
+        corpus = jnp.pad(corpus, ((0, n_pad), (0, d_pad)))
+    if d_pad:
+        queries = jnp.pad(queries, ((0, 0), (0, d_pad)))
+    cs, ci = mips_segment_candidates(queries, corpus, interpret=interpret)
+    cs, ci = cs.T, ci.T                       # back to (Qt, n_candidates)
+    cs = jnp.where(ci < n_items, cs, -jnp.inf)
+    top_s, pos = jax.lax.top_k(cs, k)
+    return top_s, jnp.take_along_axis(ci, pos, axis=1)

@@ -102,11 +102,7 @@ def collective_stats(fn: Callable, *args, **kwargs) -> List[CollectiveOp]:
     NamedShardings, so GSPMD partitions exactly as the real step would).
     """
     compiled = fn.lower(*args, **kwargs).compile()
-    texts = [m.to_string() for m in compiled.hlo_modules()]
-    ops: List[CollectiveOp] = []
-    for t in texts:
-        ops.extend(parse_collectives(t))
-    return ops
+    return parse_collectives(compiled.as_text())
 
 
 def collective_summary(ops: Sequence[CollectiveOp]) -> Dict[str, Dict[str, int]]:

@@ -7,7 +7,7 @@ model (SURVEY §2.9):
 
 * Mesh(('data','model')) over the slice; batches are sharded over 'data'
   (data parallelism == DistributedSampler + DDP all-reduce, emitted by XLA);
-* embedding tables carry flax partitioning metadata ('model', None) from
+* embedding tables carry flax partitioning metadata (('data','model'), None) from
   `nn.with_partitioning` (see `recbox_tpu/nn/embedding.py`), so `shard_params`
   row-shards every vocabulary across the 'model' axis — the reference has no
   analog (its tables are replicated `nn.Embedding`);
@@ -52,7 +52,8 @@ def param_partition_specs(params):
     """PartitionSpec tree from flax `with_partitioning` metadata.
 
     Boxed leaves (nn.Partitioned) yield their declared spec, e.g.
-    ('model', None) for embedding tables; plain leaves yield P() (replicated).
+    (('data','model'), None) for embedding tables; plain leaves yield P()
+    (replicated).
     """
     return nn.get_partition_spec(params)
 

@@ -285,12 +285,14 @@ class PackedEmbeddingTrainer(Trainer):
         else:
             self._init_exact(sample_batch)
         if self.mesh is not None:
-            # row-shard every pack over the 'model' axis; GSPMD partitions
-            # the step's gather/scatter and emits the ICI collectives (same
-            # design as the flax ('model', None) table partitioning the
-            # dense Trainer uses)
+            # row-shard every pack over the COMBINED (data x model) grid —
+            # no device holds a table replica, so GSPMD partitions the
+            # step's gather/scatter with batch-scaled collectives (id/row
+            # exchange). A 'model'-only spec replicates rows across 'data'
+            # and forces a vocab-sized dense-gradient all-reduce
+            # (tools/inspect_sharded_hlo.py measures both patterns).
             from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = NamedSharding(self.mesh, P("model", None))
+            shard = NamedSharding(self.mesh, P(("data", "model"), None))
             self.packs = {k: jax.device_put(v, shard)
                           for k, v in self.packs.items()}
             self.accs = {k: jax.device_put(v, shard)

@@ -144,7 +144,7 @@ class Trainer:
             batch, train=True, **init_kwargs)
         variables = unfreeze(variables)
         params = variables.pop("params")
-        # extract flax partitioning metadata (embedding tables → ('model', None))
+        # extract flax partitioning metadata (tables → (('data','model'), None))
         # then unbox to plain arrays for optax
         self.param_specs = flax.linen.get_partition_spec(params)
         params = flax.linen.meta.unbox(params)

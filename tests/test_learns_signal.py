@@ -1,0 +1,513 @@
+"""Mechanism-sensitive learns-signal tests (VERDICT round-1 item 9).
+
+Each test plants a structure only the model's CORE MECHANISM can exploit
+and asserts a metric threshold — a broken mechanism (attention mask, AUGRU
+gate, cross layer, repeat head, cloze bidirectionality, entire-space
+product, listwise context, KG propagation, VAE co-occurrence) fails the
+test even though the model still "trains".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import linen as nn
+
+from recbox_tpu.features import FeatureMap, FeatureSpec
+from recbox_tpu.ops import binary_crossentropy, full_softmax_loss
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _seq_fm(vocab, name="ls"):
+    return FeatureMap(
+        name, (FeatureSpec("item_id", "categorical", vocab_size=vocab,
+                           embedding_dim=16),),
+        corpus_index="item_id", num_items=vocab)
+
+
+def _train_full_scores(model, arrays, steps=60, lr=1e-2, bs=128, seed=0):
+    """CE training over full_scores — the sequential protocol."""
+    rng = np.random.default_rng(seed)
+    n = len(arrays["item_id"])
+    init = {k: jnp.asarray(v[:8]) for k, v in arrays.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           init, train=True, method=model.full_scores)
+    params = nn.meta.unbox(variables["params"])
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            scores = model.apply({"params": p}, batch, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)},
+                                 method=model.full_scores)
+            return full_softmax_loss(scores, batch["item_id"])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for s in range(steps):
+        sel = rng.integers(0, n, bs)
+        batch = {k: jnp.asarray(v[sel]) for k, v in arrays.items()}
+        params, opt_state, loss = step(params, opt_state, batch)
+    return params
+
+
+def _recall_at(model, params, arrays, k):
+    scores = model.apply({"params": params},
+                         {key: jnp.asarray(v) for key, v in arrays.items()},
+                         train=False, method=model.full_scores)
+    order = np.argsort(-np.asarray(scores), axis=1)[:, :k]
+    return float((order == np.asarray(arrays["item_id"])[:, None])
+                 .any(1).mean())
+
+
+# ---------------------------------------------------------------------------
+# 1. BERT4Rec — cloze bidirectionality
+# ---------------------------------------------------------------------------
+
+def test_bert4rec_cloze_uses_right_context():
+    """Masked position's answer = (left + right) % V: only BIDIRECTIONAL
+    attention can read the right neighbor. A causal encoder caps near
+    chance; the cloze head must get high top-1 accuracy."""
+    from recbox_tpu.models.sequential.extended import BERT4Rec
+    V, L, n = 24, 6, 2048
+    rng = np.random.default_rng(0)
+    model = BERT4Rec(feature_map=_seq_fm(V), embedding_dim=32,
+                     max_seq_len=L, n_layers=1, n_heads=2, dropout=0.0)
+    base = rng.integers(1, V, size=(n, L)).astype(np.int32)
+    pos = np.full((n, 1), 2, np.int32)          # interior masked slot
+    answers = ((base[:, 1] + base[:, 3]) % (V - 1) + 1).astype(np.int32)
+    seqs = base.copy()
+    seqs[:, 2] = V          # the [MASK] row (id = vocab_size)
+    seq_len = np.full(n, L, np.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(seqs[:8]),
+                           jnp.asarray(seq_len[:8]), jnp.asarray(pos[:8]),
+                           method=model.masked_item_scores)
+    params = nn.meta.unbox(variables["params"])
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, s, sl, p, y):
+        def loss_fn(pr):
+            logits = model.apply({"params": pr}, s, sl, p,
+                                 method=model.masked_item_scores)  # (B,1,V)
+            return full_softmax_loss(logits[:, 0, :], y)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    nrng = np.random.default_rng(1)
+    for _ in range(120):
+        sel = nrng.integers(0, n, 256)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(seqs[sel]),
+            jnp.asarray(seq_len[sel]), jnp.asarray(pos[sel]),
+            jnp.asarray(answers[sel]))
+    logits = model.apply({"params": params}, jnp.asarray(seqs[:512]),
+                         jnp.asarray(seq_len[:512]), jnp.asarray(pos[:512]),
+                         method=model.masked_item_scores)
+    acc = float((np.argmax(np.asarray(logits[:, 0, :]), -1)
+                 == answers[:512]).mean())
+    # a causal encoder cannot see the right neighbor: its ceiling is
+    # chance = 1/(V-1) ~= 0.043; bidirectional attention reaches ~0.42
+    # at this training budget
+    assert acc > 0.3, f"cloze accuracy {acc} — bidirectional path broken?"
+
+
+# ---------------------------------------------------------------------------
+# 2. DIEN — target attention through the AUGRU gate
+# ---------------------------------------------------------------------------
+
+def test_dien_attends_to_target_in_history():
+    """click ⟺ target ∈ behavior sequence: solvable only by comparing the
+    target against each history position (the attention-gated AUGRU)."""
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation import CTREvaluator
+    from recbox_tpu.models.ranking.sequence_ctr import DIEN
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, L, n = 40, 6, 4800
+    rng = np.random.default_rng(0)
+    hist = rng.integers(1, vocab, size=(n, L)).astype(np.int32)
+    target = rng.integers(1, vocab, n).astype(np.int32)
+    y = (hist == target[:, None]).any(1).astype(np.float32)
+    fm = FeatureMap("dienls", (
+        FeatureSpec("item_id", "categorical", vocab_size=vocab + 1,
+                    embedding_dim=16),
+        FeatureSpec("hist", "sequence", vocab_size=vocab + 1,
+                    embedding_dim=16, max_len=L, padding_idx=vocab,
+                    share_embedding="item_id"),
+    ), labels=("click",))
+    split = int(0.8 * n)
+    arrays = {"item_id": target, "hist": hist, "click": y}
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    model = DIEN(feature_map=fm, embedding_dim=16, history_feature="hist",
+                 target_feature="item_id", gru_hidden=16, hidden_units=(32,),
+                 activation="relu")
+    # DIEN trains with its auxiliary loss (interest state t must classify
+    # the true next behavior vs a negative, `dien.py` auxiliary_loss) —
+    # it is what anchors the extraction GRU to item identity
+    init = {k: jnp.asarray(v[:8]) for k, v in train.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, init,
+                           train=True)
+    params = nn.meta.unbox(variables["params"])
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            logit = model.apply({"params": p}, batch, train=True,
+                                rngs={"dropout": jax.random.PRNGKey(2)})
+            main = binary_crossentropy(logit, batch["click"])
+            aux = model.apply({"params": p}, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)},
+                              method=model.auxiliary_logits)  # (B, L-1, 2)
+            pos_l, neg_l = aux[..., 0], aux[..., 1]
+            aux_loss = jnp.mean(jax.nn.softplus(-pos_l)
+                                + jax.nn.softplus(neg_l))
+            return main + aux_loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng2 = np.random.default_rng(1)
+    for _ in range(800):
+        sel = rng2.integers(0, split, 256)
+        batch = {k: jnp.asarray(v[sel]) for k, v in train.items()}
+        params, opt_state, loss = step(params, opt_state, batch)
+    from recbox_tpu.evaluation.ctr import auc_score
+    logits = model.apply({"params": params},
+                         {k: jnp.asarray(v) for k, v in valid.items()},
+                         train=False)
+    auc = auc_score(valid["click"], np.asarray(jax.nn.sigmoid(logits)))
+    # chance = 0.5; a dead attention/AUGRU gate stalls there, the
+    # working mechanism reaches ~0.63 at this budget (0.65+ by 1500
+    # steps — this toy is a slow climb for DIEN's indirect attention)
+    assert auc > 0.58, auc
+
+
+# ---------------------------------------------------------------------------
+# 3. KGAT — cold-start generalization THROUGH the knowledge graph
+# ---------------------------------------------------------------------------
+
+def test_kgat_propagates_to_unseen_kg_neighbors():
+    """Items come in KG-linked pairs (2k, 2k+1); training interactions only
+    ever touch the EVEN item. A model without KG propagation has random
+    embeddings for the odd items; KGAT's attentive propagation must score
+    the user's PAIRED odd item above odd items from other pairs."""
+    from recbox_tpu.data.knowledge import (
+        KnowledgeGraph, collaborative_kg_edges,
+    )
+    from recbox_tpu.models.knowledge import KGAT, StaticArray
+    from tests.test_general_recommenders import _train_pairwise
+
+    n_pairs, n_users = 12, 48
+    n_items = 2 * n_pairs
+    rng = np.random.default_rng(0)
+    # KG: pair edges both directions
+    heads = np.concatenate([np.arange(0, n_items, 2),
+                            np.arange(1, n_items, 2)])
+    tails = np.concatenate([np.arange(1, n_items, 2),
+                            np.arange(0, n_items, 2)])
+    rels = np.full(len(heads), 1)
+    kg = KnowledgeGraph(heads=heads, relations=rels, tails=tails,
+                        n_entities=n_items, n_relations=2, n_items=n_items)
+    users = np.repeat(np.arange(n_users), 6).astype(np.int64)
+    items = (2 * (users % n_pairs)).astype(np.int64)       # EVEN items only
+    h, r, t = collaborative_kg_edges(kg, users, items, n_users)
+    fm = FeatureMap(
+        "kgatls", (FeatureSpec("user_id", "categorical", source="user",
+                               vocab_size=n_users, embedding_dim=16),
+                   FeatureSpec("item_id", "categorical", source="item",
+                               vocab_size=n_items, embedding_dim=16)),
+        query_index="user_id", corpus_index="item_id", num_items=n_items)
+    model = KGAT(feature_map=fm, embedding_dim=32, num_users=n_users,
+                 n_entities=n_items, n_relations=2, n_layers=1, kg_dim=8,
+                 ckg_heads=StaticArray(h), ckg_relations=StaticArray(r),
+                 ckg_tails=StaticArray(t))
+    # moderate training point: odd items appear ONLY as sampled negatives,
+    # so long BPR training actively erodes the cold-start KG signal
+    params = _train_pairwise(model, users, items, None, steps=300, lr=2e-2)
+    u = np.asarray(model.apply({"params": params},
+                               {"user_id": jnp.arange(n_users)},
+                               method=model.user_tower))
+    it = np.asarray(model.apply({"params": params},
+                                {"item_id": jnp.arange(n_items)},
+                                method=model.item_tower))
+    scores = u @ it.T
+    odd = np.arange(1, n_items, 2)
+    wins, total = 0, 0
+    for usr in range(n_users):
+        mine = 2 * (usr % n_pairs) + 1
+        for o in odd:
+            if o == mine:
+                continue
+            total += 1
+            wins += int(scores[usr, mine] > scores[usr, o])
+    assert wins / total > 0.6, wins / total   # chance = 0.5
+
+
+# ---------------------------------------------------------------------------
+# 4. PRM — listwise context (label depends on the OTHER items)
+# ---------------------------------------------------------------------------
+
+def test_prm_uses_list_context():
+    """label_i = 1 iff item i has the max feature in ITS list — pointwise
+    scoring of the item alone is chance; the transformer-over-list must
+    put the max item first."""
+    from recbox_tpu.models.reranking.models import PRM, listwise_bce
+    B, N, D, n = 64, 8, 4, 4096
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(n, N, D)).astype(np.float32)
+    key = feats[:, :, 0]
+    labels = (key == key.max(axis=1, keepdims=True)).astype(np.float32)
+    mask = np.ones((n, N), np.float32)
+    model = PRM(d_model=32, n_layers=1, n_heads=2, max_list_len=N)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats[:8]),
+                           jnp.asarray(mask[:8]))
+    params = nn.meta.unbox(variables["params"])
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, f, m, y):
+        def loss_fn(p):
+            s = model.apply({"params": p}, f, m, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+            return listwise_bce(s, y, m)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for s in range(150):
+        sel = rng.integers(0, n, B)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(feats[sel]),
+                                       jnp.asarray(mask[sel]),
+                                       jnp.asarray(labels[sel]))
+    scores = np.asarray(model.apply({"params": params},
+                                    jnp.asarray(feats[:512]),
+                                    jnp.asarray(mask[:512])))
+    top1 = scores.argmax(1)
+    acc = float((labels[np.arange(512), top1][:512] > 0).mean())
+    assert acc > 0.8, f"top-1 hit {acc} — list context unused?"
+
+
+# ---------------------------------------------------------------------------
+# 5. MultiVAE — co-occurrence clusters
+# ---------------------------------------------------------------------------
+
+def test_multivae_reconstructs_cooccurrence_cluster():
+    """Users consume items from ONE of two clusters; a held-out in-cluster
+    item must outrank out-cluster items in the reconstruction."""
+    from recbox_tpu.models.matching.autoencoder import MultiVAE, multivae_loss
+    n_items, n_users = 20, 512
+    rng = np.random.default_rng(0)
+    hist = np.zeros((n_users, n_items), np.float32)
+    held = np.zeros(n_users, np.int64)
+    cluster = rng.integers(0, 2, n_users)
+    for u in range(n_users):
+        pool = np.arange(10) + 10 * cluster[u]
+        chosen = rng.choice(pool, size=6, replace=False)
+        hist[u, chosen[:-1]] = 1.0
+        held[u] = chosen[-1]                    # in-cluster, not in input
+    model = MultiVAE(num_items=n_items, hidden_units=(32,), latent_dim=8,
+                     dropout=0.1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "reparam": jax.random.PRNGKey(2)},
+        {"history": jnp.asarray(hist[:8])}, train=True,
+        method=model.elbo_loss)
+    params = nn.meta.unbox(variables["params"])
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, h, key):
+        def loss_fn(p):
+            return model.apply(
+                {"params": p}, {"history": h}, train=True,
+                rngs={"dropout": jax.random.fold_in(key, 0),
+                      "reparam": jax.random.fold_in(key, 1)},
+                method=model.elbo_loss)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for s in range(200):
+        sel = rng.integers(0, n_users, 128)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(hist[sel]),
+                                       jax.random.PRNGKey(s))
+    logits = np.array(model.apply({"params": params},
+                                  {"history": jnp.asarray(hist)},
+                                  train=False))
+    logits[hist > 0] = -1e9                      # mask consumed items
+    # the held-out in-cluster item must beat the out-cluster MEAN
+    out_cluster = np.stack([logits[u, 10 * (1 - cluster[u]):
+                                   10 * (1 - cluster[u]) + 10].mean()
+                            for u in range(n_users)])
+    held_scores = logits[np.arange(n_users), held]
+    frac = float((held_scores > out_cluster).mean())
+    assert frac > 0.8, frac
+
+
+# ---------------------------------------------------------------------------
+# 6./7. AutoInt + DCNv2 — pure feature interaction (XOR)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("model_name", ["AutoInt", "DCNv2"])
+def test_interaction_models_learn_xor(model_name):
+    """y = parity(a) XOR parity(b): zero main effects, pure second-order
+    interaction — dead cross/attention layers score chance AUC."""
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation import CTREvaluator
+    from recbox_tpu.models.ranking.ctr import AutoInt, DCNv2
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, n = 24, 4000
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    y = (((a % 2) == 1) ^ ((b % 2) == 1)).astype(np.float32)
+    fm = FeatureMap("xor", (
+        FeatureSpec("a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=vocab, embedding_dim=8),
+    ), labels=("click",))
+    cls = {"AutoInt": AutoInt, "DCNv2": DCNv2}[model_name]
+    kwargs = dict(feature_map=fm, embedding_dim=8)
+    if model_name == "DCNv2":
+        kwargs.update(hidden_units=(16,), num_cross_layers=2)
+    else:
+        kwargs.update(hidden_units=(16,))
+    model = cls(**kwargs)
+    arrays = {"a": a, "b": b, "click": y}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    t = Trainer(model, lambda o, bt: binary_crossentropy(o, bt["click"]),
+                TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False), eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["AUC"] > 0.8, (model_name, m)
+
+
+# ---------------------------------------------------------------------------
+# 8. NARM — attention finds the frequent item regardless of position
+# ---------------------------------------------------------------------------
+
+def test_narm_attends_to_frequent_item():
+    """target = the item occurring 3× in the session (others once), at
+    RANDOM positions — last-item recency heuristics fail."""
+    from recbox_tpu.models.sequential.models import NARM
+    V, L, n = 30, 7, 3000
+    rng = np.random.default_rng(0)
+    seqs = np.zeros((n, L), np.int32)
+    targets = np.zeros(n, np.int32)
+    for i in range(n):
+        items = rng.choice(np.arange(1, V), size=5, replace=False)
+        freq = items[0]
+        fill = np.concatenate([[freq] * 3, items[1:]])
+        rng.shuffle(fill)
+        while fill[-1] == freq:      # recency heuristics must not help
+            rng.shuffle(fill)
+        seqs[i] = fill
+        targets[i] = freq
+    arrays = {"item_seq": seqs, "seq_len": np.full(n, L, np.int32),
+              "item_id": targets}
+    model = NARM(feature_map=_seq_fm(V), embedding_dim=16, hidden_size=16,
+                 max_seq_len=L, dropout=0.0)
+    params = _train_full_scores(model, arrays, steps=160, lr=5e-3)
+    rec = _recall_at(model, params, {k: v[:512] for k, v in arrays.items()},
+                     k=1)
+    assert rec > 0.5, rec   # chance 1/30, recency ~0
+
+
+# ---------------------------------------------------------------------------
+# 9. RepeatNet — the repeat (copy) mechanism
+# ---------------------------------------------------------------------------
+
+def test_repeatnet_copies_from_history():
+    """target is ALWAYS one of the history items (vocab 120 ≫ what 80
+    CE steps can memorize without a copy head): repeat mode must put
+    probability mass on the history."""
+    from recbox_tpu.models.sequential.extended import RepeatNet
+    V, L, n = 120, 6, 3000
+    rng = np.random.default_rng(0)
+    seqs = np.zeros((n, L), np.int32)
+    targets = np.zeros(n, np.int32)
+    for i in range(n):
+        items = rng.choice(np.arange(1, V), size=L, replace=False)
+        seqs[i] = items
+        targets[i] = items[rng.integers(0, L)]   # repeat consumption
+    arrays = {"item_seq": seqs, "seq_len": np.full(n, L, np.int32),
+              "item_id": targets}
+    model = RepeatNet(feature_map=_seq_fm(V), embedding_dim=16,
+                      hidden_size=16, max_seq_len=L, dropout=0.0)
+    params = _train_full_scores(model, arrays, steps=80, lr=5e-3)
+    sub = {k: v[:512] for k, v in arrays.items()}
+    scores = np.asarray(model.apply(
+        {"params": params}, {k: jnp.asarray(v) for k, v in sub.items()},
+        train=False, method=model.full_scores))
+    # mass concentrated on history: top-L prediction ⊆ history mostly
+    topL = np.argsort(-scores, axis=1)[:, :L]
+    in_hist = np.array([np.isin(topL[i], sub["item_seq"][i]).mean()
+                        for i in range(512)])
+    assert in_hist.mean() > 0.7, in_hist.mean()
+
+
+# ---------------------------------------------------------------------------
+# 10. ESMM — entire-space product structure
+# ---------------------------------------------------------------------------
+
+def test_esmm_entire_space_product():
+    """pCTCVR = pCTR·pCVR must hold STRUCTURALLY (output[:,1] <= output[:,0]
+    everywhere) and the planted funnel must be learned."""
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation.evaluators import MultiTaskEvaluator
+    from recbox_tpu.models.multitask.models import ESMM, multitask_loss
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, n = 30, 4000
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    click = ((a % 3) == 0).astype(np.float32)
+    conv = (click * ((b % 2) == 0)).astype(np.float32)   # funnel
+    fm = FeatureMap("esmmls", (
+        FeatureSpec("a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=vocab, embedding_dim=8)),
+        labels=("click", "ctcvr"))
+    arrays = {"a": a, "b": b, "click": click, "ctcvr": conv}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    model = ESMM(feature_map=fm, tower_units=(16,))
+    labels = ["click", "ctcvr"]
+
+    def loss_fn(outputs, batch):
+        y = jnp.stack([batch[l] for l in labels], axis=1)
+        return multitask_loss(outputs, y, from_logits=False)
+
+    ev = MultiTaskEvaluator(valid, labels, metrics=["AUC"],
+                            from_logits=False)
+    t = Trainer(model, loss_fn,
+                TrainerConfig(learning_rate=1e-2, epochs=6, patience=8,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False), eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["ctcvr_AUC"] > 0.8, m
+    out = np.asarray(t.apply(valid))
+    assert (out[:, 1] <= out[:, 0] + 1e-6).all(), \
+        "pCTCVR exceeded pCTR — the entire-space product head is broken"

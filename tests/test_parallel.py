@@ -52,14 +52,14 @@ def test_embedding_tables_row_sharded():
                       cfg, mesh=mesh)
     loader = ArrayLoader(arrays, batch_size=64, drop_last=True)
     trainer.init(next(iter(loader)))
-    # the partition metadata marks tables as ('model', None)
+    # the partition metadata row-shards tables over the COMBINED grid
     specs = trainer.param_specs
     emb_spec = specs["embedding"]["emb_cat_a"]
-    assert tuple(emb_spec) == ("model", None)
-    # and the live array is actually sharded over 4 model shards
+    assert tuple(emb_spec) == (("data", "model"), None)
+    # and the live array is actually sharded over all 8 devices
     table = trainer.params["embedding"]["emb_cat_a"]
     shard_shapes = {s.data.shape for s in table.addressable_shards}
-    assert shard_shapes == {(64 // 4, 16)}
+    assert shard_shapes == {(64 // 8, 16)}
 
 
 def test_sharded_step_matches_unsharded():
@@ -173,3 +173,35 @@ def test_fused_steps_shard_over_data_axis():
     losses = trainer.train_steps_fused(batches)
     assert losses.shape == (2,)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_collective_bytes_scale_with_batch_not_vocab():
+    """The sharded-embedding comm pattern must be id/row-exchange-shaped:
+    growing the vocab 8x must NOT grow per-step collective bytes (a
+    full-table all-gather / dense-grad all-reduce would). Guards the
+    (('data','model'), None) combined-grid table sharding."""
+    from recbox_tpu.parallel.inspect import collective_stats
+
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(num_model_shards=4)
+
+    def total_bytes(vocab):
+        fm, arrays = _make_data(rng, n=256, vocab=vocab)
+        model = DeepFM(feature_map=fm, embedding_dim=16, hidden_units=(16,))
+        cfg = TrainerConfig(learning_rate=1e-3, monitor="AUC")
+        t = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]),
+                    cfg, mesh=mesh)
+        loader = ArrayLoader(arrays, batch_size=64, drop_last=True)
+        batch = next(iter(loader))
+        batch.pop("__mask__", None)
+        t.init(batch)
+        step = t._build_train_step()
+        dbatch = t._device_batch(batch)
+        ops = collective_stats(step, t.params, t.model_state, t.opt_state,
+                               dbatch, jax.random.PRNGKey(0))
+        assert ops, "sharded step emitted no collectives at all?"
+        return sum(o.bytes for o in ops)
+
+    small, big = total_bytes(512), total_bytes(4096)
+    assert big <= small * 1.25, (
+        f"collective bytes grew with vocab: {small:,} -> {big:,}")

@@ -12,14 +12,17 @@ Run: cd /root/repo && JAX_PLATFORMS=cpu \
      python tools/inspect_sharded_hlo.py
 """
 
-import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+# the axon TPU plugin ignores JAX_PLATFORMS; these config knobs force the
+# virtual CPU mesh reliably (see .claude/skills/verify/SKILL.md)
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 
 from recbox_tpu.features import FeatureMap, FeatureSpec
