@@ -24,7 +24,28 @@ verify, or the exact paths in `retrieval/index.py`.
 Corpus blocks stream HBM→VMEM via the grid BlockSpec (Pallas
 double-buffers automatically), so the kernel runs at
 max(matmul, corpus-bandwidth) — amortize the corpus stream by scoring
-128-512 queries per sweep.
+128-1024 queries per sweep.
+
+MEASURED ENVELOPE (v5e, 1M x 128 bf16 corpus, 8192 queries in 1024-query
+chunks — `tools/prof_retrieval_topk.py`, honest scan-chained timing):
+
+    matmul-only ceiling          490k qps
+    xla approx_max_k k=100       457k qps   <- at the ceiling; unbeatable
+    xla approx_max_k k=500       221k qps
+    xla segmented merge k=500    325k qps
+    THIS KERNEL k=500            262k qps   (1.18x over approx_max_k)
+    THIS KERNEL k=100            306k qps
+
+Conclusion (honest): the kernel beats the naive approx path at large k
+but NOT the segmented XLA formulation — XLA's approx_max_k fuses its
+reduction into the matmul consumer and its hardware-tuned partial-sort
+outruns a VPU max/argmax sweep. `BruteForceMIPS(method='segmented')`
+remains the default serving path; `method='pallas'` is available where
+its profile fits. The structurally expensive parts were measured one by
+one: grid-step overhead ~15 us (fixed by 16K-row blocks), lane-axis
+reductions (fixed by strided segmentation), and a ~2.6 ms fixed cost per
+top-k/approx_max_k call on ANY shape — which is also why one merge per
+big query sweep beats per-chunk merges.
 """
 
 from __future__ import annotations
@@ -40,18 +61,24 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["mips_segment_candidates", "pallas_mips_topk", "SEGMENT"]
 
 SEGMENT = 128          # items per candidate segment (one winner each)
-_SUB = 2048            # rows scored per inner iteration (f32 scores 4 MB)
 
 
-def _subs_per_block(corpus_dtype) -> int:
+def _sub_rows(qt: int) -> int:
+    """Corpus rows per inner iteration: sized so the f32 score buffer
+    (sub_rows x qt) stays at 4 MB."""
+    return max(256, (1 << 20) // qt)
+
+
+def _subs_per_block(corpus_dtype, qt: int) -> int:
     """Inner iterations per grid step, sized so the double-buffered corpus
-    block + the 4 MB f32 score buffer stay under the 16 MB VMEM budget
-    (bf16 corpus: 16K-row blocks; f32: 8K)."""
-    return 8 if jnp.dtype(corpus_dtype).itemsize <= 2 else 4
+    block + the 4 MB f32 score buffer stay under the 16 MB VMEM budget."""
+    block_budget = 4 * (1 << 20)   # corpus-block bytes (x2 double buffer)
+    row_bytes = 128 * jnp.dtype(corpus_dtype).itemsize
+    return max(1, block_budget // (row_bytes * _sub_rows(qt)))
 
 
-def _make_kernel(subs_per_block: int):
-    c_block = _SUB * subs_per_block
+def _make_kernel(subs_per_block: int, sub_rows: int):
+    c_block = sub_rows * subs_per_block
 
     def _kernel(q_ref, c_ref, out_s_ref, out_i_ref):
         """One grid step: c_block corpus rows → c_block/128 candidates.
@@ -66,20 +93,26 @@ def _make_kernel(subs_per_block: int):
         q = q_ref[:]                                   # (Qt, D)
 
         def sub(j, _):
-            c = c_ref[pl.ds(j * _SUB, _SUB), :]        # (SUB, D)
+            c = c_ref[pl.ds(j * sub_rows, sub_rows), :]   # (SUB, D)
+            # (bf16 score accumulation was tried to halve the reduce
+            # bandwidth: Mosaic's argmax reduce is f32-only)
             s = jax.lax.dot_general(
                 c, q, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (SUB, Qt)
             qt = s.shape[1]
-            n_seg = _SUB // SEGMENT
-            seg = s.reshape(n_seg, SEGMENT, qt)
-            win = jnp.max(seg, axis=1)                 # (n_seg, Qt)
-            arg = jnp.argmax(seg, axis=1).astype(jnp.int32)
-            base = (b * c_block + j * _SUB
-                    + jax.lax.broadcasted_iota(jnp.int32, (n_seg, qt), 0)
-                    * SEGMENT)
+            n_seg = sub_rows // SEGMENT
+            # STRIDED segmentation: segment g = rows {g, g+n_seg, ...} —
+            # the reduce then runs over the MAJOR axis (SEGMENT sequential
+            # full-width (n_seg, Qt) vector ops) instead of in-tile
+            # sublane shuffles; which rows share a segment is irrelevant
+            # to the recall analysis
+            seg = s.reshape(SEGMENT, n_seg, qt)
+            win = jnp.max(seg, axis=0)                 # (n_seg, Qt)
+            arg = jnp.argmax(seg, axis=0).astype(jnp.int32)
+            base = (b * c_block + j * sub_rows
+                    + jax.lax.broadcasted_iota(jnp.int32, (n_seg, qt), 0))
             out_s_ref[pl.ds(j * n_seg, n_seg), :] = win
-            out_i_ref[pl.ds(j * n_seg, n_seg), :] = base + arg
+            out_i_ref[pl.ds(j * n_seg, n_seg), :] = base + arg * n_seg
             return 0
 
         jax.lax.fori_loop(0, subs_per_block, sub, 0)
@@ -100,8 +133,8 @@ def mips_segment_candidates(queries, corpus, interpret: bool = False):
     qt, d = queries.shape
     n, d2 = corpus.shape
     assert d == d2, (queries.shape, corpus.shape)
-    spb = _subs_per_block(corpus.dtype)
-    c_block = _SUB * spb
+    spb = _subs_per_block(corpus.dtype, qt)
+    c_block = _sub_rows(qt) * spb
     assert n % c_block == 0, f"pad corpus to a multiple of {c_block}"
     assert d % 128 == 0, "pad embedding dim to a multiple of 128"
     n_blocks = n // c_block
@@ -112,7 +145,7 @@ def mips_segment_candidates(queries, corpus, interpret: bool = False):
         jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.int32),
     )
     return pl.pallas_call(
-        _make_kernel(spb),
+        _make_kernel(spb, _sub_rows(qt)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((qt, d), lambda b: (0, 0),
@@ -132,7 +165,7 @@ def mips_segment_candidates(queries, corpus, interpret: bool = False):
 
 
 def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
-                     interpret: bool = False):
+                     exact_merge: bool = False, interpret: bool = False):
     """Top-k (scores, ids) over the corpus via the fused candidate kernel.
 
     Pads corpus rows/dims as needed; `valid_items` (default = corpus rows
@@ -143,7 +176,9 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     corpus = jnp.asarray(corpus)
     n_items = corpus.shape[0] if valid_items is None else valid_items
     # pad corpus rows to the block multiple, dims to the lane multiple
-    n_pad = (-corpus.shape[0]) % (_SUB * _subs_per_block(corpus.dtype))
+    qt0 = queries.shape[0]
+    n_pad = (-corpus.shape[0]) % (
+        _sub_rows(qt0) * _subs_per_block(corpus.dtype, qt0))
     d_pad = (-corpus.shape[1]) % 128
     if n_pad or d_pad:
         corpus = jnp.pad(corpus, ((0, n_pad), (0, d_pad)))
@@ -152,5 +187,13 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     cs, ci = mips_segment_candidates(queries, corpus, interpret=interpret)
     cs, ci = cs.T, ci.T                       # back to (Qt, n_candidates)
     cs = jnp.where(ci < n_items, cs, -jnp.inf)
-    top_s, pos = jax.lax.top_k(cs, k)
+    if exact_merge or cs.shape[1] <= 2 * k:
+        top_s, pos = jax.lax.top_k(cs, k)
+    else:
+        # the candidate set is already ~N/128 small; the approx merge
+        # shaves the final-sort cost with negligible recall impact
+        # rt=0.95 matches the other serving paths; higher targets
+        # trigger a pathological reduction at small k (measured 10.3 ms
+        # vs 3.2 ms at k=100 on (1024, 7936))
+        top_s, pos = jax.lax.approx_max_k(cs, k, recall_target=0.95)
     return top_s, jnp.take_along_axis(ci, pos, axis=1)

@@ -184,8 +184,11 @@ class BruteForceMIPS:
     Args:
       metric: 'ip' | 'cosine' (L2-normalized at build, faiss normalize flag).
       method: 'approx' (default) | 'segmented' (fastest at large k — see
-        `segmented_mips_topk`) | 'refined' (two-phase, near-exact) |
-        'exact'/'exact_sort' (scan merge, truly exact).
+        `segmented_mips_topk`) | 'pallas' (fused Pallas scorer,
+        `ops/pallas/mips_topk.py` — beats 'approx' at k>=500, loses to
+        'segmented'; measured envelope in the kernel docstring) |
+        'refined' (two-phase, near-exact) | 'exact'/'exact_sort' (scan
+        merge, truly exact).
       recall_target: approx_max_k knob for method='approx'.
     """
 
@@ -268,11 +271,26 @@ class BruteForceMIPS:
                 self._search_sharded = self._build_sharded_search(topk)
                 self._sharded_topk = topk
             s, i = self._search_sharded(queries, self.padded_items)
+        elif self.method == "pallas" and self.num_items > 16 * topk \
+                and jax.default_backend() not in ("cpu",):
+            # Mosaic kernels need a real TPU; CPU runs fall through to the
+            # XLA paths below (interpret mode is test-only)
+            from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+            parts = []
+            it = (self.items.astype(jnp.bfloat16) if self.bf16
+                  else self.items)
+            for s0 in range(0, queries.shape[0], self.query_chunk):
+                q = queries[s0:s0 + self.query_chunk]
+                q = q.astype(jnp.bfloat16) if self.bf16 else q
+                parts.append(pallas_mips_topk(q, it, topk,
+                                              valid_items=self.num_items))
+            s = jnp.concatenate([p[0] for p in parts], axis=0)
+            i = jnp.concatenate([p[1] for p in parts], axis=0)
         elif self.method == "segmented" and self.num_items > 16 * topk:
             s, i = segmented_mips_topk(queries, self.items, topk,
                                        query_chunk=self.query_chunk,
                                        bf16=self.bf16)
-        elif self.method in ("approx", "segmented") \
+        elif self.method in ("approx", "segmented", "pallas") \
                 and self.num_items > 4 * topk:
             s, i = approx_mips_topk(queries, self.items, topk,
                                     query_chunk=self.query_chunk,

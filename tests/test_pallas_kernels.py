@@ -38,3 +38,49 @@ def test_unaligned_dim_falls_back(rng):
     out = seq_embedding_pool(table, ids, pad_id=0)
     ref = seq_embedding_pool_xla(table, ids, pad_id=0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+class TestPallasMIPS:
+    """Fused MIPS scorer (`ops/pallas/mips_topk.py`) — interpret mode."""
+
+    def test_matches_exact_at_proportionate_shapes(self):
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(16, 64)).astype(np.float32)
+        c = rng.normal(size=(50_000, 64)).astype(np.float32)
+        s, ids = pallas_mips_topk(q, c, 10, interpret=True,
+                                  exact_merge=True)
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :10]
+        recall = np.mean([len(set(np.asarray(ids)[i].tolist())
+                              & set(eids[i].tolist())) / 10
+                          for i in range(16)])
+        assert recall >= 0.95, recall
+        # returned scores are the true dot products of the returned ids
+        np.testing.assert_allclose(
+            np.asarray(s),
+            np.take_along_axis(exact, np.asarray(ids), axis=1), rtol=1e-5)
+
+    def test_padding_masked(self):
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(8, 48)).astype(np.float32)
+        c = rng.normal(size=(3000, 48)).astype(np.float32)  # heavy padding
+        s, ids = pallas_mips_topk(q, c, 5, interpret=True, exact_merge=True)
+        assert int(np.asarray(ids).max()) < 3000
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_index_method_dispatch(self):
+        """BruteForceMIPS(method='pallas') falls back to approx for small
+        corpora (no pallas on CPU) and accepts the method string."""
+        from recbox_tpu.retrieval.index import BruteForceMIPS
+        rng = np.random.default_rng(2)
+        items = rng.normal(size=(500, 32)).astype(np.float32)
+        idx = BruteForceMIPS(items, method="pallas", bf16=False)
+        q = rng.normal(size=(4, 32)).astype(np.float32)
+        s, i = idx.search(q, topk=5)
+        assert s.shape == (4, 5) and i.shape == (4, 5)
+        exact_ids = np.argsort(-(q @ items.T), axis=1)[:, :5]
+        # small corpus routes through the exact/approx fallback
+        np.testing.assert_array_equal(np.sort(i, axis=1),
+                                      np.sort(exact_ids, axis=1))

@@ -85,12 +85,22 @@ def main():
         ts, _ = jax.lax.top_k(merged, min(K, merged.shape[-1]))
         return jnp.sum(ts, axis=-1)
 
+    def pallas_fused(k):
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+
+        def f(q, it):
+            ts, _ = pallas_mips_topk(q, it, k, valid_items=N)
+            return jnp.sum(ts, axis=-1)
+        return f
+
     print(f"devices: {jax.devices()}", flush=True)
     timed("matmul_only", sweep(mm_only), queries, items)
     timed("approx_500", sweep(approx_k(K, 0.95)), queries, items)
     timed("approx_noagg", sweep(approx_noagg), queries, items)
     timed("approx_100", sweep(approx_k(100, 0.95)), queries, items)
     timed("segments", sweep(segments), queries, items)
+    timed("pallas_500", sweep(pallas_fused(K)), queries, items)
+    timed("pallas_100", sweep(pallas_fused(100)), queries, items)
 
 
 if __name__ == "__main__":
