@@ -22,11 +22,19 @@ per-chip train throughput.
 
 TRAINER: PackedEmbeddingTrainer (`training/packed.py`) — all embedding
 columns + AdaGrad state packed into one 128-lane row per vocab entry, so the
-step does ONE row-gather and ONE row-scatter total. Measured decomposition
-(`tools/prof_packed_step.py`, v5e): rows machinery ~30 ms, model fwd/bwd
-~2.5 ms, dense-MLP Adam ~1.2 ms → ~34 ms/step ≈ 0.97M examples/s, ~1.75×
-the dense-Adam path (row ops are latency-bound ~15-19 ns/row on this chip;
-see `tools/prof_embedding_update.py`).
+step does ONE row-gather and ONE row-scatter total.
+
+ROUND-2 HONEST NUMBERS AND THE WALL (v5e, driver-comparable runs):
+measured 0.75-0.85M examples/s across runs (tunnel-noise band; best-of
+reported). The hard floor at these shapes, measured op by op
+(`tools/prof_row_width.py`, `tools/prof_packed_step.py`): the single
+851,968-row gather costs ~10.5 ms and the single scatter-add ~16 ms —
+per-128-lane-row costs that are FLAT across f32/bf16/int8 (narrowing rows
+buys nothing) and unbeatable by per-row Pallas DMA (~800 ns/row) — plus
+fwd/bwd ~2.4 ms ⇒ a ~29 ms/step floor = 1.13M ex/s ceiling; the remaining
+gap is ~6 ms of slice/concat/optimizer machinery around the row ops.
+Scaling past this is the multi-chip row-budget split (R/M rows per chip,
+docs/ARCHITECTURE.md cost model), not single-chip kernel work.
 """
 
 import json
@@ -79,8 +87,10 @@ def main():
     losses = trainer.train_steps_repeat(batch, steps)   # compile + warmup
     _ = float(losses[-1])
 
+    # best-of-5: the tunnel adds run-to-run variance (observed up to ~35%);
+    # the minimum is the least-contended measurement of the same program
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         losses = trainer.train_steps_repeat(batch, steps)
         _ = float(losses[-1])                      # host sync
