@@ -13,7 +13,7 @@ import os
 
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "OrbaxCheckpointer"]
 
 
 def save_checkpoint(path: str, state: dict) -> None:
@@ -47,3 +47,71 @@ def load_checkpoint(path: str, template: dict) -> dict:
     with open(path, "rb") as fh:
         data = fh.read()
     return serialization.from_bytes(template, data)
+
+
+class OrbaxCheckpointer:
+    """Async, sharded checkpointing via orbax (SURVEY §5.4's "orbax-style
+    sharded async checkpoint of params+optimizer" upgrade over the
+    reference's synchronous torch.save, `trainer.py:287-310`).
+
+    Saves run in a background thread (training continues while bytes land);
+    sharded jax.Arrays are written per-shard without host gathering, so
+    multi-host pods checkpoint tables that no single host could hold.
+    Drop-in alternative to save_checkpoint/load_checkpoint:
+
+        ckpt = OrbaxCheckpointer()
+        ckpt.save(dir_path, trainer_state)      # returns immediately
+        ckpt.wait()                             # barrier before exit
+        state = ckpt.load(dir_path, template)
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    @staticmethod
+    def _split(state: dict):
+        """Orbax handles pytrees of arrays; ints/None metadata ride JSON."""
+        arrays, meta = {}, {}
+        for k, v in state.items():
+            if isinstance(v, (int, float, str)) or v is None:
+                meta[k] = v
+            else:
+                arrays[k] = v
+        return arrays, meta
+
+    def save(self, directory: str, state: dict) -> None:
+        import json
+        directory = os.path.abspath(directory)
+        arrays, meta = self._split(state)
+        import jax
+        self._ckptr.save(directory, args=self._ocp.args.StandardSave(arrays),
+                         force=True)
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            os.makedirs(directory + ".meta", exist_ok=True)
+            tmp = directory + ".meta/state.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, directory + ".meta/state.json")
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def load(self, directory: str, template: dict) -> dict:
+        import json
+        directory = os.path.abspath(directory)
+        arrays_t, meta_t = self._split(template)
+        restored = self._ckptr.restore(
+            directory, args=self._ocp.args.StandardRestore(arrays_t))
+        out = dict(restored)
+        meta_path = directory + ".meta/state.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                out.update(json.load(fh))
+        else:
+            out.update(meta_t)
+        return out
+
+    def close(self) -> None:
+        self._ckptr.close()

@@ -470,15 +470,21 @@ class Trainer:
         return np.concatenate(outs, axis=0)
 
     # -- checkpointing -------------------------------------------------------
-    def save(self, path: str) -> None:
-        save_checkpoint(path, {
+    def state_dict(self) -> Dict[str, Any]:
+        """The full training state (recbole checkpoint-dict shape,
+        `trainer.py:287-310`); also the contract for OrbaxCheckpointer's
+        async/sharded saves."""
+        return {
             "params": self.params,
             "model_state": self.model_state,
             "opt_state": self.opt_state,
             "step": self.step,
             "epoch": self.epoch,
             "monitor": self.monitor.state(),
-        })
+        }
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, self.state_dict())
 
     def load(self, path: str) -> None:
         if self.params is None:
