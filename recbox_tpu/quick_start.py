@@ -185,13 +185,55 @@ def run_sequential_experiment(
     recall/NDCG@k eval on the held-out target."""
     config = Config(config)
     model, _ = build_model(config, feature_map)
+    # recbole eval_args mode for the next-item protocol: 'full' (default,
+    # rank the target against the whole catalog) or 'uniN'/'popN' (rank it
+    # against N sampled negatives excluding the user's history — the
+    # NegSampleEvalDataLoader protocol for sequential models)
+    protocol = config.get("eval_protocol", "full")
+    _cand_cache: Dict[int, np.ndarray] = {}
 
-    def eval_split(trainer, split):
+    def _candidates(split, split_id):
+        if split_id not in _cand_cache:
+            from recbox_tpu.evaluation.candidate import parse_protocol
+            dist, n_neg = parse_protocol(protocol)
+            rng = np.random.default_rng(config.get("seed", 2024))
+            tgt = split[feature_map.corpus_index]
+            n_items = feature_map.num_items
+            if dist == "popularity":
+                counts = np.bincount(
+                    train_arrays[feature_map.corpus_index],
+                    minlength=n_items).astype(np.float64)
+                from recbox_tpu.data.sampling import AliasTable
+                alias = AliasTable(np.where(counts > 0, counts, 0.0)
+                                   if counts.sum() else np.ones(n_items))
+                draw = lambda size: alias.sample(size, rng)
+            else:
+                draw = lambda size: rng.integers(1, n_items, size=size)
+            negs = draw((len(tgt), n_neg))
+            # exclude the row's own history + target via bounded re-draw
+            hist = split["item_seq"]
+            for _ in range(20):
+                bad = (negs[:, :, None] == hist[:, None, :]).any(-1) \
+                    | (negs == tgt[:, None])
+                if not bad.any():
+                    break
+                negs[bad] = draw(int(bad.sum()))
+            _cand_cache[split_id] = np.concatenate(
+                [tgt[:, None], negs], axis=1).astype(np.int64)
+        return _cand_cache[split_id]
+
+    def eval_split(trainer, split, split_id=0):
         scores = np.asarray(trainer.apply(
             {k: split[k] for k in ("item_seq", "seq_len", "user_id")
              if k in split}, method=trainer.model.full_scores))
-        order = np.argsort(-scores, axis=1)
         tgt = split[feature_map.corpus_index][:, None]
+        if protocol != "full":
+            cand = _candidates(split, split_id)        # (R, 1+N), col 0 = tgt
+            cscores = np.take_along_axis(scores, cand, axis=1)
+            order = np.take_along_axis(
+                cand, np.argsort(-cscores, axis=1, kind="stable"), axis=1)
+        else:
+            order = np.argsort(-scores, axis=1)
         out = {}
         for k in ks:
             hits = (order[:, :k] == tgt)
@@ -205,7 +247,7 @@ def run_sequential_experiment(
         model,
         lambda o, b: full_softmax_loss(o, b[feature_map.corpus_index]),
         build_trainer_config(config),
-        eval_fn=lambda tr: eval_split(tr, valid_arrays),
+        eval_fn=lambda tr: eval_split(tr, valid_arrays, split_id=0),
         mesh=mesh, train_method="full_scores")
     loader = ArrayLoader(train_arrays,
                          batch_size=config.get("batch_size", 2048),
@@ -213,7 +255,7 @@ def run_sequential_experiment(
     result = trainer.fit(loader, epochs=config.get("epochs"))
     if test_arrays is not None:
         result = {**result, **{f"test_{k}": v for k, v in
-                               eval_split(trainer, test_arrays).items()}}
+                               eval_split(trainer, test_arrays, split_id=1).items()}}
     logger.info("experiment %s: %s", config.get("experiment_id", "?"), result)
     return result
 

@@ -281,3 +281,27 @@ def test_run_kg_experiment():
         {"item_id": np.arange(n_items, dtype=np.int32)}, kg,
         {"user_id": uu.astype(np.int32)}, uu, train_u2i, valid_u2i)
     assert result["Recall(k=20)"] > 0.5, result
+
+
+def test_sequential_uni_protocol(rng):
+    """run_sequential_experiment(eval_protocol='uni20') ranks the target
+    against sampled negatives; uni metrics >= full-sort metrics."""
+    from recbox_tpu.quick_start import run_sequential_experiment
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    V, L, n = 30, 6, 600
+    seqs = rng.integers(1, V, size=(n, L)).astype(np.int32)
+    targets = ((seqs[:, -1] + 1) % (V - 1) + 1).astype(np.int32)
+    fm = FeatureMap(
+        "sq", (FeatureSpec("item_id", "categorical", vocab_size=V,
+                           embedding_dim=8),),
+        corpus_index="item_id", num_items=V)
+    base = dict(model="GRU4Rec", embedding_dim=8, hidden_size=8,
+                learning_rate=1e-2, epochs=3, batch_size=128,
+                monitor="Recall(k=10)", patience=5, max_seq_len=L)
+    arrays = {"item_seq": seqs, "seq_len": np.full(n, L, np.int32),
+              "item_id": targets, "user_id": np.arange(n, dtype=np.int32)}
+    out_full = run_sequential_experiment({**base}, fm, arrays, arrays)
+    out_uni = run_sequential_experiment(
+        {**base, "eval_protocol": "uni20"}, fm, arrays, arrays)
+    assert out_uni["Recall(k=10)"] >= out_full["Recall(k=10)"] - 1e-9
+    assert 0 <= out_uni["NDCG(k=10)"] <= 1

@@ -13,7 +13,9 @@ from recbox_tpu.models.matching.two_tower import MF
 from recbox_tpu.ops import get_matching_loss
 from recbox_tpu.training import Trainer, TrainerConfig
 
-ds = load_atomic_dataset("/tmp/parity/synth", "synth")
+import os
+_DS = os.environ.get("OURS_DATASET", "synth")
+ds = load_atomic_dataset(f"/tmp/parity/{_DS}", _DS)
 inter = ds.to_interactions(rating_field="rating", time_field="timestamp")
 num_users, num_items = ds.num_users, ds.num_items
 train, valid, test = inter.split_ratio((0.8, 0.1, 0.1), order="RO",
@@ -21,7 +23,7 @@ train, valid, test = inter.split_ratio((0.8, 0.1, 0.1), order="RO",
 print(f"split sizes: {len(train)}/{len(valid)}/{len(test)}  U={num_users} I={num_items}")
 
 fm = FeatureMap(
-    "synth", (FeatureSpec("user_id", "categorical", "user",
+    _DS, (FeatureSpec("user_id", "categorical", "user",
                           vocab_size=num_users, embedding_dim=32),
               FeatureSpec("item_id", "categorical", "item",
                           vocab_size=num_items, embedding_dim=32)),
@@ -45,7 +47,8 @@ vu = np.array(sorted(valid_u2i), np.int32)
 ev = RetrievalEvaluator({"user_id": vu}, corpus, vu, train_u2i, valid_u2i,
                         metrics=["Recall(k=20)", "NDCG(k=20)"])
 model = MF(feature_map=fm, embedding_dim=32, emb_init_scheme="normal")
-cfg = TrainerConfig(learning_rate=1e-3, epochs=30, patience=10,
+cfg = TrainerConfig(learning_rate=1e-3,
+                    epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="Recall(k=20)", lr_decay_factor=1.0,
                     reload_best_on_plateau=False)
 trainer = Trainer(model, lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),

@@ -58,6 +58,7 @@ if not hasattr(_sp.dok_matrix, "_update"):
         for k, v in data.items():
             self[k] = v
     _sp.dok_matrix._update = _dok_update
+import os
 import torch
 _orig_load = torch.load
 torch.load = lambda *a, **k: _orig_load(*a, **{**k, "weights_only": False})
@@ -68,7 +69,8 @@ config = {
     "USER_ID_FIELD": "user_id", "ITEM_ID_FIELD": "item_id",
     "RATING_FIELD": "rating", "TIME_FIELD": "timestamp",
     "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
-    "epochs": 30, "train_batch_size": 512, "eval_batch_size": 2048,
+    "epochs": int(os.environ.get("REF_EPOCHS", 30)),
+    "train_batch_size": 512, "eval_batch_size": 2048,
     "learning_rate": 1e-3, "embedding_size": 32,
     "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
                   "group_by": "user", "mode": "full"},
