@@ -33,12 +33,14 @@ struct Column {
   std::string name;     // without the .npy suffix
   std::string dtype;    // numpy descr, e.g. "<f4"
   std::vector<int64_t> shape;
-  std::vector<uint8_t> data;
+  size_t data_off = 0;  // into Shard::file_buf (zero-copy on the C++ side)
+  size_t nbytes = 0;
 };
 
 struct Shard {
   int64_t index = -1;             // position in the epoch order
   std::string path;
+  std::vector<uint8_t> file_buf;  // whole archive; columns point into it
   std::vector<Column> columns;
   std::string error;              // non-empty on failure
 };
@@ -124,10 +126,12 @@ bool parse_npy(const uint8_t* buf, size_t n, Column* col, std::string* err) {
   else { *err = "unsupported dtype " + dt; return false; }
   size_t count = 1;
   for (int64_t s : col->shape) count *= static_cast<size_t>(s);
-  size_t nbytes = count * itemsize;
-  size_t data_off = header_off + header_len;
-  if (data_off + nbytes > n) { *err = "npy data overruns"; return false; }
-  col->data.assign(buf + data_off, buf + data_off + nbytes);
+  col->nbytes = count * itemsize;
+  col->data_off = header_off + header_len;   // relative to the npy start
+  if (col->data_off + col->nbytes > n) {
+    *err = "npy data overruns";
+    return false;
+  }
   return true;
 }
 
@@ -140,7 +144,8 @@ bool read_npz(const std::string& path, Shard* shard) {
   std::fseek(fh, 0, SEEK_END);
   long size = std::ftell(fh);
   std::fseek(fh, 0, SEEK_SET);
-  std::vector<uint8_t> buf(static_cast<size_t>(size));
+  std::vector<uint8_t>& buf = shard->file_buf;
+  buf.resize(static_cast<size_t>(size));
   if (std::fread(buf.data(), 1, buf.size(), fh) != buf.size()) {
     std::fclose(fh);
     shard->error = "short read";
@@ -153,11 +158,41 @@ bool read_npz(const std::string& path, Shard* shard) {
     uint32_t sig = rd32(&buf[off]);
     if (sig != 0x04034b50) break;  // central directory reached
     uint16_t method = rd16(&buf[off + 8]);
-    uint32_t comp_size = rd32(&buf[off + 18]);
-    uint32_t raw_size = rd32(&buf[off + 22]);
+    uint64_t comp_size = rd32(&buf[off + 18]);
+    uint64_t raw_size = rd32(&buf[off + 22]);
     uint16_t name_len = rd16(&buf[off + 26]);
     uint16_t extra_len = rd16(&buf[off + 28]);
     std::string name(reinterpret_cast<char*>(&buf[off + 30]), name_len);
+    // numpy's savez always writes zip64 entries: the 32-bit size fields
+    // hold 0xFFFFFFFF and the real sizes live in the 0x0001 extra record
+    // (original size first, then compressed — only the 0xFFFFFFFF'd
+    // fields are present, in that order)
+    if (comp_size == 0xFFFFFFFFull || raw_size == 0xFFFFFFFFull) {
+      size_t ex = off + 30 + name_len;
+      size_t ex_end = ex + extra_len;
+      while (ex + 4 <= ex_end) {
+        uint16_t id = rd16(&buf[ex]);
+        uint16_t sz = rd16(&buf[ex + 2]);
+        if (id == 0x0001) {
+          size_t p = ex + 4;
+          auto rd64 = [&](size_t at) {
+            uint64_t v = 0;
+            for (int b = 7; b >= 0; --b)
+              v = (v << 8) | buf[at + static_cast<size_t>(b)];
+            return v;
+          };
+          if (raw_size == 0xFFFFFFFFull && p + 8 <= ex_end) {
+            raw_size = rd64(p);
+            p += 8;
+          }
+          if (comp_size == 0xFFFFFFFFull && p + 8 <= ex_end) {
+            comp_size = rd64(p);
+          }
+          break;
+        }
+        ex += 4 + sz;
+      }
+    }
     size_t data_off = off + 30 + name_len + extra_len;
     if (method != 0) {
       shard->error = "compressed npz member " + name +
@@ -176,6 +211,7 @@ bool read_npz(const std::string& path, Shard* shard) {
         shard->error = name + ": " + err;
         return false;
       }
+      col.data_off += data_off;   // now absolute into file_buf
       shard->columns.push_back(std::move(col));
     }
     off = data_off + comp_size;
@@ -305,12 +341,13 @@ void rb_shard_col_shape(void* shard, int i, int64_t* out) {
 }
 
 const void* rb_shard_col_data(void* shard, int i) {
-  return static_cast<Shard*>(shard)->columns[i].data.data();
+  Shard* s = static_cast<Shard*>(shard);
+  return s->file_buf.data() + s->columns[i].data_off;
 }
 
 int64_t rb_shard_col_nbytes(void* shard, int i) {
   return static_cast<int64_t>(
-      static_cast<Shard*>(shard)->columns[i].data.size());
+      static_cast<Shard*>(shard)->columns[i].nbytes);
 }
 
 void rb_shard_free(void* shard) { delete static_cast<Shard*>(shard); }

@@ -102,7 +102,16 @@ class ShardLoader:
     def __init__(self, path: str, batch_size: int = 2048,
                  shuffle: bool = True, drop_last: bool = False,
                  seed: int = 2024, prefetch: int = 2,
-                 shard_index: int = 0, num_shard_readers: int = 1):
+                 shard_index: int = 0, num_shard_readers: int = 1,
+                 reader_backend: str = "auto"):
+        # reader_backend: 'auto' uses the native C++ decoder pool
+        # (`native/shard_reader.cpp`) when librecbox_native.so is available,
+        # else the numpy producer thread; 'native'/'numpy' force one.
+        # Both deliver shards in the identical epoch order with identical
+        # per-shard shuffle seeds — batches are bit-for-bit equal.
+        if reader_backend not in ("auto", "native", "numpy"):
+            raise ValueError(f"reader_backend={reader_backend!r}")
+        self.reader_backend = reader_backend
         self.path = path
         self.files = _shard_files(path)[shard_index::num_shard_readers]
         if not self.files:
@@ -178,6 +187,12 @@ class ShardLoader:
         except BaseException as e:  # surface IO errors in the consumer
             put(e)
 
+    def _resolve_backend(self) -> str:
+        if self.reader_backend != "auto":
+            return self.reader_backend
+        from recbox_tpu.data.native_shards import native_reader_available
+        return "native" if native_reader_available() else "numpy"
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = list(self.files)
         if self.shuffle:
@@ -185,17 +200,40 @@ class ShardLoader:
         seeds = [int(s) for s in
                  self.rng.integers(0, 2 ** 31, size=len(order))]
         self.epoch += 1
-        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
-        stop = threading.Event()
-        t = threading.Thread(target=self._producer,
-                             args=(order, q, seeds, stop), daemon=True)
-        t.start()
+        backend = self._resolve_backend()
+        if backend == "native":
+            from recbox_tpu.data.native_shards import NativeShardStream
+            stream = NativeShardStream(order,
+                                       prefetch=max(1, self.prefetch))
+
+            def native_parts():
+                # decode runs in the C++ pool; the per-shard row shuffle
+                # uses the SAME seeds as the numpy producer
+                for seed, part in zip(seeds, stream):
+                    if self.shuffle:
+                        perm = np.random.default_rng(seed).permutation(
+                            len(next(iter(part.values()))))
+                        part = {k: v[perm] for k, v in part.items()}
+                    yield part
+                yield None
+
+            q = native_parts()
+            get = lambda: next(q)
+            stop = None
+            t = None
+        else:
+            q = queue.Queue(maxsize=max(1, self.prefetch))
+            stop = threading.Event()
+            t = threading.Thread(target=self._producer,
+                                 args=(order, q, seeds, stop), daemon=True)
+            t.start()
+            get = q.get
 
         bs = self.batch_size
         carry: Optional[Dict[str, np.ndarray]] = None
         try:
             while True:
-                part = q.get()
+                part = get()
                 if isinstance(part, BaseException):
                     raise part
                 if part is None:
@@ -223,7 +261,10 @@ class ShardLoader:
                 batch[MASK_KEY] = mask
                 yield batch
         finally:
-            # unblocks the producer even when the consumer abandons the
-            # iterator mid-epoch (e.g. Trainer's init peek or early stop)
-            stop.set()
-            t.join(timeout=5.0)
+            if t is not None:
+                # unblocks the producer even when the consumer abandons the
+                # iterator mid-epoch (Trainer's init peek or early stop)
+                stop.set()
+                t.join(timeout=5.0)
+            else:
+                stream.close()

@@ -147,3 +147,60 @@ def test_abandoned_iterator_does_not_block_producer(rng, tmp_path):
         time.sleep(0.05)
     assert threading.active_count() <= before, (
         "producer threads leaked after abandoned iteration")
+
+
+class TestNativeShardReader:
+    """C++ decoder pool (`native/shard_reader.cpp`) == numpy path,
+    bit-for-bit."""
+
+    def test_available(self):
+        from recbox_tpu.data.native_shards import native_reader_available
+        assert native_reader_available()   # g++ is baked into this image
+
+    def test_stream_decodes_identically(self, tmp_path):
+        from recbox_tpu.data.native_shards import NativeShardStream
+        from recbox_tpu.data import save_shards
+        rng = np.random.default_rng(0)
+        arrays = {
+            "f32": rng.normal(size=(700, 3)).astype(np.float32),
+            "i64": rng.integers(0, 9, 700).astype(np.int64),
+            "i32": rng.integers(0, 9, (700, 2)).astype(np.int32),
+            "f64": rng.normal(size=700),
+            "b": (rng.random(700) > 0.5),
+        }
+        files = save_shards(str(tmp_path), arrays, rows_per_shard=256)
+        parts = list(NativeShardStream(files, prefetch=2, n_threads=3))
+        assert len(parts) == len(files)
+        for f, part in zip(files, parts):
+            ref = dict(np.load(f))
+            assert set(part) == set(ref)
+            for k in ref:
+                assert part[k].dtype == ref[k].dtype, k
+                np.testing.assert_array_equal(part[k], ref[k])
+
+    def test_loader_backends_bitwise_equal(self, tmp_path):
+        from recbox_tpu.data.shards import ShardLoader
+        from recbox_tpu.data import save_shards
+        rng = np.random.default_rng(1)
+        arrays = {"x": rng.normal(size=(1000, 4)).astype(np.float32),
+                  "y": rng.integers(0, 5, 1000).astype(np.int32)}
+        save_shards(str(tmp_path), arrays, rows_per_shard=300)
+
+        def batches(backend):
+            loader = ShardLoader(str(tmp_path), batch_size=128, seed=7,
+                                 reader_backend=backend)
+            return list(loader)
+
+        a = batches("numpy")
+        b = batches("native")
+        assert len(a) == len(b)
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
+    def test_error_surfaces(self, tmp_path):
+        from recbox_tpu.data.native_shards import NativeShardStream
+        bad = tmp_path / "part-000.npz"
+        bad.write_bytes(b"not a zip file at all")
+        with pytest.raises(IOError, match="native shard reader"):
+            list(NativeShardStream([str(bad)]))
