@@ -511,3 +511,178 @@ def test_esmm_entire_space_product():
     out = np.asarray(t.apply(valid))
     assert (out[:, 1] <= out[:, 0] + 1e-6).all(), \
         "pCTCVR exceeded pCTR — the entire-space product head is broken"
+
+
+# ---------------------------------------------------------------------------
+# batch 2: more interaction models on the XOR structure
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("model_name", ["xDeepFM", "AFM", "DCN", "FiBiNET"])
+def test_more_interaction_models_learn_xor(model_name):
+    """Same pure-interaction planted structure for the CIN, attention-FM,
+    cross-network and SENET/bilinear mechanisms."""
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation import CTREvaluator
+    from recbox_tpu.models.ranking.ctr import AFM, DCN, FiBiNET, xDeepFM
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, n = 24, 4000
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    y = (((a % 2) == 1) ^ ((b % 2) == 1)).astype(np.float32)
+    fm = FeatureMap("xor2", (
+        FeatureSpec("a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=vocab, embedding_dim=8),
+    ), labels=("click",))
+    kwargs = dict(feature_map=fm, embedding_dim=8)
+    if model_name == "xDeepFM":
+        kwargs.update(cin_layer_sizes=(8, 8), hidden_units=(16,))
+    elif model_name == "AFM":
+        kwargs.update(attention_dim=8)
+    elif model_name == "DCN":
+        kwargs.update(num_cross_layers=2, hidden_units=(16,))
+    else:
+        kwargs.update(hidden_units=(16,), reduction_ratio=2)
+    model = {"xDeepFM": xDeepFM, "AFM": AFM, "DCN": DCN,
+             "FiBiNET": FiBiNET}[model_name](**kwargs)
+    arrays = {"a": a, "b": b, "click": y}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    t = Trainer(model, lambda o, bt: binary_crossentropy(o, bt["click"]),
+                TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False), eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["AUC"] > 0.8, (model_name, m)
+
+
+# ---------------------------------------------------------------------------
+# MIND — multi-interest coverage
+# ---------------------------------------------------------------------------
+
+def test_mind_covers_two_interest_clusters():
+    """Each user's history mixes TWO item clusters (of 8); multi-interest
+    retrieval (max over K capsule interests) must put held-out items from
+    BOTH clusters in the top-k for most users."""
+    from recbox_tpu.models.matching.multi_interest import MIND
+    n_clusters, per_cluster, L = 8, 12, 12
+    V = 1 + n_clusters * per_cluster          # id 0 = pad
+    n_users = 96
+    rng = np.random.default_rng(0)
+
+    def cluster_items(c):
+        return 1 + c * per_cluster + np.arange(per_cluster)
+
+    ca = rng.integers(0, n_clusters, n_users)
+    cb = (ca + 1 + rng.integers(0, n_clusters - 1, n_users)) % n_clusters
+    hists = np.zeros((n_users, L), np.int32)
+    held = np.zeros((n_users, 2), np.int64)
+    for u in range(n_users):
+        ia = rng.choice(cluster_items(ca[u]), size=L // 2 + 1, replace=False)
+        ib = rng.choice(cluster_items(cb[u]), size=L // 2 + 1, replace=False)
+        mix = np.concatenate([ia[:-1], ib[:-1]])
+        rng.shuffle(mix)
+        hists[u] = mix
+        held[u] = (ia[-1], ib[-1])
+    fm = FeatureMap(
+        "mind2", (FeatureSpec("item_id", "categorical", source="item",
+                              vocab_size=V, embedding_dim=16),),
+        query_index="user_id", corpus_index="item_id", num_items=V)
+    model = MIND(feature_map=fm, embedding_dim=16, interest_num=4,
+                 max_seq_len=L)
+    import optax
+    ids0 = jnp.asarray(np.concatenate(
+        [hists[:8, :1], hists[:8, 1:3]], axis=1))
+    init_batch = {"item_seq": jnp.asarray(hists[:8]),
+                  "__item_ids__": ids0, "item::item_id": ids0}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, init_batch)
+    params = nn.meta.unbox(variables["params"])
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    from recbox_tpu.ops import get_matching_loss
+    loss_fn = get_matching_loss("SoftmaxCrossEntropyLoss")
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def f(p):
+            scores = model.apply({"params": p}, batch, True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)})
+            return loss_fn(scores)
+        loss, grads = jax.value_and_grad(f)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for s in range(300):
+        sel = rng.integers(0, n_users, 32)
+        # positive = a random item of the user's own clusters; negatives
+        # uniform elsewhere
+        pos = np.where(rng.random(32) < 0.5, held[sel, 0], held[sel, 1])
+        negs = rng.integers(1, V, size=(32, 8))
+        cand = np.concatenate([pos[:, None], negs], axis=1).astype(np.int64)
+        batch = {"item_seq": jnp.asarray(hists[sel]),
+                 "__item_ids__": jnp.asarray(cand),
+                 "item::item_id": jnp.asarray(cand)}
+        params, opt_state, loss = step(params, opt_state, batch)
+
+    interests = np.asarray(model.apply(
+        {"params": params}, {"item_seq": jnp.asarray(hists)},
+        method=model.user_tower))                       # (U, K, D)
+    items = np.asarray(model.apply(
+        {"params": params},
+        {"item_id": jnp.arange(V)}, method=model.item_tower))
+    scores = np.einsum("ukd,vd->ukv", interests, items).max(axis=1)
+    scores[:, 0] = -1e9
+    k = 24
+    topk = np.argsort(-scores, axis=1)[:, :k]
+    both = 0
+    for u in range(n_users):
+        in_a = np.isin(topk[u], cluster_items(ca[u])).any()
+        in_b = np.isin(topk[u], cluster_items(cb[u])).any()
+        both += int(in_a and in_b)
+    assert both / n_users > 0.7, both / n_users
+
+
+# ---------------------------------------------------------------------------
+# PLE — task-specific experts under conflicting tasks
+# ---------------------------------------------------------------------------
+
+def test_ple_learns_conflicting_tasks():
+    """Task 0 = parity(a) (simple); task 1 = XOR(a, b) (pure interaction).
+    The progressive-layered gates must route each task to experts that
+    serve it — both task AUCs high."""
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation.evaluators import MultiTaskEvaluator
+    from recbox_tpu.models.multitask.models import PLE, multitask_loss
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, n = 24, 4000
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    t0 = ((a % 2) == 1).astype(np.float32)
+    t1 = (((a % 2) == 1) ^ ((b % 2) == 1)).astype(np.float32)
+    fm = FeatureMap("plels", (
+        FeatureSpec("a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=vocab, embedding_dim=8)),
+        labels=("t0", "t1"))
+    arrays = {"a": a, "b": b, "t0": t0, "t1": t1}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    model = PLE(feature_map=fm, specific_experts=2, shared_experts=1,
+                expert_units=(16,), tower_units=(8,))
+    labels = ["t0", "t1"]
+
+    def loss_fn(outputs, batch):
+        y = jnp.stack([batch[l] for l in labels], axis=1)
+        return multitask_loss(outputs, y)
+
+    ev = MultiTaskEvaluator(valid, labels, metrics=["AUC"])
+    t = Trainer(model, loss_fn,
+                TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False), eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["t0_AUC"] > 0.9 and m["t1_AUC"] > 0.8, m
