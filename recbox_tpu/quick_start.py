@@ -390,7 +390,9 @@ def run_kg_experiment(
     evaluator = RetrievalEvaluator(
         eval_user_arrays, corpus_arrays, query_indices,
         train_user2items, valid_user2items, metrics=metrics,
-        batch_size=config.get("eval_batch_size", 4096))
+        batch_size=config.get("eval_batch_size", 4096),
+        protocol=config.get("eval_protocol", "full"),
+        protocol_seed=config.get("seed", 2024))
     match_loss = get_matching_loss(
         config.get("loss", "PairwiseLogisticLoss"))
     trainer = Trainer(model, lambda out, b: match_loss(out),

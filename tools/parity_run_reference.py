@@ -96,9 +96,12 @@ if model_name == "SASRec":
         "loss_type": "CE",
     })
 if model_name in ("FM", "DeepFM"):
+    extra = []
+    if os.environ.get("REF_DATASET") == "ctr_scale":
+        extra = [f"c{i}" for i in range(2, 8)]
     config.update({
         "LABEL_FIELD": "label",
-        "load_col": {"inter": ["user_id", "item_id", "label"]},
+        "load_col": {"inter": ["user_id", "item_id"] + extra + ["label"]},
         "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
                       "group_by": None, "mode": "labeled"},
         "metrics": ["AUC", "LogLoss"], "valid_metric": "AUC",
