@@ -56,6 +56,11 @@ class _FieldModel(RankingModel):
 
     embedding_dim: int = 16
     compute_dtype: str = "float32"
+    # 'normal' = normal(1e-4), the recbox regime (`match_model.py:91-114`);
+    # 'xavier_normal' = recbole's xavier_normal_initialization — use for
+    # recbole-protocol parity runs (init scale moves convergence speed
+    # materially at production scale)
+    emb_init_scheme: str = "normal"
 
     @property
     def _dtype(self):
@@ -64,6 +69,7 @@ class _FieldModel(RankingModel):
     def _embedding(self, name="embedding") -> FeatureEmbedding:
         return FeatureEmbedding(self.feature_map,
                                 embedding_dim=self.embedding_dim,
+                                emb_init_scheme=self.emb_init_scheme,
                                 dtype=self._dtype, name=name)
 
     def _mlp(self, hidden_units, name="dnn", **kw) -> MLP:

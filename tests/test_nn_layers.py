@@ -236,3 +236,28 @@ def test_capsule_network_interests_diverge_and_mask_matters():
     # changing a VALID position must
     caps3 = m.apply(v, hist.at[0, 1].set(99.0), mask)
     assert float(jnp.abs(caps3[0] - caps[0]).max()) > 1e-3
+
+
+def test_field_model_emb_init_scheme(rng):
+    """_FieldModel(emb_init_scheme='xavier_normal') must reach the tables
+    (recbole-protocol parity knob; normal(1e-4) stays the default)."""
+    import jax
+    import numpy as np
+    from flax import linen as nn
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    fm = FeatureMap("init", (
+        FeatureSpec("a", "categorical", vocab_size=100, embedding_dim=16),),
+        labels=("y",))
+    batch = {"a": np.array([1, 2], np.int32)}
+
+    def table_std(scheme):
+        m = DeepFM(feature_map=fm, embedding_dim=16, hidden_units=(8,),
+                   emb_init_scheme=scheme)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+        p = nn.meta.unbox(v["params"])
+        return float(np.std(np.asarray(p["embedding"]["emb_a"])))
+
+    assert table_std("normal") < 5e-4
+    assert table_std("xavier_normal") > 5e-3
