@@ -110,6 +110,8 @@ class RetrievalEvaluator:
 
     def __call__(self, trainer) -> Dict[str, float]:
         user_embs, item_embs = self.encode_all(trainer)
+        # local shard size for the Trainer's cross-host metric merge
+        self.last_sample_count = float(len(self.query_indices))
         if self.protocol == "full":
             out = evaluate_retrieval(
                 user_embs, item_embs, self.train_user2items,
@@ -184,6 +186,7 @@ class CTREvaluator:
         self.from_logits = from_logits
 
     def __call__(self, trainer) -> Dict[str, float]:
+        self.last_sample_count = float(len(self.arrays[self.label]))
         logits = trainer.predict(self.loader)
         probs = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))) \
             if self.from_logits else logits
@@ -209,6 +212,7 @@ class MultiTaskEvaluator:
         self.from_logits = from_logits
 
     def __call__(self, trainer):
+        self.last_sample_count = float(len(self.arrays[self.labels[0]]))
         outputs = trainer.predict(self.loader)  # (N, T)
         if self.from_logits:
             outputs = np.asarray(jax.nn.sigmoid(jnp.asarray(outputs)))

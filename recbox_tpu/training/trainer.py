@@ -413,6 +413,14 @@ class Trainer:
         if self.eval_fn is None:
             return {}
         metrics = self.eval_fn(self)
+        if jax.process_count() > 1:
+            # multi-host: each process evaluated ITS shard of the eval data
+            # (host_shard_loader); merge sample-weighted like the reference's
+            # all-gather map-reduce (`trainer.py:630-652`). Evaluators expose
+            # their local row count as `last_sample_count`.
+            from recbox_tpu.parallel.distributed import merge_host_metrics
+            weight = float(getattr(self.eval_fn, "last_sample_count", 1.0))
+            metrics = merge_host_metrics(metrics, weight)
         value, improved, should_stop = self.monitor.update(metrics, self.epoch)
         logger.info("eval @ epoch %d step %d: %s -> monitor %.6f%s",
                     self.epoch, self.step,

@@ -46,6 +46,30 @@ _WORKER = textwrap.dedent("""
     weight = 1.0 if rank == 0 else 3.0
     merged = merge_host_metrics(local, weight)
     assert abs(merged["AUC"] - 0.25) < 1e-9, merged
+
+    # 3. Trainer.fit's eval path merges per-host shard metrics
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import LR
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    fm = FeatureMap("mh", (FeatureSpec("a", "categorical", vocab_size=8,
+                                       embedding_dim=4),), labels=("y",))
+    t = Trainer(LR(feature_map=fm),
+                lambda o, b: binary_crossentropy(o, b["y"]),
+                TrainerConfig(learning_rate=1e-2, monitor="AUC"))
+    t.init({{"a": np.array([1, 2], np.int32),
+            "y": np.array([1., 0.], np.float32)}})
+
+    class ShardEval:
+        def __call__(self, tr):
+            self.last_sample_count = 2.0 if rank == 0 else 6.0
+            return {{"AUC": 0.9 if rank == 0 else 0.5}}
+
+    t.eval_fn = ShardEval()
+    out = t._evaluate_and_checkpoint()
+    expect = (0.9 * 2 + 0.5 * 6) / 8
+    assert abs(out["AUC"] - expect) < 1e-6, out
     print("WORKER_OK", rank)
 """)
 
