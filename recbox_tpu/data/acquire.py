@@ -123,7 +123,9 @@ def extract_archive(path: str, folder: str) -> None:
             zf.extractall(folder)
     elif path.endswith((".tar.gz", ".tgz", ".tar")):
         with tarfile.open(path, "r:*") as tf:
-            tf.extractall(folder)
+            # filter='data' rejects ../ traversal, absolute paths, links
+            # outside the tree (tarfile does NOT sanitize by default)
+            tf.extractall(folder, filter="data")
     else:
         raise NotImplementedError(f"archive format of {path!r}")
 
@@ -164,22 +166,35 @@ def acquire_dataset(name: str, data_dir: str,
     import jax
     folder = os.path.join(data_dir, name)
     inter = os.path.join(folder, f"{name}.inter")
-    if os.path.exists(inter):
+    multi = jax.process_count() > 1
+    if os.path.exists(inter) and not multi:
         return folder
-    url = url or DATASET_URLS.get(name)
-    if url is None:
-        raise KeyError(
-            f"no download url registered for dataset {name!r} and "
-            f"{inter} does not exist; register one with "
-            "register_dataset_url(name, url) or stage the files locally")
-    checksum = checksum or DATASET_CHECKSUMS.get(name)
-    if jax.process_count() == 1 or jax.process_index() == 0:
-        archive = download_url(url, folder, checksum=checksum)
-        extract_archive(archive, folder)
-        old_base = os.path.splitext(os.path.basename(archive))[0]
-        rename_atomic_files(folder, old_base, name)
+    # multi-process: rank 0 decides/downloads, EVERYONE barriers — the
+    # cached-on-some-hosts-only case must not deadlock the others at the
+    # barrier (shared-FS assumption, same as the reference's
+    # rank-0-download + torch.distributed.barrier, `dataset.py:244-254`)
+    if not multi or jax.process_index() == 0:
+        if not os.path.exists(inter):
+            url = url or DATASET_URLS.get(name)
+            if url is None:
+                raise KeyError(
+                    f"no download url registered for dataset {name!r} and "
+                    f"{inter} does not exist; register one with "
+                    "register_dataset_url(name, url) or stage the files "
+                    "locally")
+            checksum = checksum or DATASET_CHECKSUMS.get(name)
+            archive = download_url(url, folder, checksum=checksum)
+            extract_archive(archive, folder)
+            old_base = os.path.splitext(os.path.basename(archive))[0]
+            rename_atomic_files(folder, old_base, name)
+            if not os.path.exists(inter):
+                raise FileNotFoundError(
+                    f"archive {archive} did not contain {name}.inter")
+    if multi:
+        _barrier(f"acquire_dataset:{name}")
         if not os.path.exists(inter):
             raise FileNotFoundError(
-                f"archive {archive} did not contain {name}.inter")
-    _barrier(f"acquire_dataset:{name}")
+                f"{inter} missing after rank-0 download — multi-process "
+                "acquisition assumes a shared filesystem (stage the files "
+                "on every host otherwise)")
     return folder

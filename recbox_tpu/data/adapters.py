@@ -111,8 +111,15 @@ def atomic_to_feature_matrix(
             if vals.ndim > 1:       # sequence column → dropped
                 continue
             joined = vals[rows]
+            # ids absent from the side table get a NULL sentinel, never
+            # row 0's values: floats → 0.0, ints → -1 (its own category
+            # after the contiguous remap), strings → ''
             if joined.dtype.kind == "f":
                 joined = np.where(missing, 0.0, joined)
+            elif joined.dtype.kind in "iu":
+                joined = np.where(missing, -1, joined)
+            elif joined.dtype.kind in "OUS":
+                joined = np.where(missing, "", joined)
             cols[name] = joined
 
     for name, vals in inter.items():

@@ -20,6 +20,7 @@ formulas are shared with the full-sort engine (`evaluation/retrieval.py`
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict, Mapping, Optional, Sequence, Tuple
 
@@ -115,15 +116,19 @@ def sample_eval_candidates(
 
     pos_part = np.where(true_padded >= 0, true_padded, num_items)
     cand_ids = np.concatenate([pos_part, negs], axis=1).astype(np.int32)
-    cand_valid = np.concatenate(
-        [true_padded >= 0,
-         np.ones((U, n_neg), dtype=bool)], axis=1)
+    # reference parity: each user gets len_u * num_negs negatives (one
+    # block of num_negs PER POSITIVE, `general_dataloader.py:110-126`) —
+    # NOT P_max * num_negs; padded positives' negative blocks are masked
+    n_pos = (true_padded >= 0).sum(axis=1, keepdims=True)      # (U, 1)
+    neg_valid = np.arange(n_neg)[None, :] < n_pos * num_negs   # (U, n_neg)
+    cand_valid = np.concatenate([true_padded >= 0, neg_valid], axis=1)
     # duplicate positives across a user's padded slots cannot occur (lists
     # are sets per user in the reference); padded slots carry id=num_items
     # (out of catalog) so they can never match a true item
     return cand_ids, cand_valid, true_padded
 
 
+@functools.partial(jax.jit, static_argnames=("max_topk",))
 def candidate_topk(user_embs, item_embs, cand_ids, cand_valid,
                    max_topk: int):
     """Top-k item ids among each user's candidate list.
@@ -158,7 +163,7 @@ def evaluate_candidate_retrieval(
     num_users = len(user_embs)
     item_embs = jnp.asarray(item_embs)
     sums = {f"{n}(k={k})": 0.0 for n, k in parsed}
-    topk_fn = jax.jit(candidate_topk, static_argnames=("max_topk",))
+    topk_fn = candidate_topk      # module-level jit: trace cache persists
     for start in range(0, num_users, chunk_size):
         end = min(start + chunk_size, num_users)
         cu = np.asarray(user_embs[start:end])

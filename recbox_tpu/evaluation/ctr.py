@@ -133,6 +133,29 @@ def evaluate_ctr(
 ) -> Dict[str, float]:
     """Drop-in equivalent of `evaluate_metrics` (`ranking/metrics.py:25-59`)."""
     out: "OrderedDict[str, float]" = OrderedDict()
+
+    # collect every grouped metric up front: the device engine computes
+    # gAUC/avgAUC/MRR and all NDCG@k in ONE 3-lexsort pass — calling it
+    # once per metric would redo the sorts (and compile per ks signature)
+    grouped_names, ndcg_ks = [], []
+    for metric in metrics:
+        if metric in ("gAUC", "avgAUC", "MRR"):
+            grouped_names.append(metric)
+        elif metric.startswith("NDCG"):
+            m = re.search(r"(?:k\s*=\s*|@)(\d+)", metric)
+            if metric != "NDCG" and m is None:
+                raise ValueError(
+                    f"cannot parse k from metric {metric!r}; use "
+                    "'NDCG(k=10)' or 'NDCG@10'")
+            ndcg_ks.append(int(m.group(1)) if m else 10)
+    grouped_vals = None
+    if grouped_names or ndcg_ks:
+        assert group_id is not None, "group_index is required."
+        from recbox_tpu.evaluation.grouped import grouped_metrics_device
+        grouped_vals = grouped_metrics_device(
+            y_true, y_pred, group_id, grouped_names,
+            ndcg_ks=tuple(dict.fromkeys(ndcg_ks)))
+
     for metric in metrics:
         if metric in ("logloss", "binary_crossentropy"):
             out[metric] = log_loss(y_true, y_pred)
@@ -151,29 +174,12 @@ def evaluate_ctr(
             out[metric] = float(np.sqrt(np.mean(np.square(
                 np.asarray(y_true, np.float64).reshape(-1)
                 - np.asarray(y_pred, np.float64).reshape(-1)))))
-        elif metric in ("gAUC", "avgAUC") or metric == "MRR" or metric.startswith("NDCG"):
-            assert group_id is not None, "group_index is required."
-            # grouped metrics run the segment-sorted device engine
-            # (evaluation/grouped.py) — no per-group Python; the host loop
-            # versions below remain as the test oracle
-            from recbox_tpu.evaluation.grouped import grouped_metrics_device
-            if metric in ("gAUC", "avgAUC", "MRR"):
-                out[metric] = grouped_metrics_device(
-                    y_true, y_pred, group_id, [metric])[metric]
-            elif metric.startswith("NDCG"):
-                # accept NDCG(k=5), NDCG@5, NDCG(k = 5); reject anything
-                # else — a silent k=10 fallback reported under the requested
-                # name would be a wrong number
-                m = re.search(r"(?:k\s*=\s*|@)(\d+)", metric)
-                if metric != "NDCG" and m is None:
-                    raise ValueError(
-                        f"cannot parse k from metric {metric!r}; use "
-                        "'NDCG(k=10)' or 'NDCG@10'")
-                k = int(m.group(1)) if m else 10
-                out[metric] = grouped_metrics_device(
-                    y_true, y_pred, group_id, [], ndcg_ks=(k,))[k]
-            else:  # structurally unreachable; keeps the dispatch closed
-                raise ValueError(f"metric={metric} not supported.")
+        elif metric in ("gAUC", "avgAUC", "MRR"):
+            out[metric] = grouped_vals[metric]
+        elif metric.startswith("NDCG"):
+            m = re.search(r"(?:k\s*=\s*|@)(\d+)", metric)
+            k = int(m.group(1)) if m else 10
+            out[metric] = grouped_vals[k]
         else:
             raise ValueError(f"metric={metric} not supported.")
     return dict(out)

@@ -63,18 +63,21 @@ __all__ = ["mips_segment_candidates", "pallas_mips_topk", "SEGMENT"]
 SEGMENT = 128          # items per candidate segment (one winner each)
 
 
-def _sub_rows(qt: int) -> int:
-    """Corpus rows per inner iteration: sized so the f32 score buffer
-    (sub_rows x qt) stays at 4 MB."""
-    return max(256, (1 << 20) // qt)
-
-
-def _subs_per_block(corpus_dtype, qt: int) -> int:
-    """Inner iterations per grid step, sized so the double-buffered corpus
-    block + the 4 MB f32 score buffer stay under the 16 MB VMEM budget."""
-    block_budget = 4 * (1 << 20)   # corpus-block bytes (x2 double buffer)
-    row_bytes = 128 * jnp.dtype(corpus_dtype).itemsize
-    return max(1, block_budget // (row_bytes * _sub_rows(qt)))
+def _block_plan(corpus_dtype, qt: int, d: int):
+    """(sub_rows, subs_per_block): sub_rows sized so the f32 score buffer
+    (sub_rows x qt) stays at 4 MB AND one corpus sub-chunk fits the 4 MB
+    block budget at the REAL row width (d x itemsize); both 128-multiples
+    so segments and tile shapes stay aligned. The grid block is
+    sub_rows * subs_per_block rows, capped at the budget (x2 for Pallas
+    double buffering), so f32 corpora / small query tiles / wide dims
+    cannot blow VMEM."""
+    block_budget = 4 * (1 << 20)
+    row_bytes = d * jnp.dtype(corpus_dtype).itemsize
+    sub_rows = max(SEGMENT, min((1 << 20) // max(qt, 1),
+                                block_budget // row_bytes))
+    sub_rows = max(SEGMENT, (sub_rows // SEGMENT) * SEGMENT)
+    spb = max(1, block_budget // (row_bytes * sub_rows))
+    return sub_rows, spb
 
 
 def _make_kernel(subs_per_block: int, sub_rows: int):
@@ -133,8 +136,8 @@ def mips_segment_candidates(queries, corpus, interpret: bool = False):
     qt, d = queries.shape
     n, d2 = corpus.shape
     assert d == d2, (queries.shape, corpus.shape)
-    spb = _subs_per_block(corpus.dtype, qt)
-    c_block = _sub_rows(qt) * spb
+    sub_rows, spb = _block_plan(corpus.dtype, qt, d)
+    c_block = sub_rows * spb
     assert n % c_block == 0, f"pad corpus to a multiple of {c_block}"
     assert d % 128 == 0, "pad embedding dim to a multiple of 128"
     n_blocks = n // c_block
@@ -145,7 +148,7 @@ def mips_segment_candidates(queries, corpus, interpret: bool = False):
         jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.int32),
     )
     return pl.pallas_call(
-        _make_kernel(spb, _sub_rows(qt)),
+        _make_kernel(spb, sub_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((qt, d), lambda b: (0, 0),
@@ -176,9 +179,9 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     corpus = jnp.asarray(corpus)
     n_items = corpus.shape[0] if valid_items is None else valid_items
     # pad corpus rows to the block multiple, dims to the lane multiple
-    qt0 = queries.shape[0]
-    n_pad = (-corpus.shape[0]) % (
-        _sub_rows(qt0) * _subs_per_block(corpus.dtype, qt0))
+    sub_rows0, spb0 = _block_plan(corpus.dtype, queries.shape[0],
+                                  corpus.shape[1] + (-corpus.shape[1]) % 128)
+    n_pad = (-corpus.shape[0]) % (sub_rows0 * spb0)
     d_pad = (-corpus.shape[1]) % 128
     if n_pad or d_pad:
         corpus = jnp.pad(corpus, ((0, n_pad), (0, d_pad)))

@@ -69,8 +69,14 @@ def merge_host_metrics(metrics: dict, weight: float) -> dict:
     from jax.experimental import multihost_utils
 
     keys = sorted(metrics)
-    local = np.asarray([metrics[k] * weight for k in keys] + [weight],
-                       np.float64)
+    # a host with an EMPTY eval shard reports weight 0 (its metric values
+    # may be NaN — mean of nothing); contribute exact zeros so one empty
+    # shard cannot poison the fleet-wide merge
+    if weight <= 0:
+        local = np.zeros(len(keys) + 1, np.float64)
+    else:
+        local = np.asarray([metrics[k] * weight for k in keys] + [weight],
+                           np.float64)
     gathered = multihost_utils.process_allgather(local)  # (P, M+1)
     totals = gathered.sum(axis=0)
     total_w = max(float(totals[-1]), 1e-12)

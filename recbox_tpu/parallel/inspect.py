@@ -15,8 +15,10 @@ module makes the emitted pattern observable and assertable:
     parses the optimized HLO for communication ops (all-gather, all-reduce,
     reduce-scatter, all-to-all, collective-permute, and their async
     `-start` forms), returning per-op byte sizes computed from HLO shapes;
-  * `assert_batch_scaled_comm(...)` compiles the same step at two vocab
-    sizes and fails if collective bytes grow with the vocab.
+  * the vocab-independence assertion (compile the same step at two vocab
+    sizes, fail if collective bytes grow) lives in
+    `tests/test_parallel.py::test_collective_bytes_scale_with_batch_not_vocab`
+    and is built from `collective_stats` + `collective_summary`.
 
 Used by `tools/inspect_sharded_hlo.py` (human-readable comm-volume table)
 and `tests/test_parallel.py` (CI guard on the comm pattern).

@@ -495,12 +495,13 @@ class PackedEmbeddingTrainer(Trainer):
             w_val = self._value_width[pname]
             # row grads arrive in the model's compute dtype (possibly bf16,
             # see _rows_dtype); optimizer math runs f32 — the upcast fuses
-            # into the delta elementwise chain. The optimization_barrier
-            # pins the layout boundary HERE: without it XLA propagates the
-            # model's feature-major activation layout through the whole
-            # delta pipeline and re-layouts the final (N, 128) f32 scatter
-            # update with a 436 MB transposing copy (seen in HLO as
-            # %copy f32[851968,128]{1,0} copy(%concatenate{0,1})).
+            # into the delta elementwise chain. Known cost left on the
+            # table: XLA propagates the model's feature-major activation
+            # layout through the delta pipeline and re-layouts the final
+            # (N, W) f32 scatter update with a transposing copy (~436 MB at
+            # bench shapes; an optimization_barrier and a 0*G layout anchor
+            # were both tried and measured — no improvement / pathological
+            # compiles — so the copy stands, documented in bench.py).
             grads = [g.astype(jnp.float32)
                      for g in self._slot_grads(slots, segs, row_grads)]
             if self.embedding_optimizer == "adam":

@@ -224,3 +224,20 @@ class TestCandidateProtocol:
         out2 = ev(tr)
         assert ev._candidates is cands  # sampled once, reused
         assert out1.keys() == out2.keys() and 0 <= out1["Recall(k=5)"] <= 1
+
+    def test_negative_count_scales_with_user_positives(self):
+        """recbole parity: a user with P positives ranks against P*num_negs
+        negatives — NOT P_max*num_negs (heterogeneous positive counts)."""
+        from recbox_tpu.evaluation.candidate import sample_eval_candidates
+        train = {0: [0], 1: [1]}
+        valid = {0: [2], 1: [3, 4, 5]}       # P = 1 vs 3 -> P_max = 3
+        cand, cvalid, true_p = sample_eval_candidates(
+            np.arange(2), train, valid, 30, num_negs=10, seed=0)
+        P = true_p.shape[1]
+        assert P == 3
+        # user 0: one positive -> exactly 10 valid negatives
+        assert int(cvalid[0, P:].sum()) == 10
+        assert int(cvalid[0, :P].sum()) == 1
+        # user 1: three positives -> 30 valid negatives
+        assert int(cvalid[1, P:].sum()) == 30
+        assert int(cvalid[1, :P].sum()) == 3

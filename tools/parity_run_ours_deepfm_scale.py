@@ -41,7 +41,8 @@ fm = FeatureMap("ctrscale", tuple(
     FeatureSpec(f, "categorical", vocab_size=vocabs[f], embedding_dim=16)
     for f in fields), labels=("label",))
 model = DeepFM(feature_map=fm, embedding_dim=16, hidden_units=(64, 32),
-               dropout=0.1, emb_init_scheme="xavier_normal")
+               dropout=float(os.environ.get("OURS_DROPOUT", 0.1)),
+               emb_init_scheme="xavier_normal")
 ev = CTREvaluator(valid, label="label", metrics=["AUC", "logloss"])
 cfg = TrainerConfig(learning_rate=1e-3,
                     epochs=int(os.environ.get("OURS_EPOCHS", 10)),

@@ -106,7 +106,8 @@ if model_name in ("FM", "DeepFM"):
                       "group_by": None, "mode": "labeled"},
         "metrics": ["AUC", "LogLoss"], "valid_metric": "AUC",
         "train_neg_sample_args": None, "embedding_size": 16,
-        "mlp_hidden_size": [64, 32], "dropout_prob": 0.1,
+        "mlp_hidden_size": [64, 32],
+        "dropout_prob": float(os.environ.get("REF_DROPOUT", 0.1)),
     })
     config.pop("RATING_FIELD", None)
     config.pop("TIME_FIELD", None)
