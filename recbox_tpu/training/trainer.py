@@ -130,6 +130,9 @@ class Trainer:
         self._best_params = None
         self._best_model_state = None
         self._stopped = False
+        # optional external stop poll (e.g. PreemptionGuard.should_stop):
+        # checked between steps in fit(); returning True aborts the loop
+        self.stop_callback = None
 
     # -- init ----------------------------------------------------------------
     def init(self, sample_batch: Dict[str, np.ndarray]) -> None:
@@ -363,6 +366,10 @@ class Trainer:
             losses = []
             pending = []
             for i, batch in enumerate(train_loader):
+                if self.stop_callback is not None and self.stop_callback():
+                    logger.warning("external stop at epoch %d step %d",
+                                   epoch, self.step)
+                    return last_metrics
                 batch.pop(MASK_KEY, None)
                 if K > 1:
                     pending.append(batch)

@@ -29,7 +29,8 @@ fields = ["user_id", "item_id"] + [f"c{i}" for i in range(2, 8)]
 arrays = {f: ds.inter[f].astype(np.int32) for f in fields}
 arrays["label"] = ds.inter["label"].astype(np.float32)
 n = len(arrays["label"])
-rng = np.random.default_rng(2024)
+SEED = int(os.environ.get("OURS_SEED", 2024))
+rng = np.random.default_rng(SEED)
 idx = rng.permutation(n)
 n_va = int(0.1 * n)
 tr, va, te = np.split(idx, [n - 2 * n_va, n - n_va])
@@ -44,13 +45,14 @@ model = DeepFM(feature_map=fm, embedding_dim=16, hidden_units=(64, 32),
                dropout=float(os.environ.get("OURS_DROPOUT", 0.1)),
                emb_init_scheme="xavier_normal")
 ev = CTREvaluator(valid, label="label", metrics=["AUC", "logloss"])
-cfg = TrainerConfig(learning_rate=1e-3,
+cfg = TrainerConfig(learning_rate=1e-3, seed=SEED,
                     epochs=int(os.environ.get("OURS_EPOCHS", 10)),
                     patience=10, monitor="AUC", lr_decay_factor=1.0,
                     reload_best_on_plateau=False)
 t = Trainer(model, lambda o, b: binary_crossentropy(o, b["label"]), cfg,
             eval_fn=ev)
-m = t.fit(ArrayLoader(train, batch_size=2048, drop_last=True, seed=2024))
-print("OURS valid:", m)
+m = t.fit(ArrayLoader(train, batch_size=2048, drop_last=True, seed=SEED))
+print("OURS last-valid:", m)
+print("OURS best-valid monitor:", t.monitor.best_value)
 test_ev = CTREvaluator(test, label="label", metrics=["AUC", "logloss"])
 print("OURS test:", test_ev(t))
