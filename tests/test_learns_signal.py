@@ -686,3 +686,60 @@ def test_ple_learns_conflicting_tasks():
                               reload_best_on_plateau=False), eval_fn=ev)
     m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
     assert m["t0_AUC"] > 0.9 and m["t1_AUC"] > 0.8, m
+
+
+# ---------------------------------------------------------------------------
+# batch 3: the extended interaction-model family on the same XOR structure
+# ---------------------------------------------------------------------------
+
+_XOR3_KWARGS = {
+    "PNN": dict(hidden_units=(16,)),
+    "FFM": dict(),
+    "FwFM": dict(),
+    "EDCN": dict(),
+    "FiGNN": dict(),
+    "EulerNet": dict(),
+    "IFM": dict(hidden_units=(16,)),
+    "ONN": dict(hidden_units=(16,)),
+    "WideDeep": dict(hidden_units=(16,)),
+}
+
+
+@pytest.mark.parametrize("model_name", sorted(_XOR3_KWARGS))
+def test_extended_interaction_models_learn_xor(model_name):
+    """Every distinct interaction mechanism (field-aware/field-weighted
+    products, bridge modules, graph attention over fields, Euler
+    interaction, input-aware factorization, operation-aware embeddings,
+    wide+deep) must solve the zero-main-effect XOR."""
+    import dataclasses
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation import CTREvaluator
+    from recbox_tpu.models.registry import get_model
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, n = 24, 4000
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    y = (((a % 2) == 1) ^ ((b % 2) == 1)).astype(np.float32)
+    fm = FeatureMap("xor3", (
+        FeatureSpec("a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=vocab, embedding_dim=8),
+    ), labels=("click",))
+    cls, stage = get_model(model_name)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in _XOR3_KWARGS[model_name].items()
+              if k in fields}
+    if "embedding_dim" in fields:
+        kwargs["embedding_dim"] = 8
+    model = cls(feature_map=fm, **kwargs)
+    arrays = {"a": a, "b": b, "click": y}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    t = Trainer(model, lambda o, bt: binary_crossentropy(o, bt["click"]),
+                TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False), eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["AUC"] > 0.8, (model_name, m)

@@ -13,7 +13,9 @@ from recbox_tpu.models.sequential.models import SASRec
 from recbox_tpu.ops import full_softmax_loss
 from recbox_tpu.training import Trainer, TrainerConfig
 
-ds = load_atomic_dataset("/tmp/parity/synthseq", "synthseq")
+import os
+_DS = os.environ.get("OURS_DATASET", "synthseq")
+ds = load_atomic_dataset(f"/tmp/parity/{_DS}", _DS)
 inter = ds.to_interactions(rating_field="rating", time_field="timestamp")
 seqs = group_user_sequences(inter.user_ids, inter.item_ids, inter.timestamps)
 train, valid, test = leave_one_out_split(seqs, max_len=20)
@@ -24,7 +26,8 @@ fm = FeatureMap("sseq", (FeatureSpec("item_id", "categorical", source="item",
                 num_items=n_items)
 model = SASRec(feature_map=fm, embedding_dim=32, max_seq_len=20,
                n_layers=1, n_heads=2, dropout=0.2)
-cfg = TrainerConfig(learning_rate=1e-3, epochs=30, patience=10,
+cfg = TrainerConfig(learning_rate=1e-3,
+                    epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="NDCG10", lr_decay_factor=1.0,
                     reload_best_on_plateau=False)
 
