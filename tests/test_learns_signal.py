@@ -562,11 +562,13 @@ def test_more_interaction_models_learn_xor(model_name):
 # MIND — multi-interest coverage
 # ---------------------------------------------------------------------------
 
-def test_mind_covers_two_interest_clusters():
+@pytest.mark.parametrize("extractor", ["MIND", "ComiRec"])
+def test_multi_interest_covers_two_clusters(extractor):
     """Each user's history mixes TWO item clusters (of 8); multi-interest
-    retrieval (max over K capsule interests) must put held-out items from
-    BOTH clusters in the top-k for most users."""
-    from recbox_tpu.models.matching.multi_interest import MIND
+    retrieval (max over K interests — capsule routing for MIND,
+    self-attentive heads for ComiRec) must put held-out items from BOTH
+    clusters in the top-k for most users."""
+    from recbox_tpu.models.matching.multi_interest import MIND, ComiRec
     n_clusters, per_cluster, L = 8, 12, 12
     V = 1 + n_clusters * per_cluster          # id 0 = pad
     n_users = 96
@@ -590,8 +592,9 @@ def test_mind_covers_two_interest_clusters():
         "mind2", (FeatureSpec("item_id", "categorical", source="item",
                               vocab_size=V, embedding_dim=16),),
         query_index="user_id", corpus_index="item_id", num_items=V)
-    model = MIND(feature_map=fm, embedding_dim=16, interest_num=4,
-                 max_seq_len=L)
+    cls = {"MIND": MIND, "ComiRec": ComiRec}[extractor]
+    model = cls(feature_map=fm, embedding_dim=16, interest_num=4,
+                max_seq_len=L)
     import optax
     ids0 = jnp.asarray(np.concatenate(
         [hists[:8, :1], hists[:8, 1:3]], axis=1))

@@ -170,3 +170,69 @@ def test_segmented_small_topk_no_crash():
     idx = BruteForceMIPS(items, method="segmented", query_chunk=8)
     s, i = idx.search(q, topk=10)
     assert i.shape == (8, 10)
+
+
+class TestRetrievalService:
+    """Tower -> index serving wrapper (inference_embedding + ANN analog)."""
+
+    def _trainer(self, rng, n_users=30, n_items=40):
+        from recbox_tpu.data import MatchingLoader
+        from recbox_tpu.features import FeatureMap, FeatureSpec
+        from recbox_tpu.models.matching.two_tower import MF
+        from recbox_tpu.ops import get_matching_loss
+        from recbox_tpu.training import Trainer, TrainerConfig
+        fm = FeatureMap(
+            "svc", (FeatureSpec("user_id", "categorical", source="user",
+                                vocab_size=n_users, embedding_dim=8),
+                    FeatureSpec("item_id", "categorical", source="item",
+                                vocab_size=n_items, embedding_dim=8)),
+            query_index="user_id", corpus_index="item_id", num_items=n_items)
+        users = rng.integers(0, n_users, 600).astype(np.int32)
+        items = ((users * 3) % n_items).astype(np.int32)
+        t = Trainer(MF(feature_map=fm, embedding_dim=8),
+                    lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),
+                    TrainerConfig(learning_rate=0.05, epochs=5,
+                                  monitor="AUC"))
+        loader = MatchingLoader(fm, {"user_id": users, "item_id": items},
+                                {"item_id": np.arange(n_items,
+                                                      dtype=np.int32)},
+                                batch_size=128, num_negs=4, seed=0)
+        for _ in range(3):
+            for b in loader:
+                t.train_step(b)
+        return t, n_users, n_items
+
+    def test_query_matches_manual_towers(self, rng):
+        from recbox_tpu.retrieval.service import RetrievalService
+        t, n_users, n_items = self._trainer(rng)
+        corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+        svc = RetrievalService.from_trainer(t, corpus, method="exact")
+        uids = np.arange(8, dtype=np.int32)
+        s, ids = svc.query({"user_id": uids}, k=5)
+        u = np.asarray(t.apply({"user_id": uids}, method=t.model.encode_user))
+        it = np.asarray(t.apply(corpus, method=t.model.encode_item))
+        exact = np.argsort(-(u @ it.T), axis=1)[:, :5]
+        np.testing.assert_array_equal(ids, exact)
+
+    def test_exclude_filters_seen(self, rng):
+        from recbox_tpu.retrieval.service import RetrievalService
+        t, n_users, n_items = self._trainer(rng)
+        corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+        svc = RetrievalService.from_trainer(t, corpus, method="exact")
+        uids = np.arange(4, dtype=np.int32)
+        _, base = svc.query({"user_id": uids}, k=3)
+        exclude = [list(base[r, :1]) for r in range(4)]   # ban the top hit
+        _, ids = svc.query({"user_id": uids}, k=3, exclude=exclude)
+        for r in range(4):
+            assert base[r, 0] not in ids[r]
+
+    def test_refresh_items_rebuilds(self, rng):
+        from recbox_tpu.retrieval.service import RetrievalService
+        t, n_users, n_items = self._trainer(rng)
+        corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+        svc = RetrievalService.from_trainer(t, corpus, method="exact")
+        assert svc.num_items == n_items
+        svc.refresh_items({"item_id": np.arange(10, dtype=np.int32)})
+        assert svc.num_items == 10
+        _, ids = svc.query({"user_id": np.arange(2, dtype=np.int32)}, k=4)
+        assert int(ids.max()) < 10
