@@ -15,7 +15,8 @@ Towers come from any MatchingModel (encode_user/encode_item); the index is
 `BruteForceMIPS` (method: approx | segmented | pallas | refined | exact,
 optionally mesh-sharded over the item axis) — the TPU-native replacement
 for the external ANN services. Multi-interest models (MIND/ComiRec) work
-unchanged: (B, K, D) queries score max-over-interests in the engine.
+unchanged: (B, K, D) towers retrieve per interest, then merge by max
+score with per-row dedup (the MIND serving recipe).
 """
 
 from __future__ import annotations
@@ -29,6 +30,25 @@ from recbox_tpu.data.loader import MASK_KEY, ArrayLoader
 from recbox_tpu.retrieval.index import BruteForceMIPS
 
 __all__ = ["RetrievalService"]
+
+
+def _merge_interests(s: np.ndarray, i: np.ndarray, t: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge (B, K*t) per-interest candidates: dedup per row keeping each
+    item's max score, return the top-t by merged score."""
+    order = np.argsort(-s, axis=1, kind="stable")
+    s_d = np.take_along_axis(s, order, axis=1)
+    i_d = np.take_along_axis(i, order, axis=1)
+    B = s.shape[0]
+    out_s = np.full((B, t), -np.inf, np.float32)
+    out_i = np.full((B, t), -1, i.dtype)
+    for r in range(B):
+        # first occurrence in desc-score order == per-id max score
+        _, first = np.unique(i_d[r], return_index=True)
+        keep = np.sort(first)[:t]
+        out_s[r, :len(keep)] = s_d[r, keep]
+        out_i[r, :len(keep)] = i_d[r, keep]
+    return out_s, out_i
 
 
 class RetrievalService:
@@ -84,25 +104,39 @@ class RetrievalService:
     def query(self, user_arrays: Dict[str, np.ndarray], k: int = 100,
               exclude: Optional[Sequence[Sequence[int]]] = None,
               ) -> Tuple[np.ndarray, np.ndarray]:
-        """(scores, item_ids) top-k per query row.
+        """(scores, item_ids) top-k per query row, shapes (Q, min(k, N)).
+
+        Multi-interest towers returning (B, K, D) are retrieved per
+        interest and merged by max score with per-row dedup (the MIND
+        serving recipe: K ANN lookups, score-merge).
 
         ``exclude`` gives per-row item-id lists to filter out (seen-items
         masking, `core/metrics.py:56-62`); filtering over-retrieves by the
-        longest exclude list so every row still returns k items.
+        longest exclude list. When a row's candidate pool is exhausted
+        (catalog smaller than k + excludes), trailing slots pad with
+        score=-inf, id=-1 — callers must treat -1 as "no item".
         """
         q = self._encode(self._user_fn, user_arrays)
+        k = min(k, self.num_items)
+        extra = max((len(e) for e in exclude), default=0) \
+            if exclude is not None else 0
+        t = min(k + extra, self.num_items)
+        if q.ndim == 3:  # (B, K, D) multi-interest: retrieve per interest
+            B, K, D = q.shape
+            s, i = self.index.search(q.reshape(B * K, D), topk=t)
+            s, i = _merge_interests(s.reshape(B, -1), i.reshape(B, -1), t)
+        else:
+            s, i = self.index.search(q, topk=t)
         if exclude is None:
-            s, i = self.index.search(q, topk=k)
-            return s, i
-        extra = max((len(e) for e in exclude), default=0)
-        s, i = self.index.search(q, topk=min(k + extra, self.num_items))
-        out_s = np.full((len(q), k), -np.inf, np.float32)
-        out_i = np.full((len(q), k), -1, np.int32)
-        for r in range(len(q)):
-            banned = set(int(x) for x in exclude[r]) if r < len(exclude) \
-                else set()
-            keep = [c for c in range(i.shape[1])
-                    if int(i[r, c]) not in banned][:k]
-            out_s[r, :len(keep)] = s[r, keep]
-            out_i[r, :len(keep)] = i[r, keep]
-        return out_s, out_i
+            return s[:, :k], i[:, :k]
+        # vectorized seen-filter: pad banned lists, mask to -inf, re-rank
+        banned = np.full((s.shape[0], max(extra, 1)), -1, dtype=np.int64)
+        for r, e in enumerate(exclude):
+            if len(e):
+                banned[r, :len(e)] = np.asarray(e, dtype=np.int64)
+        bad = (i[:, :, None] == banned[:, None, :]).any(-1)
+        s = np.where(bad, -np.inf, s).astype(np.float32)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        out_s = np.take_along_axis(s, order, axis=1)
+        out_i = np.take_along_axis(i, order, axis=1)
+        return out_s, np.where(np.isneginf(out_s), -1, out_i)

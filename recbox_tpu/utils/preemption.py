@@ -3,8 +3,11 @@
 The reference has no failure/elastic story at all (SURVEY §5.3: no retry,
 no health checks; recovery = rerun). Cloud TPU VMs get a SIGTERM grace
 window on preemption/maintenance; this module turns that into a durable
-checkpoint so the re-exec'd job resumes mid-epoch instead of from the
-last eval-time save:
+checkpoint so the re-exec'd job resumes from the preempted params instead
+of the last eval-time save. Resume granularity: params/opt_state/rng are
+exactly the preempted step's, but the data-loader position is not trainer
+state — the interrupted epoch restarts from its first batch (batches seen
+before the preemption are revisited with the newer params):
 
     guard = PreemptionGuard(trainer, workdir + "/preempt.ckpt")
     with guard:
@@ -39,7 +42,9 @@ class PreemptionGuard:
       trainer: any object with save(path)/load(path) (Trainer contract).
       path: checkpoint file for preemption saves.
       save_on_signal: write the checkpoint inside the signal handler
-        (immediate; use when the preemption grace window is short) instead
+        (immediate; use when the preemption grace window is short, or when
+        the signal may land outside the step loop — during eval or after
+        fit() returns — where the deferred flag is never polled) instead
         of deferring to the next `should_stop()` poll.
       exit_code: process exit status after a handled preemption save.
     """
@@ -61,9 +66,18 @@ class PreemptionGuard:
             self._save_and_maybe_exit()
 
     def install(self) -> "PreemptionGuard":
+        # Deferred mode needs a poll site: Trainer.fit polls stop_callback
+        # between steps. A trainer without that hook (e.g. the standalone
+        # RecVAETrainer) would swallow SIGTERM with no save and no exit —
+        # refuse instead of degrading silently.
+        if not self.save_on_signal \
+                and not hasattr(self.trainer, "stop_callback"):
+            raise ValueError(
+                f"{type(self.trainer).__name__} has no stop_callback poll "
+                "hook; use PreemptionGuard(..., save_on_signal=True) so the "
+                "checkpoint is written directly from the signal handler.")
         for sig in (signal.SIGTERM, signal.SIGINT):
             self._prev[sig] = signal.signal(sig, self._handler)
-        # Trainer.fit polls stop_callback between steps
         if hasattr(self.trainer, "stop_callback"):
             self.trainer.stop_callback = self.should_stop
         return self

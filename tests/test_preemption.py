@@ -68,7 +68,10 @@ _RESUME = textwrap.dedent("""
     guard = PreemptionGuard(t, {ckpt!r})
     assert guard.has_checkpoint()
     assert guard.restore()
-    assert t.step == 4, t.step       # resumed exactly where preempted
+    # step counter restored to the preempted step (params/opt state are the
+    # preempted ones; data-loader position intentionally is NOT trainer
+    # state — the interrupted epoch replays from its first batch)
+    assert t.step == 4, t.step
     print("RESUMED_OK", t.step)
 """)
 

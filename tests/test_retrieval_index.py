@@ -236,3 +236,79 @@ class TestRetrievalService:
         assert svc.num_items == 10
         _, ids = svc.query({"user_id": np.arange(2, dtype=np.int32)}, k=4)
         assert int(ids.max()) < 10
+
+
+class TestRetrievalServiceMultiInterest:
+    """(B, K, D) towers: per-interest retrieval + max-score dedup merge."""
+
+    def _mind_service(self, n_items=40, method="exact"):
+        import jax
+        from recbox_tpu.features import FeatureMap, FeatureSpec
+        from recbox_tpu.models.matching.multi_interest import MIND
+        from recbox_tpu.retrieval.service import RetrievalService
+        fm = FeatureMap(
+            "svc_mi",
+            (FeatureSpec("item_seq", "sequence", source="user",
+                         vocab_size=n_items, embedding_dim=16, max_len=6,
+                         share_embedding="item_id"),
+             FeatureSpec("item_id", "categorical", source="item",
+                         vocab_size=n_items, embedding_dim=16)),
+            query_index="item_seq", corpus_index="item_id", num_items=n_items)
+        model = MIND(feature_map=fm, embedding_dim=16, interest_num=3,
+                     max_seq_len=6)
+        hist = np.arange(1, 9, dtype=np.int32).reshape(2, 4)
+        hist = np.pad(hist, ((0, 0), (0, 2)))
+        variables = model.init(jax.random.PRNGKey(0), {"item_seq": hist},
+                               method=model.encode_user)
+        corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+        svc = RetrievalService(model, variables, corpus, method=method)
+        return svc, model, variables, corpus, hist
+
+    def test_multi_interest_query_merges_interests(self):
+        svc, model, variables, corpus, hist = self._mind_service()
+        s, ids = svc.query({"item_seq": hist}, k=7)
+        assert s.shape == (2, 7) and ids.shape == (2, 7)
+        # dedup: no item may appear twice in a row
+        for r in range(2):
+            got = ids[r][ids[r] >= 0]
+            assert len(set(got.tolist())) == len(got)
+        # ground truth: max over interests of the exact scores
+        u = np.asarray(model.apply(variables, {"item_seq": hist},
+                                   method=model.encode_user))  # (2, K, D)
+        it = np.asarray(model.apply(variables, corpus,
+                                    method=model.encode_item))
+        merged = np.einsum("bkd,nd->bkn", u, it).max(1)
+        expect = np.argsort(-merged, axis=1, kind="stable")[:, :7]
+        for r in range(2):
+            assert set(ids[r].tolist()) == set(expect[r].tolist()), r
+        np.testing.assert_allclose(
+            s, np.take_along_axis(merged, ids, axis=1), rtol=1e-5)
+
+    def test_multi_interest_query_with_exclude(self):
+        svc, model, variables, corpus, hist = self._mind_service()
+        _, base = svc.query({"item_seq": hist}, k=3)
+        exclude = [base[0, :2].tolist(), []]
+        s, ids = svc.query({"item_seq": hist}, k=3, exclude=exclude)
+        assert not set(exclude[0]) & set(ids[0].tolist())
+        assert ids[1].tolist() == base[1, :3].tolist()
+
+    def test_exclude_pool_exhaustion_pads(self):
+        """k + excludes > catalog: trailing slots pad (-inf, -1), and the
+        no-exclude path clamps k to the catalog size consistently."""
+        from recbox_tpu.retrieval.service import RetrievalService
+        rng = np.random.default_rng(1)
+        helper = TestRetrievalService()
+        t, n_users, n_items = helper._trainer(rng, n_items=12)
+        corpus = {"item_id": np.arange(12, dtype=np.int32)}
+        svc = RetrievalService.from_trainer(t, corpus, method="exact")
+        uids = np.arange(2, dtype=np.int32)
+        s0, i0 = svc.query({"user_id": uids}, k=100)      # k > catalog
+        assert i0.shape == (2, 12)
+        banned = list(range(8))
+        s, ids = svc.query({"user_id": uids}, k=100, exclude=[banned, banned])
+        assert ids.shape == (2, 12)
+        # only 4 items remain eligible; the rest must be -1 padding
+        for r in range(2):
+            valid = ids[r][ids[r] >= 0]
+            assert len(valid) == 4 and not set(valid.tolist()) & set(banned)
+            assert np.all(np.isneginf(s[r][ids[r] < 0]))
