@@ -746,3 +746,90 @@ def test_extended_interaction_models_learn_xor(model_name):
                               reload_best_on_plateau=False), eval_fn=ev)
     m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
     assert m["AUC"] > 0.8, (model_name, m)
+
+
+def test_mmoe_gates_specialize_per_task():
+    """MMOE's mechanism is the per-task softmax gate over shared experts
+    (`multitask/mmoe.py` shape). Task 0 = parity(a) (learnable from one
+    field); task 1 = XOR(a, b) (pure interaction). Both tasks must reach
+    high AUC, and the two tasks' mean gate mixtures must DIVERGE — if the
+    gates collapse to one shared mixture (the single-gate MoE failure
+    mode), this fails."""
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.evaluation.evaluators import MultiTaskEvaluator
+    from recbox_tpu.models.multitask.models import MMOE, multitask_loss
+    from recbox_tpu.training import Trainer, TrainerConfig
+    vocab, n = 24, 4000
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    t0 = ((a % 2) == 1).astype(np.float32)
+    t1 = (((a % 2) == 1) ^ ((b % 2) == 1)).astype(np.float32)
+    fm = FeatureMap("mmoels", (
+        FeatureSpec("a", "categorical", vocab_size=vocab, embedding_dim=8),
+        FeatureSpec("b", "categorical", vocab_size=vocab, embedding_dim=8)),
+        labels=("t0", "t1"))
+    arrays = {"a": a, "b": b, "t0": t0, "t1": t1}
+    split = int(0.8 * n)
+    train = {k: v[:split] for k, v in arrays.items()}
+    valid = {k: v[split:] for k, v in arrays.items()}
+    model = MMOE(feature_map=fm, num_experts=3, expert_units=(16,),
+                 tower_units=(8,))
+    labels = ["t0", "t1"]
+
+    def loss_fn(outputs, batch):
+        y = jnp.stack([batch[l] for l in labels], axis=1)
+        return multitask_loss(outputs, y)
+
+    ev = MultiTaskEvaluator(valid, labels, metrics=["AUC"])
+    t = Trainer(model, loss_fn,
+                TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
+                              monitor="AUC", lr_decay_factor=1.0,
+                              reload_best_on_plateau=False), eval_fn=ev)
+    m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
+    assert m["t0_AUC"] > 0.9 and m["t1_AUC"] > 0.8, m
+
+    # mechanism: capture the per-task gate logits on the valid batch and
+    # compare the mean softmax mixtures.
+    _, inter = model.apply(
+        {"params": t.params, **t.model_state},
+        {k: valid[k][:512] for k in ("a", "b")},
+        capture_intermediates=lambda mdl, _: mdl.name is not None
+        and mdl.name.startswith("gate_"),
+        mutable=["intermediates"])
+    gates = inter["intermediates"]
+    g0 = np.asarray(jax.nn.softmax(gates["gate_0"]["__call__"][0], -1)).mean(0)
+    g1 = np.asarray(jax.nn.softmax(gates["gate_1"]["__call__"][0], -1)).mean(0)
+    assert np.abs(g0 - g1).sum() > 0.1, (g0, g1)
+
+
+@pytest.mark.parametrize("model_name", ["SRGNN", "GCSAN"])
+def test_session_graph_models_learn_transitions(model_name):
+    """Session-graph family (`srgnn.py`/`gcsan.py`): sessions are walks on
+    a hidden permutation cycle sigma, with the walk RESTARTING mid-session
+    (duplicate-free segments become merged nodes in the session graph);
+    target = sigma(last item). The GGNN propagation + last-node readout
+    must recover the transition structure."""
+    from recbox_tpu.models.sequential.session_graph import GCSAN, SRGNN
+    V, L, n = 40, 7, 4000
+    rng = np.random.default_rng(0)
+    sigma = rng.permutation(np.arange(1, V))    # cycle over real items
+    nxt = np.zeros(V, np.int32)
+    nxt[sigma] = np.roll(sigma, -1)
+    seqs = np.zeros((n, L), np.int32)
+    for i in range(n):
+        cur = int(rng.choice(sigma))
+        for t in range(L):
+            if t and rng.random() < 0.25:       # restart: new walk segment
+                cur = int(rng.choice(sigma))
+            seqs[i, t] = cur
+            cur = int(nxt[cur])
+    targets = nxt[seqs[:, -1]]
+    arrays = {"item_seq": seqs, "seq_len": np.full(n, L, np.int32),
+              "item_id": targets}
+    cls = {"SRGNN": SRGNN, "GCSAN": GCSAN}[model_name]
+    model = cls(feature_map=_seq_fm(V), embedding_dim=16, max_seq_len=L)
+    params = _train_full_scores(model, arrays, steps=220, lr=5e-3)
+    rec = _recall_at(model, params, {k: v[:512] for k, v in arrays.items()},
+                     k=1)
+    assert rec > 0.6, rec   # chance 1/40
