@@ -1,6 +1,9 @@
 import sys; sys.path.insert(0, "/root/repo")
+import os
 import jax
-jax.config.update("jax_platform_name", "cpu")
+_PLAT = os.environ.get("OURS_PLATFORM", "cpu")
+if _PLAT:  # empty string = let JAX pick the default backend (TPU when present)
+    jax.config.update("jax_platform_name", _PLAT)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -13,7 +16,8 @@ from recbox_tpu.models.matching.graph import LightGCN, build_norm_edges
 from recbox_tpu.ops import get_matching_loss
 from recbox_tpu.training import Trainer, TrainerConfig
 
-ds = load_atomic_dataset("/tmp/parity/synth", "synth")
+_DS = os.environ.get("OURS_DATASET", "synth")
+ds = load_atomic_dataset(f"/tmp/parity/{_DS}", _DS)
 inter = ds.to_interactions(rating_field="rating", time_field="timestamp")
 num_users, num_items = ds.num_users, ds.num_items
 train, valid, test = inter.split_ratio((0.8, 0.1, 0.1), order="RO",
@@ -47,7 +51,8 @@ loader = MatchingLoader(fm, train_arrays, corpus, batch_size=512,
 vu = np.array(sorted(valid_u2i), np.int32)
 ev = RetrievalEvaluator({"user_id": vu}, corpus, vu, train_u2i, valid_u2i,
                         metrics=["Recall(k=20)", "NDCG(k=20)"])
-cfg = TrainerConfig(learning_rate=1e-3, epochs=30, patience=10,
+cfg = TrainerConfig(learning_rate=1e-3,
+                    epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="Recall(k=20)", lr_decay_factor=1.0,
                     reload_best_on_plateau=False,
                     embedding_regularizer=1e-5)

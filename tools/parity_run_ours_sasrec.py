@@ -1,6 +1,9 @@
 import sys; sys.path.insert(0, "/root/repo")
+import os
 import jax
-jax.config.update("jax_platform_name", "cpu")
+_PLAT = os.environ.get("OURS_PLATFORM", "cpu")
+if _PLAT:  # empty string = let JAX pick the default backend (TPU when present)
+    jax.config.update("jax_platform_name", _PLAT)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -40,7 +43,7 @@ def eval_split(trainer, split):
     hits = order == tgt
     recall = hits.any(1).mean()
     pos = np.where(hits.any(1), hits.argmax(1), -1)
-    ndcg = np.where(pos >= 0, 1.0 / np.log2(pos + 2.0), 0.0).mean()
+    ndcg = np.where(pos >= 0, 1.0 / np.log2(np.maximum(pos, 0) + 2.0), 0.0).mean()
     return {"Recall10": float(recall), "NDCG10": float(ndcg)}
 
 trainer = Trainer(model, lambda o, b: full_softmax_loss(o, b["item_id"]),
