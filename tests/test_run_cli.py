@@ -79,7 +79,10 @@ def test_run_expid_wrong_stage_raises(expdir):
 
 
 def test_cli_subprocess_prints_json(expdir):
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", PYTHONPATH=REPO)
+    # PYTHONPATH breaks axon TPU-plugin discovery, so the subprocess must
+    # also pin JAX_PLATFORMS=cpu or backend selection aborts
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               PYTHONPATH=REPO)
     out = subprocess.run(
         [sys.executable, "-m", "recbox_tpu.run", f"--config={expdir}",
          "--expid=DCN_test", "--epochs=1"],
@@ -91,7 +94,10 @@ def test_cli_subprocess_prints_json(expdir):
 
 
 def test_cli_usage_error(expdir):
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", PYTHONPATH=REPO)
+    # PYTHONPATH breaks axon TPU-plugin discovery, so the subprocess must
+    # also pin JAX_PLATFORMS=cpu or backend selection aborts
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               PYTHONPATH=REPO)
     out = subprocess.run(
         [sys.executable, "-m", "recbox_tpu.run", "--expid=DCN_test"],
         capture_output=True, text=True, timeout=120, env=env, cwd=REPO)
