@@ -1,6 +1,9 @@
 import sys; sys.path.insert(0, "/root/repo")
+import os
 import jax
-jax.config.update("jax_platform_name", "cpu")
+_PLAT = os.environ.get("OURS_PLATFORM", "cpu")
+if _PLAT:  # empty string = let JAX pick the default backend (TPU when present)
+    jax.config.update("jax_platform_name", _PLAT)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
