@@ -56,6 +56,20 @@ class _GraphBase(MatchingModel):
     edge_users: Tuple[int, ...] = ()
     edge_items: Tuple[int, ...] = ()
     edge_coefs: Tuple[float, ...] = ()
+    # 'normal' (1e-4, `match_model.py:91-114`) | 'xavier_uniform' (recbole
+    # LightGCN/NGCF `xavier_uniform_initialization`, init.py:34) |
+    # 'xavier_normal'. Init scale is LOAD-BEARING at production scale
+    # (docs/QUALITY_PARITY.md ml1m-scale LightGCN rows).
+    emb_init_scheme: str = "normal"
+
+    def _table_init(self):
+        if self.emb_init_scheme == "xavier_uniform":
+            base = nn.initializers.xavier_uniform()
+        elif self.emb_init_scheme == "xavier_normal":
+            base = nn.initializers.xavier_normal()
+        else:
+            base = emb_init()
+        return nn.with_partitioning(base, (("data", "model"), None))
 
     def _edges(self):
         u = jnp.asarray(np.asarray(self.edge_users, dtype=np.int32))
@@ -81,7 +95,7 @@ class LightGCN(_GraphBase):
     (`lightgcn.py:32-120`)."""
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
+        init = self._table_init()
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,
@@ -135,7 +149,7 @@ class NGCF(_GraphBase):
     dropout: float = 0.0
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
+        init = self._table_init()
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,

@@ -155,7 +155,7 @@ class DGCF(_GraphBase):
     n_routing: int = 2
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
+        init = self._table_init()
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,
@@ -224,7 +224,7 @@ class SpectralCF(_GraphBase):
     form is recbole's eigen-free implementation of the spectral convolution."""
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
+        init = self._table_init()
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,
@@ -317,7 +317,7 @@ class LINE(_GraphBase):
     order: int = 2
 
     def setup(self):
-        init = nn.with_partitioning(emb_init(), (("data", "model"), None))
+        init = self._table_init()
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))
         self.item_table = self.param("emb_item", init,

@@ -59,7 +59,14 @@ class TrainerConfig:
     lr_decay_factor: float = 0.1        # reduce-lr-on-plateau multiplier
     min_lr: float = 1e-6
     reload_best_on_plateau: bool = True
-    embedding_regularizer: float = 0.0  # p2 penalty on emb_* tables
+    # p2 penalty on emb_* tables. NOTE: this is a FULL-TABLE L2^2 penalty —
+    # deliberately stronger than recbole's EmbLoss, which is the L2 norm of
+    # the batch's ego embeddings / batch_size (~5e-8 at reg 1e-5, i.e.
+    # numerically zero). Copying a recbole reg_weight verbatim
+    # over-regularizes at production scale (measured: −10% LightGCN test
+    # recall at ml1m scale, docs/QUALITY_PARITY.md) — use 0 to reproduce
+    # recbole, or a much smaller value here.
+    embedding_regularizer: float = 0.0
     net_regularizer: float = 0.0        # p2 penalty on everything else
     eval_steps: Optional[int] = None    # eval every N steps (None = per epoch)
     # pack K consecutive batches into one compiled lax.scan (amortizes

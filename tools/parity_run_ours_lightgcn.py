@@ -44,7 +44,10 @@ eu, ei, c = build_norm_edges(train.user_ids, train.item_ids,
 model = LightGCN(feature_map=fm, embedding_dim=32, num_users=num_users,
                  num_items=num_items, n_layers=2,
                  edge_users=tuple(eu), edge_items=tuple(ei),
-                 edge_coefs=tuple(c))
+                 edge_coefs=tuple(c),
+                 # recbole inits via xavier_uniform (init.py:34); scale runs
+                 # need it for parity (docs/QUALITY_PARITY.md)
+                 emb_init_scheme=os.environ.get("OURS_EMB_INIT", "normal"))
 loader = MatchingLoader(fm, train_arrays, corpus, batch_size=512,
                         num_negs=1, seed=int(sys.argv[1]) if len(sys.argv) > 1 else 2024,
                         exclude_seen=True)
@@ -55,7 +58,12 @@ cfg = TrainerConfig(learning_rate=1e-3,
                     epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="Recall(k=20)", lr_decay_factor=1.0,
                     reload_best_on_plateau=False,
-                    embedding_regularizer=1e-5)
+                    # NOTE: ours is a full-table L2^2 penalty; recbole's
+                    # EmbLoss(1e-5) is batch-ego-norm/batch_size ~ 5e-8 —
+                    # numerically zero. Parity runs use 0 (measured: 1e-5
+                    # full-table costs ~10% test recall at ml1m scale).
+                    embedding_regularizer=float(
+                        os.environ.get("OURS_EMB_REG", 1e-5)))
 trainer = Trainer(model, lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),
                   cfg, eval_fn=ev)
 valid_metrics = trainer.fit(loader)
