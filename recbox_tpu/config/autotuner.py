@@ -74,19 +74,30 @@ def grid_search_subprocess(
     poll_seconds: float = 3.0,
 ) -> None:
     """Greedy device-queue scheduler: one `python script --config ... --expid
-    ...` subprocess per free accelerator (`autotuner.py:123-145` pattern)."""
+    ...` subprocess per free accelerator (`autotuner.py:123-145` pattern).
+
+    ``script`` is shlex-split, so both a path (``"train.py"``) and a module
+    invocation (``"-m recbox_tpu.run"``) work. Non-zero exits are logged
+    (the queue keeps draining, matching the reference scheduler).
+    """
+    import shlex
+    script_argv = shlex.split(script)
     queue = list(expids)
     running: Dict[str, subprocess.Popen] = {}
     while queue or running:
         for dev in list(running):
-            if running[dev].poll() is not None:
+            rc = running[dev].poll()
+            if rc is not None:
+                if rc != 0:
+                    logger.warning("expid subprocess on %s=%s exited rc=%d",
+                                   env_var, dev, rc)
                 del running[dev]
         for dev in devices:
             if dev not in running and queue:
                 expid = queue.pop(0)
                 env = dict(os.environ, **{env_var: dev})
                 running[dev] = subprocess.Popen(
-                    ["python", script, f"--config={config_dir}",
+                    ["python", *script_argv, f"--config={config_dir}",
                      f"--expid={expid}"], env=env)
                 logger.info("launched %s on %s=%s", expid, env_var, dev)
         time.sleep(poll_seconds)

@@ -67,8 +67,12 @@ class _GraphBase(MatchingModel):
             base = nn.initializers.xavier_uniform()
         elif self.emb_init_scheme == "xavier_normal":
             base = nn.initializers.xavier_normal()
-        else:
+        elif self.emb_init_scheme == "normal":
             base = emb_init()
+        else:  # a typo here silently confounds init experiments — refuse
+            raise ValueError(
+                f"emb_init_scheme={self.emb_init_scheme!r}: expected "
+                "'normal' | 'xavier_uniform' | 'xavier_normal'")
         return nn.with_partitioning(base, (("data", "model"), None))
 
     def _edges(self):

@@ -272,6 +272,8 @@ class GCMC(_GraphBase):
     hidden_dim: int = 64
 
     def setup(self):
+        # GCMC keeps its own wider init (0.01) — the degree-normalized
+        # one-hot convolution needs it; emb_init_scheme does not apply here
         init = nn.with_partitioning(emb_init(0.01), (("data", "model"), None))
         self.user_table = self.param("emb_user", init,
                                      (self.num_users, self.embedding_dim))

@@ -73,7 +73,8 @@ def run_expid(config_dir: str, experiment_id: str,
         metrics = quick_start.run_ranking_experiment(cfg, fm, train, valid,
                                                      test_arrays=test)
     elif stage == "sequential":
-        ks = tuple(cfg.get("topk", (10, 20)))
+        ks = cfg.get("topk", (10, 20))
+        ks = (int(ks),) if isinstance(ks, int) else tuple(ks)
         metrics = quick_start.run_sequential_experiment(cfg, fm, train, valid,
                                                         test_arrays=test,
                                                         ks=ks)
@@ -98,18 +99,25 @@ def run_expid(config_dir: str, experiment_id: str,
 
 def main(argv=None) -> Dict[str, float]:
     args = list(sys.argv[1:] if argv is None else argv)
-    kv = {}
+    config_dir = expid = None
+    rest = []
     for a in args:
-        if a.startswith("--") and "=" in a:
-            k, v = a[2:].split("=", 1)
-            kv[k] = v
-    config_dir = kv.pop("config", None)
-    expid = kv.pop("expid", None)
+        if a.startswith("--config="):
+            config_dir = a.split("=", 1)[1]
+        elif a.startswith("--expid="):
+            expid = a.split("=", 1)[1]
+        else:
+            rest.append(a)
     if not config_dir or not expid:
         print("usage: python -m recbox_tpu.run --config=<dir> --expid=<id> "
               "[--key=value ...]", file=sys.stderr)
         raise SystemExit(2)
-    result = run_expid(config_dir, expid, cli=True)
+    # type the remaining --key=value pairs with the config system's
+    # literal-eval rules, scoped to THIS argv (never the host process's
+    # sys.argv, and never leaking config/expid into the experiment config)
+    from recbox_tpu.config import parse_cli_overrides
+    overrides = parse_cli_overrides(rest)
+    result = run_expid(config_dir, expid, overrides=overrides)
     print(json.dumps(result))
     return result
 

@@ -57,6 +57,7 @@ MIND_wrong_stage:
     (cfg_dir / "dataset_config.yaml").write_text(f"""
 runcli_ds:
     data_dir: {data_dir}
+    workdir: {root / "wd"}
 """)
     return cfg_dir
 
@@ -69,8 +70,24 @@ def test_run_expid_trains_and_reports(expdir):
 
 
 def test_run_expid_override_beats_config(expdir):
-    result = run_expid(str(expdir), "DCN_test", overrides={"epochs": 1})
-    assert "AUC" in result
+    # override the metric list: logloss only appears if the override lands
+    result = run_expid(str(expdir), "DCN_test",
+                       overrides={"epochs": 1, "metrics": ["AUC", "logloss"]})
+    assert "logloss" in result, result
+
+
+def test_cli_flag_override_lands(expdir):
+    """--key=value flags on the CLI argv must reach the config (typed), and
+    must NOT come from the host process's sys.argv."""
+    from recbox_tpu.run import main
+    old = sys.argv
+    sys.argv = ["pytest", "--epochs=99"]  # would crash/slow if leaked in
+    try:
+        result = main([f"--config={expdir}", "--expid=DCN_test",
+                       "--epochs=1", "--metrics=['AUC','logloss']"])
+    finally:
+        sys.argv = old
+    assert "logloss" in result, result
 
 
 def test_run_expid_wrong_stage_raises(expdir):
@@ -102,3 +119,30 @@ def test_cli_usage_error(expdir):
         [sys.executable, "-m", "recbox_tpu.run", "--expid=DCN_test"],
         capture_output=True, text=True, timeout=120, env=env, cwd=REPO)
     assert out.returncode == 2 and "usage" in out.stderr
+
+
+def test_autotuner_launches_module_runner(expdir):
+    """grid_search_subprocess(script="-m recbox_tpu.run") must shlex-split
+    the module invocation and actually run the expid (results.jsonl row)."""
+    import yaml
+    from recbox_tpu.config.autotuner import grid_search_subprocess
+    wd = yaml.safe_load(
+        (expdir / "dataset_config.yaml").read_text())["runcli_ds"]["workdir"]
+    res = os.path.join(wd, "results.jsonl")
+    before = sum(1 for _ in open(res)) if os.path.exists(res) else 0
+    env_backup = {k: os.environ.get(k) for k in
+                  ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "PYTHONPATH")}
+    os.environ.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+                      PYTHONPATH=REPO)
+    try:
+        grid_search_subprocess(["DCN_test"], script="-m recbox_tpu.run",
+                               config_dir=str(expdir), devices=("0",),
+                               env_var="RUNCLI_TEST_DEV", poll_seconds=0.5)
+    finally:
+        for k, v in env_backup.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    after = sum(1 for _ in open(res))
+    assert after == before + 1, (before, after)

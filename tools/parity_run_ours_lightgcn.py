@@ -63,7 +63,7 @@ cfg = TrainerConfig(learning_rate=1e-3,
                     # numerically zero. Parity runs use 0 (measured: 1e-5
                     # full-table costs ~10% test recall at ml1m scale).
                     embedding_regularizer=float(
-                        os.environ.get("OURS_EMB_REG", 1e-5)))
+                        os.environ.get("OURS_EMB_REG", 0.0)))
 trainer = Trainer(model, lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),
                   cfg, eval_fn=ev)
 valid_metrics = trainer.fit(loader)

@@ -16,7 +16,6 @@ from recbox_tpu.models.sequential.models import SASRec
 from recbox_tpu.ops import full_softmax_loss
 from recbox_tpu.training import Trainer, TrainerConfig
 
-import os
 _DS = os.environ.get("OURS_DATASET", "synthseq")
 ds = load_atomic_dataset(f"/tmp/parity/{_DS}", _DS)
 inter = ds.to_interactions(rating_field="rating", time_field="timestamp")
