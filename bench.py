@@ -35,6 +35,15 @@ fwd/bwd ~2.4 ms ⇒ a ~29 ms/step floor = 1.13M ex/s ceiling; the remaining
 gap is ~6 ms of slice/concat/optimizer machinery around the row ops.
 Scaling past this is the multi-chip row-budget split (R/M rows per chip,
 docs/ARCHITECTURE.md cost model), not single-chip kernel work.
+
+BATCH-SCALING CHECK (round 2, `tools/prof_batch_scaling.py`, one
+contended run — bench's best-of-5 reads ~10% faster): 8192→23.1 ms/step
+(355k ex/s), 16384→23.1 (709k), 32768→42.2 (777k), 65536→77.2 (849k),
+131072→148.2 (885k). Marginal throughput saturates at ~920k ex/s: the
+slice/concat/delta machinery scales with rows (41.7 ns/row marginal,
+vs the ~31 ns/row gather+scatter floor), so batch scaling cannot reach
+the 1.0M target either — the step has a ~23 ms small-batch latency
+floor and a rows-proportional regime above ~16k batch.
 """
 
 import json

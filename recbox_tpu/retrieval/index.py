@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from recbox_tpu.parallel.mesh import MODEL_AXIS
 
@@ -257,7 +257,7 @@ class BruteForceMIPS:
             local_search, mesh=mesh,
             in_specs=(P(), P(MODEL_AXIS, None)),
             out_specs=(P(), P()),
-            check_rep=False)
+            check_vma=False)
         return jax.jit(fn)
 
     def search(self, queries: np.ndarray, topk: int = 500) -> Tuple[np.ndarray, np.ndarray]:
