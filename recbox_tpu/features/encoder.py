@@ -76,6 +76,8 @@ class FeatureEncoder:
         self.data_root = data_root
         self.tokenizers: Dict[str, Tokenizer] = {}
         self.normalizers: Dict[str, Normalizer] = {}
+        # name -> ("quantile", boundaries ndarray) | ("hash", num_buckets)
+        self.bucketizers: Dict[str, tuple] = {}
         self.feature_map: Optional[FeatureMap] = None
 
     # -- fit ----------------------------------------------------------------
@@ -120,6 +122,34 @@ class FeatureEncoder:
                 continue
 
             share = col.get("share_embedding")
+            if ftype == CATEGORICAL and col.get("category_encoder"):
+                # bucketized categorical columns — reference declares these
+                # (`recbox/matching/features.py:219-237`) but its transform
+                # raises NotImplementedError (`features.py:292-298`); here
+                # both directions work.
+                enc_kind = col["category_encoder"]
+                num_buckets = int(col.get("num_buckets", 10))
+                if enc_kind == "quantile_bucket":
+                    vals = np.asarray(values, dtype=np.float64)
+                    # boundaries = the reference's
+                    # QuantileTransformer(n_quantiles=B+1).quantiles_[1:-1]:
+                    # B-1 internal quantile cut points
+                    qs = np.linspace(0.0, 1.0, num_buckets + 1)[1:-1]
+                    boundaries = np.quantile(vals, qs)
+                    self.bucketizers[name] = ("quantile", boundaries)
+                    vocab = num_buckets
+                elif enc_kind == "hash_bucket":
+                    n_unique = len(np.unique(values.astype(str)))
+                    vocab = min(num_buckets, n_unique)
+                    self.bucketizers[name] = ("hash", vocab)
+                else:
+                    raise ValueError(
+                        f"category_encoder={enc_kind!r} not supported "
+                        "(use 'quantile_bucket' or 'hash_bucket')")
+                spec_by_name[name] = FeatureSpec(
+                    name=name, type=CATEGORICAL, source=source,
+                    vocab_size=vocab, embedding_dim=emb_dim)
+                continue
             if ftype == CATEGORICAL:
                 if share and share in self.tokenizers:
                     tok = self.tokenizers[share]
@@ -209,13 +239,31 @@ class FeatureEncoder:
             elif spec.type == NUMERIC:
                 out[spec.name] = self.normalizers[spec.name].transform(values)
             elif spec.type == CATEGORICAL:
-                out[spec.name] = self.tokenizers[spec.name].encode_category(values)
+                if spec.name in self.bucketizers:
+                    out[spec.name] = self._bucketize(spec.name, values)
+                else:
+                    out[spec.name] = self.tokenizers[spec.name].encode_category(values)
             elif spec.type == SEQUENCE:
                 out[spec.name] = self.tokenizers[spec.name].encode_sequence(values)
         for label in self.label_cols:
             if self._has_column(table, label):
                 out[label] = np.asarray(_get_column(table, label), dtype=np.float32)
         return out
+
+    def _bucketize(self, name: str, values) -> np.ndarray:
+        kind, arg = self.bucketizers[name]
+        if kind == "quantile":
+            vals = np.asarray(values, dtype=np.float64)
+            return np.digitize(vals, arg).astype(np.int32)
+        # hash: deterministic (crc32 of the utf-8 string form) so encodings
+        # are stable across processes — python's builtin hash() is
+        # per-process salted and would scramble ids between train and serve
+        import zlib
+        flat = np.asarray(values).astype(str)
+        out = np.fromiter(
+            (zlib.crc32(v.encode("utf-8")) % arg for v in flat.reshape(-1)),
+            dtype=np.int32, count=flat.size)
+        return out.reshape(flat.shape)
 
     @staticmethod
     def _has_column(table, name: str) -> bool:
@@ -231,6 +279,7 @@ class FeatureEncoder:
         state = {
             "tokenizers": {k: t.state() for k, t in self.tokenizers.items()},
             "normalizers": {k: n.state() for k, n in self.normalizers.items()},
+            "bucketizers": self.bucketizers,
             "feature_cols": self.feature_cols,
             "label_cols": self.label_cols,
         }
@@ -247,5 +296,6 @@ class FeatureEncoder:
                   group_id=fm.group_id)
         enc.tokenizers = {k: Tokenizer.from_state(s) for k, s in state["tokenizers"].items()}
         enc.normalizers = {k: Normalizer.from_state(s) for k, s in state["normalizers"].items()}
+        enc.bucketizers = state.get("bucketizers", {})
         enc.feature_map = fm
         return enc

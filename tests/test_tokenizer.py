@@ -202,3 +202,64 @@ def test_share_embedding_order_independent():
             {"name": "x", "type": "categorical",
              "share_embedding": "nope"}], dataset_id="bad").fit(
             {"x": np.asarray(["a"])})
+
+
+class TestBucketEncoders:
+    """category_encoder='quantile_bucket'/'hash_bucket' on categorical cols.
+
+    The reference fits these (`recbox/matching/features.py:219-237`) but its
+    transform raises NotImplementedError (`features.py:292-298`); here both
+    directions are exercised.
+    """
+
+    def test_quantile_bucket_balanced(self):
+        rng = np.random.default_rng(0)
+        vals = rng.normal(size=2000)
+        enc = FeatureEncoder(
+            [{"name": "price", "type": "categorical",
+              "category_encoder": "quantile_bucket", "num_buckets": 4}],
+            dataset_id="qb")
+        fm = enc.fit({"price": vals})
+        assert fm["price"].vocab_size == 4
+        out = enc.transform({"price": vals})["price"]
+        assert out.dtype == np.int32
+        assert out.min() == 0 and out.max() == 3
+        counts = np.bincount(out, minlength=4)
+        # quantile cuts ⇒ near-equal occupancy
+        assert counts.min() > 0.8 * len(vals) / 4
+
+    def test_quantile_bucket_monotone(self):
+        enc = FeatureEncoder(
+            [{"name": "v", "type": "categorical",
+              "category_encoder": "quantile_bucket", "num_buckets": 3}],
+            dataset_id="qb2")
+        enc.fit({"v": np.arange(90, dtype=np.float64)})
+        out = enc.transform({"v": np.array([0.0, 40.0, 89.0])})["v"]
+        assert list(out) == sorted(out)
+        assert out[0] == 0 and out[-1] == 2
+
+    def test_hash_bucket_stable_and_capped(self, tmp_path):
+        vals = np.array(["a", "b", "c", "a", "b"])
+        enc = FeatureEncoder(
+            [{"name": "tag", "type": "categorical",
+              "category_encoder": "hash_bucket", "num_buckets": 100}],
+            dataset_id="hb")
+        fm = enc.fit({"tag": vals})
+        # capped at the number of uniques, reference features.py:232-234
+        assert fm["tag"].vocab_size == 3
+        out = enc.transform({"tag": vals})["tag"]
+        assert (out < 3).all() and out.dtype == np.int32
+        # same raw value always lands in the same bucket
+        assert out[0] == out[3] and out[1] == out[4]
+        # persists: encodings identical after save/load (crc32, not the
+        # per-process-salted builtin hash)
+        enc.save(str(tmp_path))
+        enc2 = FeatureEncoder.load(str(tmp_path))
+        np.testing.assert_array_equal(out, enc2.transform({"tag": vals})["tag"])
+
+    def test_unknown_category_encoder_raises(self):
+        with pytest.raises(ValueError, match="category_encoder"):
+            FeatureEncoder(
+                [{"name": "x", "type": "categorical",
+                  "category_encoder": "mystery"}],
+                dataset_id="bad").fit({"x": np.array([1.0])})
