@@ -28,6 +28,7 @@ import numpy as np
 
 from recbox_tpu.features.schema import (
     CATEGORICAL, META, NUMERIC, SEQUENCE, FeatureMap, FeatureSpec,
+    auto_embedding_dim,
 )
 from recbox_tpu.features.tokenizer import Normalizer, Tokenizer
 
@@ -89,6 +90,7 @@ class FeatureEncoder:
         (reference join semantics: `recbox/matching/features.py:105-156`).
         """
         spec_by_name: Dict[str, FeatureSpec] = {}
+        auto_dims: set = set()
         num_items = 0
         # process share_embedding columns AFTER their base columns so the
         # shared vocab exists when they fit (a share column listed first
@@ -108,11 +110,21 @@ class FeatureEncoder:
             table = item_corpus if (item_corpus is not None and source == "item") else train_table
             values = _get_column(table, name)
             emb_dim = col.get("embedding_dim", self.default_embedding_dim)
+            if emb_dim == "auto":
+                # resolved from the final vocab size in the assembly pass
+                # below (vocabs can still grow through share_embedding
+                # merges); rechub's 6·⌈vocab^0.25⌉ rule, `utils/data.py:85-97`
+                auto_dims.add(name)
+                emb_dim = 0
 
             if ftype == META:
                 spec_by_name[name] = FeatureSpec(name=name, type=META, source=source)
                 continue
             if ftype == NUMERIC:
+                if name in auto_dims:
+                    raise ValueError(
+                        f"embedding_dim='auto' needs a vocabulary; numeric "
+                        f"feature {name!r} must set an explicit width")
                 norm = Normalizer(col.get("normalizer", "StandardScaler"))
                 norm.fit(values)
                 self.normalizers[name] = norm
@@ -205,6 +217,9 @@ class FeatureEncoder:
                 tok = self.tokenizers[s.name]
                 s = FeatureSpec(**{**s.__dict__, "vocab_size": tok.vocab_size,
                                    "padding_idx": tok.padding_idx})
+            if s.name in auto_dims:
+                s = FeatureSpec(**{**s.__dict__,
+                                   "embedding_dim": auto_embedding_dim(s.vocab_size)})
             fixed.append(s)
         specs = fixed
 

@@ -26,6 +26,16 @@ META = "meta"
 _VALID_TYPES = (CATEGORICAL, NUMERIC, SEQUENCE, META)
 
 
+def auto_embedding_dim(vocab_size: int) -> int:
+    """Heuristic width 6·⌈vocab^0.25⌉ (rechub `utils/data.py:85-97`),
+    rounded up to a multiple of 8 so stacked fields stay sublane-aligned
+    on TPU (the rechub rule yields widths like 6/12/18 that force padding
+    in (B, F, D) interaction layers)."""
+    import math
+    dim = 6 * math.ceil(max(1, vocab_size) ** 0.25)
+    return ((dim + 7) // 8) * 8
+
+
 @dataclasses.dataclass(frozen=True)
 class FeatureSpec:
     """Schema of one input feature.

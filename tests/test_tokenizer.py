@@ -263,3 +263,27 @@ class TestBucketEncoders:
                 [{"name": "x", "type": "categorical",
                   "category_encoder": "mystery"}],
                 dataset_id="bad").fit({"x": np.array([1.0])})
+
+
+class TestAutoEmbeddingDim:
+    def test_rule_and_alignment(self):
+        from recbox_tpu.features.schema import auto_embedding_dim
+        # 6*ceil(v^0.25) rounded up to a multiple of 8
+        assert auto_embedding_dim(1) == 8        # 6 -> 8
+        assert auto_embedding_dim(10_000) == 64  # 6*10 = 60 -> 64
+        assert auto_embedding_dim(100_000) == 112  # 6*18 = 108 -> 112
+
+    def test_encoder_auto(self):
+        enc = FeatureEncoder(
+            [{"name": "item", "type": "categorical", "embedding_dim": "auto"}],
+            dataset_id="auto")
+        fm = enc.fit({"item": np.arange(5000).astype(str)})
+        from recbox_tpu.features.schema import auto_embedding_dim
+        assert fm["item"].embedding_dim == auto_embedding_dim(fm["item"].vocab_size)
+        assert fm["item"].embedding_dim % 8 == 0
+
+    def test_numeric_auto_raises(self):
+        with pytest.raises(ValueError, match="auto"):
+            FeatureEncoder(
+                [{"name": "x", "type": "numeric", "embedding_dim": "auto"}],
+                dataset_id="bad").fit({"x": np.array([1.0])})
