@@ -79,6 +79,13 @@ class FeatureEncoder:
         self.normalizers: Dict[str, Normalizer] = {}
         # name -> ("quantile", boundaries ndarray) | ("hash", num_buckets)
         self.bucketizers: Dict[str, tuple] = {}
+        # per-column raw-value hook applied before fit AND transform — the
+        # reference's regex-parsed "fn(arg)" preprocess strings resolved to
+        # FeatureProcessor subclass methods (`feature_processor.py:82-88`);
+        # a plain callable is the idiomatic form here. Must be a module-level
+        # function (not a lambda) for the encoder to survive save()/load().
+        self._preprocess = {c["name"]: c["preprocess"]
+                            for c in flat if callable(c.get("preprocess"))}
         self.feature_map: Optional[FeatureMap] = None
 
     # -- fit ----------------------------------------------------------------
@@ -109,6 +116,8 @@ class FeatureEncoder:
             source = col.get("source", "")
             table = item_corpus if (item_corpus is not None and source == "item") else train_table
             values = _get_column(table, name)
+            if name in self._preprocess:
+                values = np.asarray(self._preprocess[name](values))
             emb_dim = col.get("embedding_dim", self.default_embedding_dim)
             if emb_dim == "auto":
                 # resolved from the final vocab size in the assembly pass
@@ -249,6 +258,8 @@ class FeatureEncoder:
             if not self._has_column(table, spec.name):
                 continue
             values = _get_column(table, spec.name)
+            if spec.name in self._preprocess:
+                values = np.asarray(self._preprocess[spec.name](values))
             if spec.type == META:
                 out[spec.name] = np.asarray(values)
             elif spec.type == NUMERIC:

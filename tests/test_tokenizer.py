@@ -287,3 +287,25 @@ class TestAutoEmbeddingDim:
             FeatureEncoder(
                 [{"name": "x", "type": "numeric", "embedding_dim": "auto"}],
                 dataset_id="bad").fit({"x": np.array([1.0])})
+
+
+def _log1p_round(values):
+    return np.log1p(np.asarray(values, dtype=np.float64)).round().astype(np.int64)
+
+
+class TestPreprocessHook:
+    def test_applied_in_fit_and_transform(self, tmp_path):
+        vals = np.array([0.0, 3.0, 30.0, 300.0, 3000.0])
+        enc = FeatureEncoder(
+            [{"name": "pv", "type": "categorical",
+              "preprocess": _log1p_round}],
+            dataset_id="pp")
+        fm = enc.fit({"pv": vals})
+        # distinct log1p-rounded values: 0,1,3,6,8 -> vocab 5 + OOV
+        assert fm["pv"].vocab_size == 6
+        out = enc.transform({"pv": vals})["pv"]
+        assert (out > 0).all()  # all seen in fit, none OOV
+        # survives persistence (module-level fn pickles by reference)
+        enc.save(str(tmp_path))
+        enc2 = FeatureEncoder.load(str(tmp_path))
+        np.testing.assert_array_equal(out, enc2.transform({"pv": vals})["pv"])
