@@ -475,6 +475,13 @@ class Trainer:
 
         ``output_key`` extracts the prediction array from structured model
         outputs (a callable, or a mapping key) before concatenation."""
+        if getattr(loader, "shuffle", False):
+            # a shuffled loader silently misaligns predictions with the
+            # caller's label order — scores look healthy but metrics
+            # computed against unshuffled labels are chance-level
+            raise ValueError(
+                "predict() needs an order-preserving loader; construct it "
+                "with shuffle=False")
         outs = []
         variables = {"params": self.full_params(), **self.model_state}
         fwd = self._forward()

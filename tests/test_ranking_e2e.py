@@ -92,3 +92,28 @@ def test_model_smoke(ctr_data, model_cls, kwargs):
     metrics = _fit(model_cls(feature_map=fm, embedding_dim=8, **kwargs),
                    fm, small_train, valid, epochs=1)
     assert np.isfinite(metrics["AUC"]) and np.isfinite(metrics["logloss"])
+
+
+def test_predict_rejects_shuffled_loader():
+    """A shuffled loader misaligns predictions with caller-side labels —
+    predict() must fail loudly instead of returning chance-level scores."""
+    import numpy as np
+    import pytest
+    from recbox_tpu.data import ArrayLoader
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import LR
+    from recbox_tpu.ops import binary_crossentropy
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    fm = FeatureMap("t", (FeatureSpec("a", "categorical", vocab_size=4,
+                                      embedding_dim=4),), labels=("y",))
+    arrays = {"a": np.array([1, 2, 3, 1], dtype=np.int32),
+              "y": np.array([0, 1, 0, 1], dtype=np.float32)}
+    t = Trainer(LR(feature_map=fm),
+                lambda o, b: binary_crossentropy(o, b["y"]),
+                TrainerConfig(learning_rate=1e-2, epochs=1, monitor="AUC"))
+    t.fit(ArrayLoader(arrays, batch_size=4, seed=0))
+    with pytest.raises(ValueError, match="shuffle=False"):
+        t.predict(ArrayLoader(arrays, batch_size=4))  # shuffle defaults True
+    out = t.predict(ArrayLoader(arrays, batch_size=4, shuffle=False))
+    assert out.shape == (4,)
