@@ -148,19 +148,38 @@ class FeatureEncoder:
                 # (`recbox/matching/features.py:219-237`) but its transform
                 # raises NotImplementedError (`features.py:292-298`); here
                 # both directions work.
+                incompatible = [k for k in ("share_embedding", "pretrained_emb",
+                                            "na_value", "topk_words",
+                                            "min_categr_count") if k in col]
+                if incompatible:
+                    raise ValueError(
+                        f"feature {name!r}: category_encoder cannot combine "
+                        f"with {incompatible} (buckets have no token vocab "
+                        "to share, pretrain, or frequency-filter)")
                 enc_kind = col["category_encoder"]
                 num_buckets = int(col.get("num_buckets", 10))
                 if enc_kind == "quantile_bucket":
                     vals = np.asarray(values, dtype=np.float64)
+                    if np.isnan(vals).all():
+                        raise ValueError(
+                            f"quantile_bucket feature {name!r}: all values "
+                            "NaN at fit")
                     # boundaries = the reference's
                     # QuantileTransformer(n_quantiles=B+1).quantiles_[1:-1]:
-                    # B-1 internal quantile cut points
+                    # B-1 internal quantile cut points. NaNs are excluded
+                    # from the fit and imputed to the median bucket at
+                    # transform (the Normalizer's mean-imputation policy;
+                    # plain np.quantile would yield all-NaN boundaries and
+                    # silently collapse every value into the top bucket).
                     qs = np.linspace(0.0, 1.0, num_buckets + 1)[1:-1]
-                    boundaries = np.quantile(vals, qs)
-                    self.bucketizers[name] = ("quantile", boundaries)
+                    boundaries = np.nanquantile(vals, qs)
+                    nan_bucket = int(np.digitize(np.nanmedian(vals),
+                                                 boundaries))
+                    self.bucketizers[name] = ("quantile",
+                                              (boundaries, nan_bucket))
                     vocab = num_buckets
                 elif enc_kind == "hash_bucket":
-                    n_unique = len(np.unique(values.astype(str)))
+                    n_unique = len(np.unique(np.asarray(values).astype(str)))
                     vocab = min(num_buckets, n_unique)
                     self.bucketizers[name] = ("hash", vocab)
                 else:
@@ -226,11 +245,18 @@ class FeatureEncoder:
                 tok = self.tokenizers[s.name]
                 s = FeatureSpec(**{**s.__dict__, "vocab_size": tok.vocab_size,
                                    "padding_idx": tok.padding_idx})
-            if s.name in auto_dims:
+            if s.name in auto_dims and not s.share_embedding:
                 s = FeatureSpec(**{**s.__dict__,
                                    "embedding_dim": auto_embedding_dim(s.vocab_size)})
             fixed.append(s)
-        specs = fixed
+        # share_embedding columns must match the BASE table's width — an
+        # auto dim derived from their own vocab (base+1 for sequence PAD)
+        # would silently size the shared table inconsistently
+        by_name = {s.name: s for s in fixed}
+        specs = [s if not (s.name in auto_dims and s.share_embedding)
+                 else FeatureSpec(**{**s.__dict__, "embedding_dim":
+                                     by_name[s.share_embedding].embedding_dim})
+                 for s in fixed]
 
         if item_corpus is not None and self.corpus_index:
             num_items = len(_get_column(item_corpus, self.corpus_index))
@@ -279,17 +305,27 @@ class FeatureEncoder:
     def _bucketize(self, name: str, values) -> np.ndarray:
         kind, arg = self.bucketizers[name]
         if kind == "quantile":
+            boundaries, nan_bucket = arg
             vals = np.asarray(values, dtype=np.float64)
-            return np.digitize(vals, arg).astype(np.int32)
-        # hash: deterministic (crc32 of the utf-8 string form) so encodings
-        # are stable across processes — python's builtin hash() is
-        # per-process salted and would scramble ids between train and serve
-        import zlib
-        flat = np.asarray(values).astype(str)
-        out = np.fromiter(
-            (zlib.crc32(v.encode("utf-8")) % arg for v in flat.reshape(-1)),
-            dtype=np.int32, count=flat.size)
-        return out.reshape(flat.shape)
+            out = np.digitize(vals, boundaries).astype(np.int32)
+            # serve-time NaNs go to the fitted median's bucket (digitize
+            # would silently put them in the TOP bucket)
+            return np.where(np.isnan(vals), np.int32(nan_bucket), out)
+        # hash: deterministic so encodings are stable across processes —
+        # python's builtin hash() is per-process salted and would scramble
+        # ids between train and serve. Vectorized FNV-1a over the
+        # fixed-width byte matrix (a per-element Python hash loop runs
+        # ~1M vals/s — minutes per transform at Criteo scale).
+        flat = np.asarray(values).astype("S")          # (N,) fixed-width bytes
+        byte_mat = flat.view(np.uint8).reshape(len(flat), -1)  # (N, W)
+        h = np.full(len(flat), np.uint64(0xCBF29CE484222325))
+        prime = np.uint64(0x100000001B3)
+        for c in range(byte_mat.shape[1]):
+            col = byte_mat[:, c].astype(np.uint64)
+            # pad bytes (0) leave the hash untouched so "a" and "a\0\0"
+            # collide as they should; branchless where beats fancy indexing
+            h = np.where(col != 0, (h ^ col) * prime, h)
+        return (h % np.uint64(arg)).astype(np.int32).reshape(np.shape(values))
 
     @staticmethod
     def _has_column(table, name: str) -> bool:

@@ -309,3 +309,67 @@ class TestPreprocessHook:
         enc.save(str(tmp_path))
         enc2 = FeatureEncoder.load(str(tmp_path))
         np.testing.assert_array_equal(out, enc2.transform({"pv": vals})["pv"])
+
+
+class TestBucketEdgeCases:
+    """Review findings: NaN handling, share_embedding conflicts, shared auto dims."""
+
+    def test_quantile_nan_excluded_from_fit_imputed_at_transform(self):
+        vals = np.array([1.0, 2.0, np.nan, 4.0, 5.0])
+        enc = FeatureEncoder(
+            [{"name": "p", "type": "categorical",
+              "category_encoder": "quantile_bucket", "num_buckets": 4}],
+            dataset_id="qnan")
+        enc.fit({"p": vals})
+        kind, (boundaries, nan_bucket) = enc.bucketizers["p"]
+        assert np.isfinite(boundaries).all()    # NaN excluded from fit
+        out = enc.transform({"p": np.array([1.0, np.nan, 5.0])})["p"]
+        assert out[0] == 0 and out[2] == 3
+        assert out[1] == nan_bucket            # median bucket, not top
+        assert 0 < nan_bucket < 4
+
+    def test_quantile_all_nan_raises(self):
+        with pytest.raises(ValueError, match="NaN"):
+            FeatureEncoder(
+                [{"name": "p", "type": "categorical",
+                  "category_encoder": "quantile_bucket"}],
+                dataset_id="allnan").fit({"p": np.array([np.nan, np.nan])})
+
+    def test_bucket_rejects_share_embedding(self):
+        with pytest.raises(ValueError, match="share_embedding"):
+            FeatureEncoder(
+                [{"name": "item_id", "type": "categorical"},
+                 {"name": "ib", "type": "categorical",
+                  "category_encoder": "hash_bucket",
+                  "share_embedding": "item_id"}],
+                dataset_id="conflict").fit(
+                {"item_id": np.array(["a"]), "ib": np.array(["a"])})
+
+    def test_auto_dim_share_uses_base_width(self):
+        # sequence share vocab = base + 1 (PAD) — an auto dim from its own
+        # vocab could disagree with the base table's width
+        enc = FeatureEncoder(
+            [{"name": "item_id", "type": "categorical",
+              "embedding_dim": "auto"},
+             {"name": "hist", "type": "sequence", "splitter": "^",
+              "max_len": 3, "share_embedding": "item_id",
+              "embedding_dim": "auto"}],
+            dataset_id="sharedim")
+        fm = enc.fit({"item_id": np.array(["a", "b", "c"]),
+                      "hist": np.array(["a^b", "c", "b^c^a"])})
+        assert fm["hist"].embedding_dim == fm["item_id"].embedding_dim
+
+    def test_hash_vectorized_matches_shape_and_range(self):
+        vals = np.array([f"tok{i}" for i in range(5000)])
+        enc = FeatureEncoder(
+            [{"name": "t", "type": "categorical",
+              "category_encoder": "hash_bucket", "num_buckets": 64}],
+            dataset_id="hv")
+        enc.fit({"t": vals})
+        out = enc.transform({"t": vals})["t"]
+        assert out.shape == vals.shape and out.dtype == np.int32
+        assert out.min() >= 0 and out.max() < 64
+        # decent spread (FNV-1a, 5000 keys into 64 buckets)
+        assert len(np.unique(out)) == 64
+        # stability: same values -> same buckets on a second call
+        np.testing.assert_array_equal(out, enc.transform({"t": vals})["t"])

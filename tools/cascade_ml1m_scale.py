@@ -153,12 +153,15 @@ hist = {u: train_u2i.get(u, []) + valid_u2i.get(u, [])
 test_ev = RetrievalEvaluator({"user_id": tu}, corpus, tu, hist, test_u2i,
                              metrics=["Recall(k=20)", "NDCG(k=20)"])
 stage1_test = test_ev(t_match)
-rel_test = np.array([[1.0 if i in set(test_u2i[int(u)]) else 0.0
-                      for i in test_cand[r]]
-                     for r, u in enumerate(tu)])
-rel_valid = np.array([[1.0 if i in set(valid_u2i[int(u)]) else 0.0
-                       for i in valid_cand[r]]
-                      for r, u in enumerate(vu)])
+def _relevance(users, cand, u2i):
+    out = np.zeros(cand.shape, np.float64)
+    for r, u in enumerate(users):
+        pos = set(u2i[int(u)])
+        out[r] = [1.0 if i in pos else 0.0 for i in cand[r]]
+    return out
+
+rel_test = _relevance(tu, test_cand, test_u2i)
+rel_valid = _relevance(vu, valid_cand, valid_u2i)
 cand_recall = float(np.mean(
     rel_test.sum(1) / np.maximum([len(test_u2i[int(u)]) for u in tu], 1)))
 log(f"stage1 MF test: {stage1_test}  candidate-recall@{CAND}: {cand_recall:.4f}")
