@@ -42,7 +42,71 @@ from jax import shard_map
 from recbox_tpu.parallel.mesh import MODEL_AXIS
 
 __all__ = ["BruteForceMIPS", "chunked_topk", "approx_mips_topk",
-           "segmented_mips_topk"]
+           "segmented_mips_topk", "int8_mips_topk", "quantize_int8"]
+
+
+def quantize_int8(items: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 quantization: (N, D) f32 → (int8 rows, f32
+    row scales). Row-wise max-abs scaling keeps the relative error of every
+    item's score ≲ 1/127 regardless of per-item norm spread (a single
+    global scale would crush low-norm items to zero)."""
+    amax = jnp.max(jnp.abs(items), axis=1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(items / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "query_chunk",
+                                             "recall_target", "oversample"))
+def int8_mips_topk(queries: jnp.ndarray, q_items: jnp.ndarray,
+                   item_scale: jnp.ndarray, topk: int,
+                   query_chunk: int = 1024, recall_target: float = 0.95,
+                   oversample: int = 0,
+                   items_f32: Optional[jnp.ndarray] = None):
+    """Quantized MIPS: s8×s8→s32 scoring on the MXU + per-row rescale.
+
+    The int8 matmul runs ~2× the bf16 rate on the MXU (v5e: 394 vs
+    197 TOPS) and the corpus costs 4× less HBM than f32 — the quantized
+    serving mode faiss exposes as `IndexScalarQuantizer` but the reference
+    never wires up (`recbox/utils/ann/faiss.py:3-15` is IndexFlatIP only).
+    Queries are quantized per row on the fly; scores are rescaled to f32
+    (`s32 · item_scale · query_scale`) before `approx_max_k`, so ranking
+    error is bounded by the two rounding steps (≈1% relative).
+
+    With ``oversample > 0`` and ``items_f32`` provided, the int8 sweep
+    over-retrieves ``oversample × topk`` candidates and re-scores just
+    those in exact f32 (the 'refined' pattern) — returned scores are then
+    exact and recall loss from quantization is confined to the candidate
+    tail.
+    """
+    Q, D = queries.shape
+    refine = bool(oversample) and items_f32 is not None
+    k1 = min(oversample * topk, q_items.shape[0]) if refine else topk
+    pad = (-Q) % query_chunk
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, D), queries.dtype)], axis=0)
+
+    def body(q):
+        qa = jnp.max(jnp.abs(q), axis=1)
+        qs = jnp.maximum(qa, 1e-12) / 127.0
+        qq = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+        s_int = jax.lax.dot_general(
+            qq, q_items, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        s = s_int.astype(jnp.float32) * item_scale[None, :] * qs[:, None]
+        return jax.lax.approx_max_k(s, k1, recall_target=recall_target)
+
+    s, i = jax.lax.map(body, queries.reshape(-1, query_chunk, D))
+    s = s.reshape(-1, k1)[:Q]
+    i = i.reshape(-1, k1)[:Q]
+    queries = queries[:Q]
+    if refine:
+        cand_emb = items_f32[i]                           # (Q, k1, D)
+        exact = jnp.einsum("qd,qkd->qk", queries, cand_emb)
+        s, pos = jax.lax.top_k(exact, topk)
+        i = jnp.take_along_axis(i, pos, axis=1)
+    return s, i.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "query_chunk",
@@ -190,12 +254,21 @@ class BruteForceMIPS:
         'refined' (two-phase, near-exact) | 'exact'/'exact_sort' (scan
         merge, truly exact).
       recall_target: approx_max_k knob for method='approx'.
+      quantize: None | 'int8' — per-row symmetric int8 corpus (s8×s8→s32
+        MXU scoring, ~2× bf16 rate, 4× less HBM than f32; see
+        `int8_mips_topk`). With method='refined' the int8 sweep
+        over-retrieves and candidates are re-scored in exact f32; with
+        `keep_f32=False` the f32 corpus is dropped after quantization
+        (pure-int8 serving, no refine available). Unsharded paths only.
+      keep_f32: keep the f32 corpus alongside int8 rows (needed for the
+        refined rescore); ignored unless quantize='int8'.
     """
 
     def __init__(self, item_embs: np.ndarray, metric: str = "ip",
                  mesh: Optional[Mesh] = None, method: str = "approx",
                  recall_target: float = 0.95, chunk_size: int = 8192,
-                 query_chunk: int = 1024, bf16: bool = True):
+                 query_chunk: int = 1024, bf16: bool = True,
+                 quantize: Optional[str] = None, keep_f32: bool = True):
         items = jnp.asarray(item_embs, jnp.float32)
         if metric == "cosine":
             items = items / jnp.maximum(
@@ -210,6 +283,15 @@ class BruteForceMIPS:
         self.chunk_size = chunk_size
         self.query_chunk = query_chunk
         self.bf16 = bf16
+        if quantize not in (None, "int8"):
+            raise NotImplementedError(f"quantize={quantize!r}")
+        if quantize and mesh is not None:
+            raise NotImplementedError(
+                "quantize='int8' is unsharded-only for now")
+        self.quantize = quantize
+        self.keep_f32 = keep_f32
+        if quantize == "int8":
+            self.q_items, self.item_scale = quantize_int8(items)
         self._search_sharded = None
         if mesh is not None:
             n_shards = mesh.shape[MODEL_AXIS]
@@ -222,7 +304,8 @@ class BruteForceMIPS:
                 items, NamedSharding(mesh, P(MODEL_AXIS, None)))
             self.shard_size = items.shape[0] // n_shards
         else:
-            self.items = items
+            self.items = None if (quantize == "int8" and not keep_f32) \
+                else items
 
     def _build_sharded_search(self, topk: int):
         mesh = self.mesh
@@ -271,6 +354,14 @@ class BruteForceMIPS:
                 self._search_sharded = self._build_sharded_search(topk)
                 self._sharded_topk = topk
             s, i = self._search_sharded(queries, self.padded_items)
+        elif self.quantize == "int8":
+            refine = self.method == "refined" and self.items is not None
+            s, i = int8_mips_topk(
+                queries, self.q_items, self.item_scale, topk,
+                query_chunk=self.query_chunk,
+                recall_target=self.recall_target,
+                oversample=4 if refine else 0,
+                items_f32=self.items if refine else None)
         elif self.method == "pallas" and self.num_items > 16 * topk \
                 and jax.default_backend() not in ("cpu",):
             # Mosaic kernels need a real TPU; CPU runs fall through to the

@@ -14,7 +14,10 @@ object over the framework's own engines:
 Towers come from any MatchingModel (encode_user/encode_item); the index is
 `BruteForceMIPS` (method: approx | segmented | pallas | refined | exact,
 optionally mesh-sharded over the item axis) — the TPU-native replacement
-for the external ANN services. Multi-interest models (MIND/ComiRec) work
+for the external ANN services. Extra index options pass through, e.g.
+``RetrievalService(..., quantize="int8")`` serves from an int8-quantized
+corpus (2× MXU rate, 4× less HBM; pair with method='refined' for exact
+returned scores). Multi-interest models (MIND/ComiRec) work
 unchanged: (B, K, D) towers retrieve per interest, then merge by max
 score with per-row dedup (the MIND serving recipe).
 """

@@ -1,5 +1,7 @@
 """BruteForceMIPS: exactness vs numpy argsort, sharded merge, cosine metric."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -312,3 +314,110 @@ class TestRetrievalServiceMultiInterest:
             valid = ids[r][ids[r] >= 0]
             assert len(valid) == 4 and not set(valid.tolist()) & set(banned)
             assert np.all(np.isneginf(s[r][ids[r] < 0]))
+
+
+class TestInt8Quantized:
+    """int8 corpus scoring: s8xs8->s32 + per-row rescale (`int8_mips_topk`)."""
+
+    def _data(self, n=4096, d=32, q=64, seed=3):
+        r = np.random.default_rng(seed)
+        items = r.normal(size=(n, d)).astype(np.float32)
+        # heterogeneous norms: per-row scaling must keep low-norm items alive
+        items *= r.uniform(0.1, 10.0, size=(n, 1))
+        queries = r.normal(size=(q, d)).astype(np.float32)
+        return items, queries
+
+    def test_quantize_roundtrip_error_bounded(self):
+        from recbox_tpu.retrieval.index import quantize_int8
+        items, _ = self._data()
+        qi, scale = quantize_int8(jnp.asarray(items))
+        assert qi.dtype == jnp.int8
+        deq = np.asarray(qi, np.float32) * np.asarray(scale)[:, None]
+        rel = np.abs(deq - items).max(axis=1) / np.abs(items).max(axis=1)
+        assert rel.max() < 1.0 / 127 + 1e-6
+
+    def test_int8_recall_vs_exact(self):
+        from recbox_tpu.retrieval.index import chunked_topk, int8_mips_topk, quantize_int8
+        items, queries = self._data()
+        k = 10
+        _, exact_i = chunked_topk(jnp.asarray(queries), jnp.asarray(items), k)
+        qi, scale = quantize_int8(jnp.asarray(items))
+        _, i8 = int8_mips_topk(jnp.asarray(queries), qi, scale, k,
+                               query_chunk=64, recall_target=0.99)
+        exact_i, i8 = np.asarray(exact_i), np.asarray(i8)
+        recall = np.mean([len(set(exact_i[r]) & set(i8[r])) / k
+                          for r in range(len(exact_i))])
+        assert recall > 0.85, recall
+
+    def test_int8_refined_exact_scores(self):
+        from recbox_tpu.retrieval.index import chunked_topk, int8_mips_topk, quantize_int8
+        items, queries = self._data()
+        k = 10
+        es, ei = chunked_topk(jnp.asarray(queries), jnp.asarray(items), k)
+        qi, scale = quantize_int8(jnp.asarray(items))
+        rs, ri = int8_mips_topk(jnp.asarray(queries), qi, scale, k,
+                                query_chunk=64, recall_target=0.99,
+                                oversample=4, items_f32=jnp.asarray(items))
+        rs, ri = np.asarray(rs), np.asarray(ri)
+        es, ei = np.asarray(es), np.asarray(ei)
+        # refined scores are exact f32 for every returned item
+        manual = np.einsum("qd,qkd->qk", queries, items[ri])
+        np.testing.assert_allclose(rs, manual, rtol=1e-5, atol=1e-4)
+        recall = np.mean([len(set(ei[r]) & set(ri[r])) / k
+                          for r in range(len(ei))])
+        assert recall > 0.95, recall
+
+    def test_index_dispatch_and_pure_int8(self):
+        from recbox_tpu.retrieval.index import BruteForceMIPS
+        items, queries = self._data(n=2048)
+        idx = BruteForceMIPS(items, method="refined", quantize="int8")
+        s, i = idx.search(queries, topk=5)
+        assert s.shape == (len(queries), 5) and i.shape == (len(queries), 5)
+        # pure int8 (f32 corpus dropped): no refine, still works
+        idx2 = BruteForceMIPS(items, method="approx", quantize="int8",
+                              keep_f32=False)
+        assert idx2.items is None
+        s2, i2 = idx2.search(queries, topk=5)
+        assert s2.shape == (len(queries), 5)
+        # top-1 agreement between refined and pure int8 is high
+        agree = np.mean(i[:, 0] == i2[:, 0])
+        assert agree > 0.8, agree
+
+    def test_int8_rejects_sharded(self):
+        import pytest
+        from jax.sharding import Mesh
+        from recbox_tpu.retrieval.index import BruteForceMIPS
+        items, _ = self._data(n=256)
+        devs = np.array(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devs, ("data", "model"))
+        with pytest.raises(NotImplementedError, match="unsharded"):
+            BruteForceMIPS(items, mesh=mesh, quantize="int8")
+
+
+def test_service_int8_passthrough():
+    """quantize='int8' flows through RetrievalService to the index."""
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.matching.two_tower import MF
+    from recbox_tpu.retrieval import RetrievalService
+
+    n_items, dim = 512, 16
+    fm = FeatureMap(
+        "svc8", (FeatureSpec("user_id", "categorical", source="user",
+                             vocab_size=64, embedding_dim=dim),
+                 FeatureSpec("item_id", "categorical", source="item",
+                             vocab_size=n_items, embedding_dim=dim)),
+        query_index="user_id", corpus_index="item_id", num_items=n_items)
+    model = MF(feature_map=fm, embedding_dim=dim)
+    vu = model.init(jax.random.PRNGKey(0),
+                    {"user_id": np.arange(2, dtype=np.int32)},
+                    method=model.encode_user)
+    vi = model.init(jax.random.PRNGKey(1),
+                    {"item_id": np.arange(2, dtype=np.int32)},
+                    method=model.encode_item)
+    variables = {"params": {**vu["params"], **vi["params"]}}
+    corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+    svc = RetrievalService(model, variables, corpus, method="refined",
+                           quantize="int8")
+    assert svc.index.quantize == "int8"
+    scores, ids = svc.query({"user_id": np.arange(8, dtype=np.int32)}, k=5)
+    assert scores.shape == (8, 5) and ids.shape == (8, 5)
