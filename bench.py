@@ -47,6 +47,8 @@ floor and a rows-proportional regime above ~16k batch.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -54,7 +56,37 @@ import numpy as np
 SELF_BASELINE_EXAMPLES_PER_SEC = 1.0e6  # round-1 reference point
 
 
+def _backend_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe device init in a subprocess with a hard timeout.
+
+    The axon TPU tunnel can be down (observed 2026-08-17: every
+    jax.devices() blocks forever inside make_c_api_client, even
+    CPU-forced — see .claude/skills/verify/SKILL.md). An unguarded run
+    would hang the driver; probe first and fail loudly instead.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "deepfm_criteo_train_throughput_per_chip",
+            "value": 0.0,
+            "unit": "examples/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable: jax.devices() hung >300s "
+                     "(axon tunnel down). Last healthy on-chip band: "
+                     "851k-860k examples/s best-of-5 (see README bench "
+                     "history and docs/PARITY.md).",
+        }))
+        return
+
     import jax
 
     from recbox_tpu.features import FeatureMap, FeatureSpec
