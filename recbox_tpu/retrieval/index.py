@@ -56,6 +56,18 @@ def quantize_int8(items: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _rescore_exact(queries, items_f32, cand, topk: int):
+    """Exact f32 rescore of per-query candidate lists → (scores, indices).
+
+    Shared tail of every two-phase ('refined') path: gather the candidate
+    rows, score them exactly, and keep the top-k.
+    """
+    cand_emb = items_f32[cand]                              # (Q, k1, D)
+    exact = jnp.einsum("qd,qkd->qk", queries, cand_emb)
+    s, pos = jax.lax.top_k(exact, topk)
+    return s, jnp.take_along_axis(cand, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("topk", "query_chunk",
                                              "recall_target", "oversample"))
 def int8_mips_topk(queries: jnp.ndarray, q_items: jnp.ndarray,
@@ -88,9 +100,7 @@ def int8_mips_topk(queries: jnp.ndarray, q_items: jnp.ndarray,
             [queries, jnp.zeros((pad, D), queries.dtype)], axis=0)
 
     def body(q):
-        qa = jnp.max(jnp.abs(q), axis=1)
-        qs = jnp.maximum(qa, 1e-12) / 127.0
-        qq = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+        qq, qs = quantize_int8(q)
         s_int = jax.lax.dot_general(
             qq, q_items, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -102,10 +112,7 @@ def int8_mips_topk(queries: jnp.ndarray, q_items: jnp.ndarray,
     i = i.reshape(-1, k1)[:Q]
     queries = queries[:Q]
     if refine:
-        cand_emb = items_f32[i]                           # (Q, k1, D)
-        exact = jnp.einsum("qd,qkd->qk", queries, cand_emb)
-        s, pos = jax.lax.top_k(exact, topk)
-        i = jnp.take_along_axis(i, pos, axis=1)
+        s, i = _rescore_exact(queries, items_f32, i, topk)
     return s, i.astype(jnp.int32)
 
 
@@ -233,10 +240,7 @@ def _two_phase_exact(queries, items, topk: int, oversample: int = 4,
     k1 = min(oversample * topk, items.shape[0])
     _, cand = approx_mips_topk(queries, items, k1, query_chunk=query_chunk,
                                recall_target=0.99, bf16=True)
-    cand_emb = items[cand]                                  # (Q, k1, D)
-    exact = jnp.einsum("qd,qkd->qk", queries, cand_emb)
-    s, pos = jax.lax.top_k(exact, topk)
-    return s, jnp.take_along_axis(cand, pos, axis=1)
+    return _rescore_exact(queries, items, cand, topk)
 
 
 class BruteForceMIPS:
@@ -256,19 +260,25 @@ class BruteForceMIPS:
       recall_target: approx_max_k knob for method='approx'.
       quantize: None | 'int8' — per-row symmetric int8 corpus (s8×s8→s32
         MXU scoring, ~2× bf16 rate, 4× less HBM than f32; see
-        `int8_mips_topk`). With method='refined' the int8 sweep
-        over-retrieves and candidates are re-scored in exact f32; with
-        `keep_f32=False` the f32 corpus is dropped after quantization
-        (pure-int8 serving, no refine available). Unsharded paths only.
-      keep_f32: keep the f32 corpus alongside int8 rows (needed for the
-        refined rescore); ignored unless quantize='int8'.
+        `int8_mips_topk`). Only honored by method='approx' (pure-int8
+        sweep, quantized approximate scores) and method='refined' (int8
+        over-retrieve + exact f32 rescore — returned scores exact); any
+        other method raises rather than silently ignoring the quantized
+        rows. Unsharded paths only.
+      keep_f32: keep the f32 corpus alongside int8 rows. Default (None)
+        resolves to True only when the method actually reads it
+        (method='refined' rescore); method='approx' drops the f32 corpus
+        for the full 4× HBM saving. Explicit keep_f32=False with
+        method='refined' is contradictory and raises. Ignored unless
+        quantize='int8'.
     """
 
     def __init__(self, item_embs: np.ndarray, metric: str = "ip",
                  mesh: Optional[Mesh] = None, method: str = "approx",
                  recall_target: float = 0.95, chunk_size: int = 8192,
                  query_chunk: int = 1024, bf16: bool = True,
-                 quantize: Optional[str] = None, keep_f32: bool = True):
+                 quantize: Optional[str] = None,
+                 keep_f32: Optional[bool] = None):
         items = jnp.asarray(item_embs, jnp.float32)
         if metric == "cosine":
             items = items / jnp.maximum(
@@ -288,6 +298,18 @@ class BruteForceMIPS:
         if quantize and mesh is not None:
             raise NotImplementedError(
                 "quantize='int8' is unsharded-only for now")
+        if quantize and self.method not in ("approx", "refined"):
+            # silently answering an 'exact' request with quantized
+            # approximate scores would violate the method contract
+            raise NotImplementedError(
+                f"quantize='int8' supports method='approx'/'refined', "
+                f"got method={method!r}")
+        if quantize and self.method == "refined" and keep_f32 is False:
+            raise ValueError(
+                "method='refined' needs the f32 corpus for the exact "
+                "rescore; keep_f32=False contradicts it")
+        if keep_f32 is None:
+            keep_f32 = self.method == "refined"
         self.quantize = quantize
         self.keep_f32 = keep_f32
         if quantize == "int8":
@@ -355,11 +377,14 @@ class BruteForceMIPS:
                 self._sharded_topk = topk
             s, i = self._search_sharded(queries, self.padded_items)
         elif self.quantize == "int8":
-            refine = self.method == "refined" and self.items is not None
+            refine = self.method == "refined"
+            # refined candidate sweeps run at >=0.99 like _two_phase_exact:
+            # the over-retrieve exists to make tail loss negligible
             s, i = int8_mips_topk(
                 queries, self.q_items, self.item_scale, topk,
                 query_chunk=self.query_chunk,
-                recall_target=self.recall_target,
+                recall_target=(max(self.recall_target, 0.99) if refine
+                               else self.recall_target),
                 oversample=4 if refine else 0,
                 items_f32=self.items if refine else None)
         elif self.method == "pallas" and self.num_items > 16 * topk \

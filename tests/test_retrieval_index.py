@@ -383,6 +383,31 @@ class TestInt8Quantized:
         agree = np.mean(i[:, 0] == i2[:, 0])
         assert agree > 0.8, agree
 
+    def test_int8_rejects_unsupported_method_and_contradictory_config(self):
+        import pytest
+        from recbox_tpu.retrieval.index import BruteForceMIPS
+        items, _ = self._data(n=256)
+        # 'exact' must not silently answer with quantized approx scores
+        with pytest.raises(NotImplementedError, match="method"):
+            BruteForceMIPS(items, method="exact", quantize="int8")
+        with pytest.raises(NotImplementedError, match="method"):
+            BruteForceMIPS(items, method="segmented", quantize="int8")
+        # refined needs the f32 corpus for the rescore
+        with pytest.raises(ValueError, match="keep_f32"):
+            BruteForceMIPS(items, method="refined", quantize="int8",
+                           keep_f32=False)
+
+    def test_int8_approx_drops_f32_by_default(self):
+        from recbox_tpu.retrieval.index import BruteForceMIPS
+        items, queries = self._data(n=512)
+        idx = BruteForceMIPS(items, method="approx", quantize="int8")
+        assert idx.items is None           # full 4x HBM saving by default
+        s, i = idx.search(queries, topk=5)
+        assert s.shape == (len(queries), 5)
+        # refined keeps it (needed for the rescore)
+        idx2 = BruteForceMIPS(items, method="refined", quantize="int8")
+        assert idx2.items is not None
+
     def test_int8_rejects_sharded(self):
         import pytest
         from jax.sharding import Mesh
