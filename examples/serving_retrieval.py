@@ -62,3 +62,13 @@ svc.refresh_items({"item_id": np.arange(50, dtype=np.int32)})
 _, ids3 = svc.query({"user_id": qusers}, k=5)
 assert int(ids3.max()) < 50
 print("catalog swap OK — index rebuilt over", svc.num_items, "items")
+
+# durable snapshot: save -> load reproduces the serving state without
+# re-encoding the corpus (deploy artifact; model definition is code)
+import tempfile
+with tempfile.TemporaryDirectory() as d:
+    svc.save(d + "/svc")
+    svc_restored = RetrievalService.load(d + "/svc", trainer.model)
+    _, ids4 = svc_restored.query({"user_id": qusers}, k=5)
+    assert np.array_equal(ids3, ids4)
+print("save/load round-trip OK")

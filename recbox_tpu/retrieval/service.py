@@ -10,6 +10,8 @@ object over the framework's own engines:
                                         method="segmented")
     scores, ids = svc.query({"user_id": uids}, k=100)
     svc.refresh_items(new_corpus_arrays)      # corpus swap, index rebuilt
+    svc.save("serving/v42")                   # durable snapshot (rank-0)
+    svc = RetrievalService.load("serving/v42", model)   # no re-encode
 
 Towers come from any MatchingModel (encode_user/encode_item); the index is
 `BruteForceMIPS` (method: approx | segmented | pallas | refined | exact,
@@ -57,9 +59,15 @@ def _merge_interests(s: np.ndarray, i: np.ndarray, t: int
 class RetrievalService:
     """Encode-once item index + tower-encoded query path."""
 
-    def __init__(self, model, variables, corpus_arrays: Dict[str, np.ndarray],
+    def __init__(self, model, variables,
+                 corpus_arrays: Optional[Dict[str, np.ndarray]] = None,
                  metric: str = "ip", method: str = "segmented",
-                 batch_size: int = 8192, mesh=None, **index_kwargs):
+                 batch_size: int = 8192, mesh=None,
+                 item_embs: Optional[np.ndarray] = None, **index_kwargs):
+        if (corpus_arrays is None) == (item_embs is None):
+            raise ValueError(
+                "pass exactly one of corpus_arrays (encode now) or "
+                "item_embs (pre-encoded, e.g. RetrievalService.load)")
         self.model = model
         self.variables = variables
         self.metric = metric
@@ -71,7 +79,10 @@ class RetrievalService:
             v, b, method=model.encode_user))
         self._item_fn = jax.jit(lambda v, b: model.apply(
             v, b, method=model.encode_item))
-        self.refresh_items(corpus_arrays)
+        if corpus_arrays is not None:
+            self.refresh_items(corpus_arrays)
+        else:
+            self._build_index(np.asarray(item_embs))
 
     @classmethod
     def from_trainer(cls, trainer, corpus_arrays: Dict[str, np.ndarray],
@@ -94,10 +105,72 @@ class RetrievalService:
     def refresh_items(self, corpus_arrays: Dict[str, np.ndarray]) -> None:
         """Re-encode the corpus and rebuild the index (item catalog swap —
         the Milvus collection-rebuild analog, `match.py:197-219`)."""
-        self.item_embs = self._encode(self._item_fn, corpus_arrays)
+        self._build_index(self._encode(self._item_fn, corpus_arrays))
+
+    def _build_index(self, item_embs: np.ndarray) -> None:
+        self.item_embs = item_embs
         self.index = BruteForceMIPS(self.item_embs, metric=self.metric,
                                     method=self.method, mesh=self.mesh,
                                     **self.index_kwargs)
+
+    # -- persistence -----------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the service to a directory: encoded corpus + model
+        variables + index config. The faiss-analog of `index.dump()` plus
+        the reference's inference_embedding dump
+        (`rechub/trainers/match_trainer.py:156`), in one durable unit.
+
+        Rank-0-only under multi-process runs (same discipline as
+        `save_checkpoint`). Reload with ``RetrievalService.load(path,
+        model)`` — the model definition is code, not data, so the caller
+        supplies it (flax's standard split of module vs variables).
+        """
+        import jax as _jax
+        if _jax.process_count() > 1 and _jax.process_index() != 0:
+            return
+        import json
+        import os
+        from flax import serialization
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "item_embs.tmp.npy")  # np.save appends .npy
+        np.save(tmp, self.item_embs)
+        os.replace(tmp, os.path.join(path, "item_embs.npy"))
+        from flax import linen as _nn
+        # unbox Partitioned/AxisMetadata leaves: restoring raw state dicts
+        # must yield plain arrays, not {"value": ...} stubs apply can't read
+        var_bytes = serialization.to_bytes(
+            _jax.tree_util.tree_map(np.asarray,
+                                    _nn.meta.unbox(self.variables)))
+        tmp = os.path.join(path, "variables.msgpack.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(var_bytes)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "variables.msgpack"))
+        cfg = {"metric": self.metric, "method": self.method,
+               "batch_size": self.batch_size,
+               "index_kwargs": self.index_kwargs}
+        tmp = os.path.join(path, "service.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(cfg, fh)
+        os.replace(tmp, os.path.join(path, "service.json"))
+
+    @classmethod
+    def load(cls, path: str, model, mesh=None) -> "RetrievalService":
+        """Rebuild a saved service: no corpus re-encode (the index is built
+        straight from the persisted embeddings), variables restored without
+        needing an init batch (msgpack_restore carries the tree)."""
+        import json
+        import os
+        from flax import serialization
+        with open(os.path.join(path, "service.json")) as fh:
+            cfg = json.load(fh)
+        with open(os.path.join(path, "variables.msgpack"), "rb") as fh:
+            variables = serialization.msgpack_restore(fh.read())
+        item_embs = np.load(os.path.join(path, "item_embs.npy"))
+        return cls(model, variables, metric=cfg["metric"],
+                   method=cfg["method"], batch_size=cfg["batch_size"],
+                   mesh=mesh, item_embs=item_embs, **cfg["index_kwargs"])
 
     @property
     def num_items(self) -> int:

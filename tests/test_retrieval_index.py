@@ -446,3 +446,63 @@ def test_service_int8_passthrough():
     assert svc.index.quantize == "int8"
     scores, ids = svc.query({"user_id": np.arange(8, dtype=np.int32)}, k=5)
     assert scores.shape == (8, 5) and ids.shape == (8, 5)
+
+
+def test_service_save_load_roundtrip(tmp_path):
+    """save() → load() reproduces identical query results without
+    re-encoding the corpus, and preserves index config (incl. quantize)."""
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.matching.two_tower import MF
+    from recbox_tpu.retrieval import RetrievalService
+
+    n_items, dim = 256, 16
+    fm = FeatureMap(
+        "svcsl", (FeatureSpec("user_id", "categorical", source="user",
+                              vocab_size=64, embedding_dim=dim),
+                  FeatureSpec("item_id", "categorical", source="item",
+                              vocab_size=n_items, embedding_dim=dim)),
+        query_index="user_id", corpus_index="item_id", num_items=n_items)
+    model = MF(feature_map=fm, embedding_dim=dim)
+    vu = model.init(jax.random.PRNGKey(0),
+                    {"user_id": np.arange(2, dtype=np.int32)},
+                    method=model.encode_user)
+    vi = model.init(jax.random.PRNGKey(1),
+                    {"item_id": np.arange(2, dtype=np.int32)},
+                    method=model.encode_item)
+    variables = {"params": {**vu["params"], **vi["params"]}}
+    corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+    svc = RetrievalService(model, variables, corpus, method="refined",
+                           quantize="int8")
+    users = {"user_id": np.arange(8, dtype=np.int32)}
+    s0, i0 = svc.query(users, k=5)
+    svc.save(str(tmp_path / "svc"))
+    svc2 = RetrievalService.load(str(tmp_path / "svc"), model)
+    assert svc2.index.quantize == "int8" and svc2.method == "refined"
+    assert svc2.num_items == n_items
+    s1, i1 = svc2.query(users, k=5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+    # loaded service still supports catalog swap (towers restored)
+    svc2.refresh_items({"item_id": np.arange(128, dtype=np.int32)})
+    assert svc2.num_items == 128
+
+
+def test_service_rejects_both_or_neither_corpus_inputs():
+    import pytest
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.matching.two_tower import MF
+    from recbox_tpu.retrieval import RetrievalService
+
+    fm = FeatureMap(
+        "svcx", (FeatureSpec("user_id", "categorical", source="user",
+                             vocab_size=8, embedding_dim=8),
+                 FeatureSpec("item_id", "categorical", source="item",
+                             vocab_size=8, embedding_dim=8)),
+        query_index="user_id", corpus_index="item_id", num_items=8)
+    model = MF(feature_map=fm, embedding_dim=8)
+    with pytest.raises(ValueError, match="exactly one"):
+        RetrievalService(model, {"params": {}})
+    with pytest.raises(ValueError, match="exactly one"):
+        RetrievalService(model, {"params": {}},
+                         {"item_id": np.arange(8, dtype=np.int32)},
+                         item_embs=np.zeros((8, 8), np.float32))
