@@ -66,7 +66,7 @@ def _block_auc(scores, ub, ib):
 
 
 def _train_pairwise(model, users, items, rng, steps=300, lr=1e-2,
-                    batch=256, extra_batch=None):
+                    batch=256, extra_batch=None, neg_range=None):
     """BPR training on (user, pos, sampled-neg) triples via model.score."""
     import optax
     init_ids = jnp.asarray(items[:8])[:, None].repeat(2, 1)
@@ -95,7 +95,7 @@ def _train_pairwise(model, users, items, rng, steps=300, lr=1e-2,
     n = len(users)
     for _ in range(steps):
         idx = rng_np.integers(0, n, size=batch)
-        neg = rng_np.integers(0, N_ITEMS, size=batch)
+        neg = rng_np.integers(0, neg_range or N_ITEMS, size=batch)
         ids = jnp.asarray(np.stack([items[idx], neg], axis=1))
         b = {"user_id": jnp.asarray(users[idx]),
              "__item_ids__": ids, "item::item_id": ids}
