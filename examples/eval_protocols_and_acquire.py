@@ -68,7 +68,10 @@ def main():
     vu = np.array(sorted(valid_u2i), np.int32)
     base = dict(model="MF", embedding_dim=16, learning_rate=0.05, epochs=8,
                 batch_size=256, num_negs=4, monitor="Recall(k=10)",
-                patience=10, metrics=["Recall(k=10)", "NDCG(k=10)"])
+                patience=10, metrics=["Recall(k=10)", "NDCG(k=10)"],
+                # atomic ids start at 1: corpus row 0 is the PAD pseudo-item
+                # — mask it in full-sort, never sample it as a negative
+                exclude_items=[0])
     for proto in ("full", "uni50", "pop50"):
         out = run_matching_experiment(
             {**base, "eval_protocol": proto}, fm,

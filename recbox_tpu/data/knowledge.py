@@ -122,14 +122,20 @@ def build_ripple_sets(kg: KnowledgeGraph, user_items: Dict[int, list],
                 if s < kg.n_entities:
                     cand.extend(range(starts[s], ends[s]))
             if not cand:
-                # degenerate: self-loops on the seeds (reference repeats
-                # the previous hop)
-                base = np.asarray(seeds or [0], np.int32)
-                idx = rng.choice(len(base), size=n_memory)
-                heads[ui, hop] = base[idx]
-                rels[ui, hop] = INTERACT_RELATION
-                tails[ui, hop] = base[idx]
-                seeds = list(base[idx])
+                # reference fallback (`ripplenet.py:118-131`): an empty
+                # hop>0 COPIES the previous hop's ripple set verbatim; an
+                # empty hop 0 (user with no KG-reachable seeds) pads with
+                # all-zero triples
+                if hop > 0:
+                    heads[ui, hop] = heads[ui, hop - 1]
+                    rels[ui, hop] = rels[ui, hop - 1]
+                    tails[ui, hop] = tails[ui, hop - 1]
+                    seeds = list(tails[ui, hop])
+                else:
+                    heads[ui, hop] = 0
+                    rels[ui, hop] = 0
+                    tails[ui, hop] = 0
+                    seeds = [0]
                 continue
             cand = np.asarray(cand)
             pick = rng.choice(cand, size=n_memory,

@@ -61,6 +61,7 @@ def sample_eval_candidates(
     item_counts: Optional[np.ndarray] = None,
     seed: int = 2024,
     max_attempts: int = 50,
+    exclude_items: Sequence[int] = (),
 ):
     """Build the static candidate matrix for every evaluated user.
 
@@ -71,11 +72,17 @@ def sample_eval_candidates(
     by bounded re-draw (`sampler.py:147-192` semantics: after
     ``max_attempts`` rounds any still-colliding draw is kept, matching the
     reference's give-up behavior on ultra-dense users).
+
+    ``exclude_items`` are catalog rows that are not real items (e.g. the
+    PAD/OOV row 0 of a tokenizer-layout corpus): they are never drawn as
+    negatives — recbole's NegSampleEvalDataLoader samples real tokens only.
+    Duplicate positives inside a user's valid list are collapsed (lists
+    are sets per user in the reference).
     """
     rng = np.random.default_rng(seed)
     query_indices = np.asarray(query_indices)
     U = len(query_indices)
-    true_lists = [list(valid_user2items.get(int(q), ()))
+    true_lists = [list(dict.fromkeys(valid_user2items.get(int(q), ())))
                   for q in query_indices]
     P = max((len(l) for l in true_lists), default=1) or 1
     true_padded = _pad_lists(true_lists, pad=-1)                # (U, P)
@@ -98,6 +105,9 @@ def sample_eval_candidates(
 
     # used-id exclusion via membership bitmap (vectorized across all users)
     used = np.zeros((U, num_items + 1), dtype=bool)
+    for it in exclude_items:
+        if 0 <= it < num_items:
+            used[:, it] = True
     for i, q in enumerate(query_indices):
         for it in train_user2items.get(int(q), ()):
             if 0 <= it < num_items:
@@ -122,8 +132,8 @@ def sample_eval_candidates(
     n_pos = (true_padded >= 0).sum(axis=1, keepdims=True)      # (U, 1)
     neg_valid = np.arange(n_neg)[None, :] < n_pos * num_negs   # (U, n_neg)
     cand_valid = np.concatenate([true_padded >= 0, neg_valid], axis=1)
-    # duplicate positives across a user's padded slots cannot occur (lists
-    # are sets per user in the reference); padded slots carry id=num_items
+    # duplicate positives cannot occur: true_lists are deduped above (the
+    # reference keeps per-user sets); padded slots carry id=num_items
     # (out of catalog) so they can never match a true item
     return cand_ids, cand_valid, true_padded
 

@@ -179,7 +179,7 @@ def evaluate_ctr(
         elif metric.startswith("NDCG"):
             m = re.search(r"(?:k\s*=\s*|@)(\d+)", metric)
             k = int(m.group(1)) if m else 10
-            out[metric] = grouped_vals[k]
+            out[metric] = grouped_vals[f"NDCG@{k}"]
         else:
             raise ValueError(f"metric={metric} not supported.")
     return dict(out)

@@ -41,6 +41,7 @@ class RetrievalEvaluator:
         item_categories: Optional[np.ndarray] = None,
         protocol: str = "full",
         protocol_seed: int = 2024,
+        exclude_items: Sequence[int] = (),
     ):
         self.user_loader = ArrayLoader(user_arrays, batch_size=batch_size,
                                        shuffle=False)
@@ -59,6 +60,10 @@ class RetrievalEvaluator:
         # same candidate lists.
         self.protocol = protocol
         self.protocol_seed = protocol_seed
+        # catalog rows that are not real items (e.g. the PAD/OOV row 0 of
+        # a tokenizer-layout corpus): −inf-masked in full-sort, never drawn
+        # as sampled-protocol negatives, excluded from beyond-accuracy
+        self.exclude_items = tuple(exclude_items)
         self._candidates = None
         if protocol != "full":
             from recbox_tpu.evaluation.candidate import parse_protocol
@@ -115,7 +120,8 @@ class RetrievalEvaluator:
         if self.protocol == "full":
             out = evaluate_retrieval(
                 user_embs, item_embs, self.train_user2items,
-                self.valid_user2items, self.query_indices, self.metrics)
+                self.valid_user2items, self.query_indices, self.metrics,
+                exclude_items=self.exclude_items)
         else:
             from recbox_tpu.evaluation.candidate import (
                 evaluate_candidate_retrieval, parse_protocol,
@@ -130,7 +136,8 @@ class RetrievalEvaluator:
                     self.query_indices, self.train_user2items,
                     self.valid_user2items, item_embs.shape[0], n_neg,
                     distribution=dist, item_counts=counts,
-                    seed=self.protocol_seed)
+                    seed=self.protocol_seed,
+                    exclude_items=self.exclude_items)
             cand_ids, cand_valid, true_padded = self._candidates
             out = evaluate_candidate_retrieval(
                 user_embs, item_embs, cand_ids, cand_valid, true_padded,
@@ -143,18 +150,32 @@ class RetrievalEvaluator:
                 _pad_lists, full_sort_topk,
             )
             num_items = item_embs.shape[0]
-            train_lists = [list(self.train_user2items.get(q, ()))
-                           for q in self.query_indices]
-            train_padded = _pad_lists(train_lists, pad=num_items)
-            # chunk users — full_sort_topk over everyone at once would
-            # materialize the whole (U, I) score matrix on device
-            chunks = []
-            for s in range(0, len(user_embs), 1024):
-                _, ids = full_sort_topk(
-                    user_embs[s:s + 1024], item_embs, self.beyond_topk,
-                    train_items=train_padded[s:s + 1024])
-                chunks.append(ids)
-            topk_ids = np.concatenate(chunks, axis=0)
+            if self.protocol != "full" and self._candidates is not None:
+                # sampled protocols: the recommendation set IS the
+                # candidate-ranked list (recbole's NegSample mode derives
+                # coverage/Gini/… from the same lists the accuracy metrics
+                # rank) — a full-sort basis here would make the metric
+                # bundle internally inconsistent
+                from recbox_tpu.evaluation.candidate import candidate_topk
+                cand_ids, cand_valid, _ = self._candidates
+                topk_ids = np.asarray(candidate_topk(
+                    jnp.asarray(user_embs), jnp.asarray(item_embs),
+                    jnp.asarray(cand_ids), jnp.asarray(cand_valid),
+                    self.beyond_topk))
+            else:
+                excl = list(self.exclude_items)
+                train_lists = [list(self.train_user2items.get(q, ())) + excl
+                               for q in self.query_indices]
+                train_padded = _pad_lists(train_lists, pad=num_items)
+                # chunk users — full_sort_topk over everyone at once would
+                # materialize the whole (U, I) score matrix on device
+                chunks = []
+                for s in range(0, len(user_embs), 1024):
+                    _, ids = full_sort_topk(
+                        user_embs[s:s + 1024], item_embs, self.beyond_topk,
+                        train_items=train_padded[s:s + 1024])
+                    chunks.append(ids)
+                topk_ids = np.concatenate(chunks, axis=0)
             counts = self.item_counts
             if counts is None:
                 # popularity from the FULL training mapping (recbole's

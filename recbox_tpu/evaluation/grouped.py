@@ -131,7 +131,12 @@ def grouped_metrics_device(
     metrics: Sequence[str],
     ndcg_ks: Sequence[int] = (),
 ) -> Dict[str, float]:
-    """Segment-sorted grouped metrics; same contract as the host loop."""
+    """Segment-sorted grouped metrics; same contract as the host loop.
+
+    ``metrics`` accepts 'gAUC' / 'avgAUC' / 'MRR' exactly (anything else
+    raises — a typo must not silently drop a metric); NDCG cutoffs go in
+    ``ndcg_ks`` and come back under string keys ``'NDCG@{k}'``.
+    """
     y = jnp.asarray(np.asarray(y_true).reshape(-1))
     p = jnp.asarray(np.asarray(y_pred).reshape(-1))
     g = jnp.asarray(np.asarray(group_id).reshape(-1))
@@ -144,6 +149,10 @@ def grouped_metrics_device(
             out[m] = float(avgauc)
         elif m == "MRR":
             out[m] = float(mrr)
+        else:
+            raise ValueError(
+                f"unknown grouped metric {m!r}; expected gAUC/avgAUC/MRR "
+                "(NDCG cutoffs go in ndcg_ks)")
     for k in ndcg_ks:
-        out[k] = float(ndcgs[k])
+        out[f"NDCG@{k}"] = float(ndcgs[k])
     return out

@@ -53,11 +53,19 @@ def evaluate_rerank(
         # de-biased fractional labels and graded clicks need the reference
         # gain for comparable numbers)
         disc = 1.0 / np.log2(np.arange(kk) + 2.0)
-        dcg = np.sum((np.power(2.0, top) - 1.0) * disc, axis=1)
+        # cap the exponent: de-biased labels (label/propensity) can reach
+        # the thousands for tail propensities, and 2^1024 overflows f64 to
+        # inf, making dcg/idcg = inf/inf = NaN and poisoning the mean. At
+        # 2^500 the largest gain already dominates every other term, so
+        # the capped ratio is unchanged for any realistic list
+        _EXP_CAP = 500.0
+        dcg = np.sum((np.exp2(np.minimum(top, _EXP_CAP)) - 1.0) * disc,
+                     axis=1)
         ideal = np.take_along_axis(
             labels * mask, np.argsort(-(labels * mask), axis=1, kind="stable"),
             axis=1)[:, :kk]
-        idcg = np.sum((np.power(2.0, ideal) - 1.0) * disc, axis=1)
+        idcg = np.sum((np.exp2(np.minimum(ideal, _EXP_CAP)) - 1.0) * disc,
+                      axis=1)
         out[f"NDCG@{k}"] = float(np.mean(np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)))
     return out
 

@@ -106,12 +106,29 @@ def _metrics_chunk(topk_items, true_items, ks: Tuple[Tuple[str, int], ...]):
             idcg = icum[jnp.clip(ideal_n, 0, k).astype(jnp.int32)]
             val = dcg / (idcg + 1e-12)
         elif name == "MRR":
+            # reference-parity semantics (`core/metrics.py` MRR): SUM of
+            # reciprocal ranks over ALL hits (ARHR-style, can exceed 1.0).
+            # recbole/standard first-hit MRR is `StdMRR` below.
             val = jnp.sum(h / (pos[:k] + 1.0), axis=1)
+        elif name == "StdMRR":
+            # standard/recbole MRR: reciprocal rank of the FIRST hit only
+            # (`third_party/recbole/evaluator/metrics.py:67-97`)
+            first = jnp.argmax(h, axis=1)
+            val = jnp.where(nh > 0, 1.0 / (first + 1.0), 0.0)
         elif name == "HitRate":
             val = (nh > 0).astype(jnp.float32)
         elif name == "MAP":
+            # reference-parity semantics (`core/metrics.py` MAP): average
+            # precision normalized by the number of hits RETRIEVED.
+            # recbole/standard normalization is `StdMAP` below.
             prec_at_i = jnp.cumsum(h, axis=1) / (pos[:k] + 1.0)
             val = jnp.sum(prec_at_i * h, axis=1) / (nh + 1e-12)
+        elif name == "StdMAP":
+            # recbole MAP@k: normalized by min(|relevant|, k)
+            # (`third_party/recbole/evaluator/metrics.py:99-137`)
+            prec_at_i = jnp.cumsum(h, axis=1) / (pos[:k] + 1.0)
+            val = jnp.sum(prec_at_i * h, axis=1) \
+                / (jnp.minimum(num_true, float(k)) + 1e-12)
         else:
             raise NotImplementedError(f"metric {name}")
         out[f"{name}(k={k})"] = val
@@ -126,18 +143,28 @@ def evaluate_retrieval(
     query_indices: Sequence[int],
     metrics: Sequence[str] = ("Recall(k=20)", "NDCG(k=10)"),
     chunk_size: int = 1024,
+    exclude_items: Sequence[int] = (),
 ) -> Dict[str, float]:
     """Drop-in functional equivalent of `evaluate_metrics` (`core/metrics.py:11`).
 
     Args mirror the reference: embeddings for each evaluated query row, the
-    item corpus matrix, per-user train/valid item-id lists, and metric strings.
+    item corpus matrix, per-user train/valid item-id lists, and metric
+    strings. ``exclude_items`` masks catalog rows that are not real items
+    for EVERY user — e.g. the PAD/OOV row 0 of a tokenizer-layout corpus,
+    which recbole's full-sort protocol likewise −inf-masks; without it an
+    untrained pad embedding competes in top-k. Duplicate ids inside a
+    user's valid list are collapsed (lists are sets per user in the
+    reference), so `num_true` cannot be inflated by repeat interactions.
     """
     parsed = tuple(parse_metric(m) for m in metrics)
     max_topk = max(k for _, k in parsed)
     num_users = len(user_embs)
     num_items = item_embs.shape[0]
-    train_lists = [list(train_user2items.get(q, ())) for q in query_indices]
-    true_lists = [list(valid_user2items.get(q, ())) for q in query_indices]
+    excl = list(exclude_items)
+    train_lists = [list(train_user2items.get(q, ())) + excl
+                   for q in query_indices]
+    true_lists = [list(dict.fromkeys(valid_user2items.get(q, ())))
+                  for q in query_indices]
     train_padded = _pad_lists(train_lists, pad=num_items)  # out-of-range ⇒ drop
     true_padded = _pad_lists(true_lists, pad=-1)
     item_embs = jnp.asarray(item_embs)

@@ -139,7 +139,11 @@ def run_matching_experiment(
         # recbole eval_args mode: 'full' (full-sort) or 'uniN'/'popN'
         # (candidate-set protocol, NegSampleEvalDataLoader parity)
         protocol=config.get("eval_protocol", "full"),
-        protocol_seed=config.get("seed", 2024))
+        protocol_seed=config.get("seed", 2024),
+        # catalog rows that are not real items (atomic/tokenizer-layout
+        # corpora carry the PAD/OOV row at id 0): masked in full-sort,
+        # never sampled as protocol negatives
+        exclude_items=tuple(config.get("exclude_items", ())))
 
     loss_name = config.get("loss", "PairwiseLogisticLoss")
     train_method = None
@@ -392,7 +396,8 @@ def run_kg_experiment(
         train_user2items, valid_user2items, metrics=metrics,
         batch_size=config.get("eval_batch_size", 4096),
         protocol=config.get("eval_protocol", "full"),
-        protocol_seed=config.get("seed", 2024))
+        protocol_seed=config.get("seed", 2024),
+        exclude_items=tuple(config.get("exclude_items", ())))
     match_loss = get_matching_loss(
         config.get("loss", "PairwiseLogisticLoss"))
     trainer = Trainer(model, lambda out, b: match_loss(out),

@@ -360,6 +360,25 @@ class Trainer:
             peek = getattr(train_loader, "peek_batch", None)
             sample = peek() if peek is not None else next(iter(train_loader))
             self.init(sample)
+        # loader contract (`data/loader.py`): tail batches are DROPPED for
+        # training, padded+masked for eval. fit() strips the mask and
+        # trains on every row, so a padding loader would silently train on
+        # up to batch_size-1 repeats of one example each epoch.
+        n = getattr(train_loader, "num_samples", None)
+        bs = getattr(train_loader, "batch_size", None)
+        if getattr(train_loader, "drop_last", None) is False \
+                and n and bs and n % bs:
+            if n >= bs:
+                raise ValueError(
+                    f"training loader pads its tail batch ({n % bs} real "
+                    f"rows repeated up to {bs}) and Trainer.fit trains on "
+                    "the padding — construct the train loader with "
+                    "drop_last=True (the tail is dropped), or align "
+                    "batch_size to the dataset size")
+            logger.warning(
+                "dataset smaller than one batch (%d < %d): training on a "
+                "padded batch (last row repeated %d times); prefer "
+                "batch_size=%d", n, bs, bs - n, n)
         last_metrics: Dict[str, float] = {}
         K = max(1, self.config.fused_steps)
         # eval fires whenever the step counter CROSSES a multiple of

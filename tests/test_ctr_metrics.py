@@ -101,7 +101,7 @@ class TestGroupedDeviceEngine:
                 grouped_auc(y, p, g, weighted=False), abs=1e-5)
             assert dev["MRR"] == pytest.approx(
                 _grouped_rank_metric(y, p, g, _mrr), abs=1e-5)
-            assert dev[5] == pytest.approx(
+            assert dev["NDCG@5"] == pytest.approx(
                 _grouped_rank_metric(y, p, g,
                                      lambda t, q: _ndcg(t, q, 5)), abs=1e-5)
 

@@ -41,7 +41,8 @@ def main():
     host = {
         "gAUC": grouped_auc(y, p, g, weighted=True),
         "MRR": _grouped_rank_metric(y, p, g, _mrr),
-        10: _grouped_rank_metric(y, p, g, lambda t, q: _ndcg(t, q, 10)),
+        "NDCG@10": _grouped_rank_metric(y, p, g,
+                                        lambda t, q: _ndcg(t, q, 10)),
     }
     t_host = time.perf_counter() - t0
 
