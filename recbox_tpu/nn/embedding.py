@@ -64,6 +64,41 @@ def emb_init(std: float = 1e-4):
     return init
 
 
+def _load_pretrained_matrix(path: str) -> np.ndarray:
+    """Load a (vocab, dim) matrix from .npy, or .npz (key 'embeddings'
+    preferred, else the single array)."""
+    data = np.load(path, allow_pickle=False)
+    if isinstance(data, np.ndarray):
+        return data
+    keys = list(data.keys())
+    key = "embeddings" if "embeddings" in keys else keys[0]
+    if "embeddings" not in keys and len(keys) > 1:
+        raise ValueError(
+            f"pretrained npz {path!r} has multiple arrays {keys}; store "
+            "the matrix under the key 'embeddings'")
+    return data[key]
+
+
+def _pretrained_init(path: str, rows: int, dim: int, fallback):
+    """Initializer that fills the leading rows from a pretrained matrix
+    (`FeatureSpec.pretrain_path`); rows beyond the file (PAD/shared-vocab
+    extension) keep the fallback draw. Reference load semantics:
+    `recbox/core/pytorch/layers/embedding.py:30-107`."""
+    def init(key, shape, dtype=jnp.float32):
+        arr = _load_pretrained_matrix(path)
+        if arr.ndim != 2 or arr.shape[1] != dim:
+            raise ValueError(
+                f"pretrained matrix {path!r} has shape {arr.shape}; "
+                f"expected (<= {rows}, {dim})")
+        if arr.shape[0] > rows:
+            raise ValueError(
+                f"pretrained matrix {path!r} has {arr.shape[0]} rows but "
+                f"the table only has {rows}")
+        base = fallback(key, shape, dtype)
+        return base.at[:arr.shape[0]].set(jnp.asarray(arr, dtype))
+    return init
+
+
 def masked_pool(seq_emb: jnp.ndarray, mask: jnp.ndarray, mode: str) -> jnp.ndarray:
     """Pool (B, L, D) under a (B, L) validity mask.
 
@@ -127,18 +162,30 @@ class FeatureEmbedding(nn.Module):
             owner = self.feature_map.feature_dict.get(tname, spec)
             # shared sequence features add a PAD row beyond the base vocab
             rows = max(owner.vocab_size, spec.vocab_size)
+            pretrain = owner.pretrain_path
             for f in self.feature_map.features:
                 if f.table_name == tname:
                     rows = max(rows, f.vocab_size)
+                    pretrain = pretrain or f.pretrain_path
             if self.emb_init_scheme == "xavier_normal":
                 init = nn.initializers.xavier_normal()
             else:
                 init = emb_init(self.emb_init_std)
+            if pretrain:
+                # pretrained load semantics (`embedding.py:30-107`): file
+                # vectors fill the leading rows, remaining rows (PAD/extra)
+                # keep the default draw
+                init = _pretrained_init(pretrain, rows, dim, init)
             if self.shard_tables:
                 init = nn.with_partitioning(init, (("data", "model"), None))
             table = self.param(f"emb_{tname}", init, (rows, dim), self.param_dtype)
             tables[tname] = table
             return table
+
+        def is_frozen(spec: FeatureSpec) -> bool:
+            tname = spec.table_name
+            owner = self.feature_map.feature_dict.get(tname, spec)
+            return owner.freeze_emb or spec.freeze_emb
 
         for spec in feats:
             dim = self.embedding_dim or spec.embedding_dim
@@ -160,6 +207,11 @@ class FeatureEmbedding(nn.Module):
                     # the whole table first would stream every row via the VPU
                     emb = jnp.take(jnp.asarray(get_table(spec, dim)), x,
                                    axis=0).astype(self.dtype)
+                if is_frozen(spec):
+                    # freeze_emb: no gradient reaches the table (covers the
+                    # dense path AND the sparse/packed trainers' injected
+                    # __rows__, whose row grads become exact zeros)
+                    emb = jax.lax.stop_gradient(emb)
                 if spec.padding_idx is not None:
                     emb = emb * (x != spec.padding_idx).astype(self.dtype)[..., None]
                 out[name] = emb
@@ -170,6 +222,8 @@ class FeatureEmbedding(nn.Module):
                 else:
                     emb = jnp.take(jnp.asarray(get_table(spec, dim)), x,
                                    axis=0).astype(self.dtype)  # (B, L, D)
+                if is_frozen(spec):
+                    emb = jax.lax.stop_gradient(emb)
                 pad = spec.padding_idx if spec.padding_idx is not None else spec.vocab_size - 1
                 mask = (x != pad)
                 emb = emb * mask.astype(self.dtype)[..., None]

@@ -126,6 +126,7 @@ class PackedEmbeddingTrainer(Trainer):
             raise NotImplementedError(
                 f"embedding_optimizer={embedding_optimizer!r}")
         self.embedding_lr = embedding_lr
+        self._emb_lr = None      # resolved at step build; plateau-decayed
         self.adagrad_init = adagrad_init
         self.adagrad_eps = adagrad_eps
         self.direct_init = direct_init
@@ -281,6 +282,17 @@ class PackedEmbeddingTrainer(Trainer):
             # direct init when 2x the packed bytes would crowd HBM
             use_direct = self._packed_physical_bytes() * 2 > 8 * 2 ** 30
         if use_direct:
+            scheme = getattr(self.model, "emb_init_scheme", "normal")
+            if self.table_initializer is None and scheme != "normal":
+                # the direct path draws normal(1e-4) and never runs the
+                # module's initializer — silently replacing e.g.
+                # xavier_normal (~1000x larger std) would regress quality
+                # the moment a config crosses the size threshold
+                raise ValueError(
+                    f"direct_init draws normal(std=1e-4) but the model "
+                    f"specifies emb_init_scheme={scheme!r}; pass "
+                    "table_initializer= matching the model's scheme (or "
+                    "direct_init=False to keep the exact init path)")
             self._init_direct(sample_batch)
         else:
             self._init_exact(sample_batch)
@@ -562,21 +574,25 @@ class PackedEmbeddingTrainer(Trainer):
         model = self.model
         loss_fn = self.loss_fn
         mutable_keys = list(self.model_state.keys())
-        if self.embedding_lr is not None:
-            emb_lr = self.embedding_lr
-        elif self.embedding_optimizer == "adam":
-            emb_lr = cfg.learning_rate
-        else:
-            # AdaGrad needs a much larger step than Adam-calibrated configs
-            # carry (accumulator starts near 0); 5e-2 is the DLRM-regime
-            # default — set embedding_lr explicitly to override
-            emb_lr = max(cfg.learning_rate, 5e-2)
+        if self._emb_lr is None:
+            if self.embedding_lr is not None:
+                self._emb_lr = self.embedding_lr
+            elif self.embedding_optimizer == "adam":
+                self._emb_lr = cfg.learning_rate
+            else:
+                # AdaGrad needs a much larger step than Adam-calibrated
+                # configs carry (accumulator starts near 0); 5e-2 is the
+                # DLRM-regime default — set embedding_lr to override
+                self._emb_lr = max(cfg.learning_rate, 5e-2)
         apply_kwargs = {}
         if self.train_method is not None:
             apply_kwargs["method"] = getattr(model, self.train_method)
 
+        # emb_lr is a TRACED step argument, not a closure constant: the
+        # plateau lr schedule (_on_plateau → _set_learning_rate) must reach
+        # the tables without recompiling the step
         def step_fn(dense_params, packs, accs, model_state, opt_state, batch,
-                    rng, step):
+                    rng, step, emb_lr):
             rows, ctx = self._gather_rows(packs, accs, batch)
 
             def compute_loss(dp, rows):
@@ -634,7 +650,8 @@ class PackedEmbeddingTrainer(Trainer):
         (self.params, self.packs, self.accs, self.model_state,
          self.opt_state, loss) = self._train_step(
             self.params, self.packs, self.accs, self.model_state,
-            self.opt_state, dbatch, rng, jnp.int32(self.step + 1))
+            self.opt_state, dbatch, rng, jnp.int32(self.step + 1),
+            jnp.float32(self._emb_lr))
         self.step += 1
         return loss
 
@@ -651,7 +668,7 @@ class PackedEmbeddingTrainer(Trainer):
             @partial(jax.jit, static_argnames=("n",),
                      donate_argnums=(0, 1, 2, 3, 4))
             def repeat(dense, packs, accs, model_state, opt_state, batch,
-                       rng, step0, n):
+                       rng, step0, emb_lr, n):
                 rngs = jax.random.split(rng, n)
                 steps = step0 + jnp.arange(1, n + 1, dtype=jnp.int32)
 
@@ -660,7 +677,7 @@ class PackedEmbeddingTrainer(Trainer):
                     dense, packs, accs, model_state, opt_state = carry
                     dense, packs, accs, model_state, opt_state, loss = inner(
                         dense, packs, accs, model_state, opt_state, batch,
-                        step_rng, step)
+                        step_rng, step, emb_lr)
                     return (dense, packs, accs, model_state, opt_state), loss
 
                 carry, losses = jax.lax.scan(
@@ -674,7 +691,8 @@ class PackedEmbeddingTrainer(Trainer):
         (self.params, self.packs, self.accs, self.model_state,
          self.opt_state, losses) = self._repeat_step(
             self.params, self.packs, self.accs, self.model_state,
-            self.opt_state, dbatch, rng, jnp.int32(self.step), n_steps)
+            self.opt_state, dbatch, rng, jnp.int32(self.step),
+            jnp.float32(self._emb_lr), n_steps)
         self.step += n_steps
         return losses
 
@@ -691,7 +709,7 @@ class PackedEmbeddingTrainer(Trainer):
 
             @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
             def fused(dense, packs, accs, model_state, opt_state, batches,
-                      rng, step0):
+                      rng, step0, emb_lr):
                 K = len(jax.tree_util.tree_leaves(batches)[0])
                 rngs = jax.random.split(rng, K)
                 steps = step0 + jnp.arange(1, K + 1, dtype=jnp.int32)
@@ -701,7 +719,7 @@ class PackedEmbeddingTrainer(Trainer):
                     batch, step_rng, step = inp
                     dense, packs, accs, model_state, opt_state, loss = inner(
                         dense, packs, accs, model_state, opt_state, batch,
-                        step_rng, step)
+                        step_rng, step, emb_lr)
                     return (dense, packs, accs, model_state, opt_state), loss
 
                 carry, losses = jax.lax.scan(
@@ -711,11 +729,12 @@ class PackedEmbeddingTrainer(Trainer):
 
             self._fused_step = fused
         rng, self._rng = jax.random.split(self._rng)
-        dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
+        dbatches = self._device_megabatch(batches)
         (self.params, self.packs, self.accs, self.model_state,
          self.opt_state, losses) = self._fused_step(
             self.params, self.packs, self.accs, self.model_state,
-            self.opt_state, dbatches, rng, jnp.int32(self.step))
+            self.opt_state, dbatches, rng, jnp.int32(self.step),
+            jnp.float32(self._emb_lr))
         self.step += int(losses.shape[0])
         return losses
 
@@ -764,6 +783,16 @@ class PackedEmbeddingTrainer(Trainer):
             return self.params
         return _merge_params(self.params, self.tables, self._table_paths)
 
+    # -- lr plateau reaches the tables too ----------------------------------
+    def _set_learning_rate(self, lr: float) -> None:
+        old = self.learning_rate
+        super()._set_learning_rate(lr)
+        if self._emb_lr is not None and old > 0:
+            # decay the embedding lr by the same factor as the dense lr
+            # (emb_lr is a traced step argument, so no recompile)
+            self._emb_lr = max(self._emb_lr * (lr / old),
+                               self.config.min_lr)
+
     # -- best weights + checkpointing --------------------------------------------
     def _capture_best(self) -> None:
         super()._capture_best()
@@ -778,27 +807,38 @@ class PackedEmbeddingTrainer(Trainer):
             self.accs = {k: jnp.asarray(v)
                          for k, v in self._best_accs.items()}
 
-    def _state_dict(self):
-        return {
-            "params": self.params,
-            "packs": self.packs,
-            "accs": self.accs,
-            "model_state": self.model_state,
-            "opt_state": self.opt_state,
-            "step": self.step,
-            "epoch": self.epoch,
-            "monitor": self.monitor.state(),
-        }
+    def state_dict(self):
+        # the public checkpoint contract (incl. OrbaxCheckpointer): the
+        # packed table/optimizer state MUST ride along or an orbax restore
+        # would silently revert every embedding to fresh random init
+        state = super().state_dict()
+        state["packs"] = self.packs
+        state["accs"] = self.accs
+        return state
 
     def save(self, path: str) -> None:
         from recbox_tpu.training.checkpoint import save_checkpoint
-        save_checkpoint(path, self._state_dict())
+        save_checkpoint(path, self.state_dict())
+
+    def _reshard_packed(self) -> None:
+        """Re-apply the combined-grid sharding init() established — a
+        restore hands back host/default-placed arrays, and resuming with a
+        replicated multi-GB pack would OOM or silently defeat the layout
+        guarantees."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(self.mesh, P(("data", "model"), None))
+        self.packs = {k: jax.device_put(jnp.asarray(v), shard)
+                      for k, v in self.packs.items()}
+        self.accs = {k: jax.device_put(jnp.asarray(v), shard)
+                     for k, v in self.accs.items()}
 
     def load(self, path: str) -> None:
         from recbox_tpu.training.checkpoint import load_checkpoint
         if self.params is None:
             raise RuntimeError("call init()/fit() before load() so shapes exist")
-        state = load_checkpoint(path, self._state_dict())
+        state = load_checkpoint(path, self.state_dict())
         self.params = state["params"]
         self.packs = dict(state["packs"])
         self.accs = dict(state["accs"])
@@ -807,3 +847,8 @@ class PackedEmbeddingTrainer(Trainer):
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
         self.monitor.restore(state["monitor"])
+        self._reshard_packed()
+        # the saved state is the best-so-far (best.ckpt is written on
+        # improvement); seed the best-weights cache so plateau reloads and
+        # the end-of-fit restore have something to restore after a resume
+        self._capture_best()

@@ -88,7 +88,8 @@ class RecVAETrainer:
             def loss_fn(p):
                 logits, mu, logvar, z = model.apply(
                     {"params": p}, batch, train=True,
-                    rngs={"reparam": rng, "dropout": rng},
+                    rngs={"reparam": rng,
+                          "dropout": jax.random.fold_in(rng, 1)},
                     method=model.forward_with_latents)
                 prior = model.apply({"params": old_params}, batch, z,
                                     method=model.composite_prior_logpdf)

@@ -116,6 +116,7 @@ class SparseEmbeddingTrainer(Trainer):
                  **kwargs):
         super().__init__(*args, **kwargs)
         self.embedding_lr = embedding_lr
+        self._emb_lr = None      # resolved at step build; plateau-decayed
         self.adagrad_init = adagrad_init
         self.adagrad_eps = adagrad_eps
         self.tables: Dict[str, jnp.ndarray] = {}
@@ -165,15 +166,19 @@ class SparseEmbeddingTrainer(Trainer):
         loss_fn = self.loss_fn
         mutable_keys = list(self.model_state.keys())
         feature_tables = list(self._feature_tables)
-        emb_lr = self.embedding_lr if self.embedding_lr is not None \
-            else cfg.learning_rate
+        if self._emb_lr is None:
+            self._emb_lr = self.embedding_lr \
+                if self.embedding_lr is not None else cfg.learning_rate
         eps = self.adagrad_eps
         apply_kwargs = {}
         if self.train_method is not None:
             apply_kwargs["method"] = getattr(model, self.train_method)
 
+        # emb_lr is a TRACED step argument, not a closure constant: the
+        # plateau lr schedule (_on_plateau -> _set_learning_rate) must
+        # reach the tables without recompiling the step
         def step_fn(dense_params, tables, accums, model_state, opt_state,
-                    batch, rng):
+                    batch, rng, emb_lr):
             # 1. gather rows outside the grad
             rows = {}
             for fname, tkey, rkey in feature_tables:
@@ -195,7 +200,19 @@ class SparseEmbeddingTrainer(Trainer):
                     outputs = model.apply(variables, full_batch, train=True,
                                           rngs={"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}, **apply_kwargs)
                     new_state = model_state
-                return loss_fn(outputs, batch), new_state
+                loss = loss_fn(outputs, batch)
+                if cfg.embedding_regularizer:
+                    # p2 penalty on the TOUCHED rows (the sparse analog of
+                    # the dense path's whole-table penalty -- untouched
+                    # rows receive no gradient either way)
+                    loss = loss + cfg.embedding_regularizer * sum(
+                        jnp.sum(jnp.square(r.astype(jnp.float32)))
+                        for r in rows.values())
+                if cfg.net_regularizer:
+                    from recbox_tpu.ops.losses import embedding_reg_loss
+                    loss = loss + cfg.net_regularizer * embedding_reg_loss(
+                        dp, prefix="")
+                return loss, new_state
 
             (loss, new_state), (dgrads, row_grads) = jax.value_and_grad(
                 compute_loss, argnums=(0, 1), has_aux=True)(dense_params, rows)
@@ -244,7 +261,7 @@ class SparseEmbeddingTrainer(Trainer):
         (self.params, self.tables, self.accumulators, self.model_state,
          self.opt_state, loss) = self._train_step(
             self.params, self.tables, self.accumulators, self.model_state,
-            self.opt_state, dbatch, rng)
+            self.opt_state, dbatch, rng, jnp.float32(self._emb_lr))
         self.step += 1
         return loss
 
@@ -252,6 +269,16 @@ class SparseEmbeddingTrainer(Trainer):
     def full_params(self) -> dict:
         return _merge_params(self.params, self.tables, self.table_paths) \
             if self.tables else self.params
+
+    # -- lr plateau reaches the tables too ----------------------------------
+    def _set_learning_rate(self, lr: float) -> None:
+        old = self.learning_rate
+        super()._set_learning_rate(lr)
+        if self._emb_lr is not None and old > 0:
+            # decay the embedding lr by the same factor as the dense lr
+            # (emb_lr is a traced step argument, so no recompile)
+            self._emb_lr = max(self._emb_lr * (lr / old),
+                               self.config.min_lr)
 
     # -- best-weights + checkpointing include the tables ----------------------
     def _capture_best(self) -> None:
@@ -268,34 +295,24 @@ class SparseEmbeddingTrainer(Trainer):
             self.accumulators = {k: jnp.asarray(v)
                                  for k, v in self._best_accums.items()}
 
+    def state_dict(self):
+        # the public checkpoint contract (incl. OrbaxCheckpointer): tables
+        # and accumulators MUST ride along or an orbax restore would
+        # silently revert every embedding to fresh random init
+        state = super().state_dict()
+        state["tables"] = self.tables
+        state["accumulators"] = self.accumulators
+        return state
+
     def save(self, path: str) -> None:
         from recbox_tpu.training.checkpoint import save_checkpoint
-        save_checkpoint(path, {
-            "params": self.params,
-            "tables": self.tables,
-            "accumulators": self.accumulators,
-            "model_state": self.model_state,
-            "opt_state": self.opt_state,
-            "step": self.step,
-            "epoch": self.epoch,
-            "monitor": self.monitor.state(),
-        })
+        save_checkpoint(path, self.state_dict())
 
     def load(self, path: str) -> None:
         from recbox_tpu.training.checkpoint import load_checkpoint
         if self.params is None:
             raise RuntimeError("call init()/fit() before load() so shapes exist")
-        template = {
-            "params": self.params,
-            "tables": self.tables,
-            "accumulators": self.accumulators,
-            "model_state": self.model_state,
-            "opt_state": self.opt_state,
-            "step": self.step,
-            "epoch": self.epoch,
-            "monitor": self.monitor.state(),
-        }
-        state = load_checkpoint(path, template)
+        state = load_checkpoint(path, self.state_dict())
         self.params = state["params"]
         self.tables = dict(state["tables"])
         self.accumulators = state["accumulators"]
@@ -304,6 +321,10 @@ class SparseEmbeddingTrainer(Trainer):
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
         self.monitor.restore(state["monitor"])
+        # seed the best-weights cache from the restored state (best.ckpt is
+        # written on improvement, so it IS the best-so-far) — otherwise a
+        # resumed run whose evals never improve ends on drifted weights
+        self._capture_best()
 
 
     def train_steps_repeat(self, batch, n_steps: int):
@@ -322,14 +343,14 @@ class SparseEmbeddingTrainer(Trainer):
             @functools.partial(jax.jit, static_argnames=("n",),
                                donate_argnums=(0, 1, 2, 3, 4))
             def repeat(dense, tables, accums, model_state, opt_state, batch,
-                       rng, n):
+                       rng, emb_lr, n):
                 rngs = jax.random.split(rng, n)
 
                 def body(carry, step_rng):
                     dense, tables, accums, model_state, opt_state = carry
                     dense, tables, accums, model_state, opt_state, loss = \
                         inner(dense, tables, accums, model_state, opt_state,
-                              batch, step_rng)
+                              batch, step_rng, emb_lr)
                     return (dense, tables, accums, model_state,
                             opt_state), loss
 
@@ -344,7 +365,7 @@ class SparseEmbeddingTrainer(Trainer):
         (self.params, self.tables, self.accumulators, self.model_state,
          self.opt_state, losses) = self._repeat_step(
             self.params, self.tables, self.accumulators, self.model_state,
-            self.opt_state, dbatch, rng, n_steps)
+            self.opt_state, dbatch, rng, jnp.float32(self._emb_lr), n_steps)
         self.step += n_steps
         return losses
 
@@ -365,7 +386,7 @@ class SparseEmbeddingTrainer(Trainer):
 
             @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
             def fused(dense, tables, accums, model_state, opt_state,
-                      batches, rng):
+                      batches, rng, emb_lr):
                 K = len(jax.tree_util.tree_leaves(batches)[0])
                 rngs = jax.random.split(rng, K)
 
@@ -374,7 +395,7 @@ class SparseEmbeddingTrainer(Trainer):
                     batch, step_rng = inp
                     dense, tables, accums, model_state, opt_state, loss = \
                         inner(dense, tables, accums, model_state, opt_state,
-                              batch, step_rng)
+                              batch, step_rng, emb_lr)
                     return (dense, tables, accums, model_state,
                             opt_state), loss
 
@@ -385,10 +406,10 @@ class SparseEmbeddingTrainer(Trainer):
 
             self._fused_step = fused
         rng, self._rng = jax.random.split(self._rng)
-        dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
+        dbatches = self._device_megabatch(batches)
         (self.params, self.tables, self.accumulators, self.model_state,
          self.opt_state, losses) = self._fused_step(
             self.params, self.tables, self.accumulators, self.model_state,
-            self.opt_state, dbatches, rng)
+            self.opt_state, dbatches, rng, jnp.float32(self._emb_lr))
         self.step += int(losses.shape[0])
         return losses

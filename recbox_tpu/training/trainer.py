@@ -173,6 +173,17 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
+    def _device_megabatch(self, batches) -> Dict[str, jnp.ndarray]:
+        """Place a stacked (K, B, ...) megabatch: the BATCH dim (axis 1)
+        shards over 'data'; plain jnp.asarray would replicate the whole
+        stack on every device (and on multi-host meshes each process would
+        build a different host-local 'global' array)."""
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            return {k: jax.device_put(np.asarray(v), sharding)
+                    for k, v in batches.items()}
+        return {k: jnp.asarray(v) for k, v in batches.items()}
+
     # -- the compiled train step ---------------------------------------------
     def _build_train_step(self):
         cfg = self.config
@@ -263,15 +274,7 @@ class Trainer:
 
             self._fused_step = fused
         rng, self._rng = jax.random.split(self._rng)
-        if self.mesh is not None:
-            # stacked (K, B, ...) megabatches shard their BATCH dim (axis 1)
-            # over 'data'; plain jnp.asarray would replicate the whole stack
-            # on every device
-            sharding = NamedSharding(self.mesh, P(None, "data"))
-            dbatches = {k: jax.device_put(np.asarray(v), sharding)
-                        for k, v in batches.items()}
-        else:
-            dbatches = {k: jnp.asarray(v) for k, v in batches.items()}
+        dbatches = self._device_megabatch(batches)
         self.params, self.model_state, self.opt_state, losses = \
             self._fused_step(self.params, self.model_state, self.opt_state,
                              dbatches, rng)
@@ -476,9 +479,19 @@ class Trainer:
 
     def apply(self, batch: Dict[str, np.ndarray], method=None, train: bool = False):
         variables = {"params": self.full_params(), **self.model_state}
-        kwargs = {} if method is not None else {"train": train}
+        if method is not None:
+            if train:
+                # method signatures differ (many take no train flag and
+                # need their own rngs) — silently dropping the flag would
+                # run eval-mode behavior the caller didn't ask for
+                raise NotImplementedError(
+                    "apply(method=..., train=True) is unsupported: call "
+                    "model.apply(variables, batch, train=True, rngs=..., "
+                    "method=...) directly")
+            return self.model.apply(variables, self._device_batch(batch),
+                                    method=method)
         return self.model.apply(variables, self._device_batch(batch),
-                                method=method, **kwargs)
+                                train=train)
 
     def _forward(self):
         """Cached jitted inference function (variables passed as an arg so the
@@ -551,3 +564,8 @@ class Trainer:
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
         self.monitor.restore(state["monitor"])
+        # seed the best-weights cache from the restored state (best.ckpt is
+        # written on improvement, so it IS the best-so-far) — otherwise a
+        # resumed fit() whose evals never beat the checkpointed best would
+        # end on last-epoch drifted weights with _restore_best a no-op
+        self._capture_best()
