@@ -127,6 +127,7 @@ class MatchingLoader(ArrayLoader):
         exclude_seen: bool = False,
         shuffle: bool = True,
         seed: int = 2024,
+        exclude_ids: Sequence[int] = (),
     ):
         super().__init__(train_arrays, batch_size=batch_size, shuffle=shuffle,
                          drop_last=True, seed=seed)
@@ -135,6 +136,9 @@ class MatchingLoader(ArrayLoader):
         self.num_negs = num_negs
         self.sampling_probs = sampling_probs
         self.exclude_pos = exclude_pos
+        # catalog rows that are not real items (PAD/OOV rows): never drawn
+        # as negatives (recbole's sampler draws real tokens only)
+        self.exclude_ids = tuple(exclude_ids)
         self.item_col = feature_map.corpus_index
         assert self.item_col in train_arrays, (
             f"train arrays missing corpus_index column {self.item_col!r}")
@@ -160,7 +164,8 @@ class MatchingLoader(ArrayLoader):
         rng = np.random.default_rng(0)
         negs = sample_negatives(pos, self.num_items, self.num_negs, rng,
                                 probs=self.sampling_probs,
-                                exclude_pos=self.exclude_pos)
+                                exclude_pos=self.exclude_pos,
+                                exclude_ids=self.exclude_ids)
         ids = np.concatenate([pos[:, None], negs], axis=1)
         batch["__item_ids__"] = ids.astype(np.int32)
         for k, v in self.corpus_arrays.items():
@@ -178,6 +183,7 @@ class MatchingLoader(ArrayLoader):
             pos_items, self.num_items, self.num_negs, epoch_rng,
             probs=self.sampling_probs, exclude_pos=self.exclude_pos,
             seen_matrix=self.seen_matrix, user_rows=user_rows,
+            exclude_ids=self.exclude_ids,
         )
         item_ids = np.concatenate([pos_items[:, None], negs], axis=1)  # (N, 1+negs)
 

@@ -13,7 +13,7 @@ Re-designs the reference's samplers:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -82,6 +82,7 @@ def sample_negatives(
     max_resample_rounds: int = 8,
     seen_matrix: Optional[np.ndarray] = None,
     user_rows: Optional[np.ndarray] = None,
+    exclude_ids: Sequence[int] = (),
 ) -> np.ndarray:
     """Draw (N, num_negs) negative item ids for N positive interactions.
 
@@ -94,14 +95,23 @@ def sample_negatives(
     used-ids exclusion (`sampler/sampler.py:147-192` sample_by_user_ids),
     which matters for dense users where uniform negatives often hit other
     positives.
+
+    ``exclude_ids`` are catalog rows that are not real items (PAD/OOV rows
+    of a tokenizer-layout corpus): never drawn — recbole's sampler draws
+    real tokens only (`sampler/sampler.py` value range [1, n_items)).
     """
     if seen_matrix is not None and user_rows is None:
         raise ValueError("seen_matrix needs user_rows (per-row user ids)")
     n = len(pos_items)
     shape = (n, num_negs)
+    excl = np.asarray(sorted(set(int(x) for x in exclude_ids)), np.int64) \
+        if len(exclude_ids) else None
     if probs is None:
         negs = rng.integers(0, num_items, size=shape)
     else:
+        if excl is not None:
+            probs = np.asarray(probs, np.float64).copy()
+            probs[excl[excl < len(probs)]] = 0.0
         table = AliasTable(probs)
         negs = table.sample(shape, rng)
 
@@ -111,9 +121,11 @@ def sample_negatives(
             bad |= negs == pos_items[:, None]
         if seen_matrix is not None:
             bad |= seen_matrix[user_rows[:, None], negs]
+        if excl is not None:
+            bad |= np.isin(negs, excl)
         return bad
 
-    if exclude_pos or seen_matrix is not None:
+    if exclude_pos or seen_matrix is not None or excl is not None:
         for _ in range(max_resample_rounds):
             bad = collisions(negs)
             k = int(bad.sum())

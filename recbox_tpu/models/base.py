@@ -74,11 +74,22 @@ class MatchingModel(nn.Module):
     def item_tower(self, batch, train: bool = False) -> jnp.ndarray:
         raise NotImplementedError
 
+    def _serve_normalize(self, emb: jnp.ndarray) -> jnp.ndarray:
+        # cosine-trained models must SERVE in cosine space too: the
+        # retrieval evaluator and RetrievalService rank by plain dot
+        # product of the encoded towers, so the towers normalize here —
+        # otherwise eval/serving would rank by a different function than
+        # the one the loss optimized (train/serve skew)
+        if self.similarity == "cosine":
+            return emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb
+
     def encode_user(self, batch, train: bool = False) -> jnp.ndarray:
-        return self.user_tower(batch, train)
+        return self._serve_normalize(self.user_tower(batch, train))
 
     def encode_item(self, batch, train: bool = False) -> jnp.ndarray:
-        return self.item_tower(batch, train)
+        return self._serve_normalize(self.item_tower(batch, train))
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False) -> jnp.ndarray:
         user_emb = self.user_tower(batch, train)

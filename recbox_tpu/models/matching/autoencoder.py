@@ -136,9 +136,12 @@ class MacridVAE(nn.Module):
             jax.nn.softmax(jnp.dot(zs[k], items_n.T) / self.tau, axis=-1)
             * cates[None, :, k]
             for k in range(self.k_factors))
-        kl = sum(-0.5 * jnp.sum(
-            1 + lv - mu ** 2 - jnp.exp(lv), axis=1)
-            for mu, lv in zip(mus, logvars)) / self.k_factors  # (B,)
+        # reference KL (`macridvae.py:140-143`): -0.5·Σ(1 + logvar − e^logvar)
+        # SUMMED over factors — no μ² term (μ is normalized to the unit
+        # sphere above) and no /K averaging (dividing would shrink the
+        # effective beta K-fold vs the cited hyperparameters)
+        kl = sum(-0.5 * jnp.sum(1 + lv - jnp.exp(lv), axis=1)
+                 for lv in logvars)                            # (B,)
         self.sow("intermediates", "kl", kl)
         return jnp.log(probs + 1e-12)
 

@@ -29,7 +29,7 @@ from recbox_tpu.models.matching.graph import LightGCN, _GraphBase
 from recbox_tpu.nn.embedding import emb_init
 
 __all__ = ["SGL", "NCL", "DGCF", "SpectralCF", "GCMC", "LINE",
-           "kmeans_prototypes", "infonce"]
+           "kmeans_prototypes", "infonce", "infonce_all"]
 
 
 def infonce(a: jnp.ndarray, b: jnp.ndarray, tau: float = 0.2) -> jnp.ndarray:
@@ -40,6 +40,24 @@ def infonce(a: jnp.ndarray, b: jnp.ndarray, tau: float = 0.2) -> jnp.ndarray:
     labels = jnp.arange(a.shape[0])
     return jnp.mean(
         -jax.nn.log_softmax(logits, axis=-1)[labels, labels])
+
+
+def infonce_all(a: jnp.ndarray, b: jnp.ndarray, b_all: jnp.ndarray,
+                tau: float = 0.2) -> jnp.ndarray:
+    """InfoNCE whose denominator runs over ALL nodes of the second view —
+    the SGL/NCL reference semantics (`sgl.py` calc_ssl_loss, `ncl.py`
+    ssl_layer_loss): an in-batch denominator would (a) make loss hardness
+    depend on batch size and (b) turn duplicate in-batch ids into false
+    negatives pushing a node's two views apart from themselves. Summed
+    over the batch like the reference (its ssl_weight values are
+    calibrated for the sum)."""
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    b_all = b_all / jnp.maximum(
+        jnp.linalg.norm(b_all, axis=-1, keepdims=True), 1e-12)
+    pos = jnp.sum(a * b, axis=1) / tau                       # (B,)
+    ttl = jax.nn.logsumexp(jnp.dot(a, b_all.T) / tau, axis=1)
+    return jnp.sum(ttl - pos)
 
 
 def kmeans_prototypes(emb: np.ndarray, k: int, n_iters: int = 20,
@@ -79,9 +97,10 @@ class SGL(LightGCN):
         return self.propagated(coefs=coefs)
 
     def ssl_loss(self, batch) -> jnp.ndarray:
-        """InfoNCE over two dropout views, restricted to the batch's users
-        and positive items (`sgl.py` calc_ssl_loss); dropout masks come from
-        the 'dropout' rng stream."""
+        """InfoNCE over two dropout views: anchors are the batch's users
+        and positive items, the denominator runs over ALL nodes of view 2
+        (`sgl.py` calc_ssl_loss); dropout masks come from the 'dropout'
+        rng stream."""
         n_edges = len(self.edge_users)
         k1 = self.make_rng("dropout")
         k2 = self.make_rng("dropout")
@@ -91,8 +110,9 @@ class SGL(LightGCN):
         u2, i2 = self._propagate_with_mask(m2.astype(jnp.float32))
         users = batch[self.feature_map.query_index]
         pos_items = batch["__item_ids__"][:, 0]
-        return (infonce(u1[users], u2[users], self.ssl_tau)
-                + infonce(i1[pos_items], i2[pos_items], self.ssl_tau))
+        return (infonce_all(u1[users], u2[users], u2, self.ssl_tau)
+                + infonce_all(i1[pos_items], i2[pos_items], i2,
+                              self.ssl_tau))
 
 
 class NCL(LightGCN):
@@ -118,8 +138,9 @@ class NCL(LightGCN):
         users = batch[self.feature_map.query_index]
         pos_items = batch["__item_ids__"][:, 0]
         k = 2 * self.hyper_layers
-        return (infonce(ul[k][users], ul[0][users], self.ssl_tau)
-                + infonce(il[k][pos_items], il[0][pos_items], self.ssl_tau))
+        return (infonce_all(ul[k][users], ul[0][users], ul[0], self.ssl_tau)
+                + infonce_all(il[k][pos_items], il[0][pos_items], il[0],
+                              self.ssl_tau))
 
     def prototype_loss(self, batch, user_protos, item_protos,
                        user_assign, item_assign) -> jnp.ndarray:
@@ -194,9 +215,15 @@ class DGCF(_GraphBase):
                     hi[i] * w_u[..., None], u, num_segments=self.num_users)
                 msg_i = jax.ops.segment_sum(
                     hu[u] * w_i[..., None], i, num_segments=self.num_items)
-                # routing update: affinity of tanh'd messages along edges
-                logits = logits + jnp.sum(
-                    jnp.tanh(msg_u[u]) * hi[i], axis=-1)
+                # routing update: affinity of tanh'd messages along edges,
+                # from BOTH directions — the reference's joint graph holds
+                # each edge twice (u→i and i→u) and updates its value with
+                # head·tanh(tail_msg) in each direction (`dgcf.py`
+                # build_matrix/forward); a user-side-only update would
+                # leave item-intent weights uninformed by item messages
+                logits = logits \
+                    + jnp.sum(jnp.tanh(msg_u[u]) * hi[i], axis=-1) \
+                    + jnp.sum(jnp.tanh(msg_i[i]) * hu[u], axis=-1)
             out_u, out_i = out_u + msg_u, out_i + msg_i
         return (out_u.reshape(self.num_users, D),
                 out_i.reshape(self.num_items, D))
@@ -312,9 +339,13 @@ class GCMC(_GraphBase):
 
 class LINE(_GraphBase):
     """Large-scale information network embedding (`line.py`): first-order
-    proximity scores ⟨u, i⟩; second-order scores ⟨u, ctx_i⟩ against context
-    embeddings. `order` picks the objective; both train with the sampled
-    negatives of the matching pipeline."""
+    proximity scores ⟨u, i⟩ on the VERTEX embeddings — serving/predict
+    always uses them (`line.py:176-195` full_sort_predict) — while
+    order=2 adds a second-order ⟨u, ctx_i⟩ term against context embeddings
+    at TRAIN time only (the reference weighs it as a separate logistic
+    loss, `line.py:156-174`; here the two logits sum into the one
+    pairwise objective of the matching pipeline — both tables receive the
+    same sign of gradient as the reference's two-term loss)."""
 
     order: int = 2
 
@@ -332,6 +363,18 @@ class LINE(_GraphBase):
         return jnp.asarray(self.user_table)[batch[self.feature_map.query_index]]
 
     def item_tower(self, batch, train: bool = False):
-        table = (jnp.asarray(self.item_ctx) if self.order == 2
-                 else jnp.asarray(self.item_table))
-        return table[batch[self.feature_map.corpus_index]]
+        # vertex embeddings — the reference's predict path
+        return jnp.asarray(self.item_table)[batch[self.feature_map.corpus_index]]
+
+    def __call__(self, batch, train: bool = False):
+        user_emb = self.user_tower(batch, train)
+        ids = batch["__item_ids__"]
+        vertex = jnp.asarray(self.item_table)[ids.reshape(-1)]
+        scores = similarity_scores(user_emb, vertex, ids.shape[1],
+                                   self.similarity, self.temperature)
+        if self.order == 2:
+            ctx = jnp.asarray(self.item_ctx)[ids.reshape(-1)]
+            scores = scores + similarity_scores(
+                user_emb, ctx, ids.shape[1], self.similarity,
+                self.temperature)
+        return scores

@@ -80,17 +80,27 @@ class _MultiInterestBase(MatchingModel):
                         batch[self.feature_map.corpus_index], axis=0)
 
     def __call__(self, batch, train: bool = False):
-        """(B, 1+negs) scores with label-aware interest attention: weights =
-        softmax((interest·item)^p) during training (`mind.py:76-95`)."""
+        """(B, 1+negs) scores with label-aware interest attention.
+
+        The attention over the K interests is conditioned on the POSITIVE
+        (column 0) ONLY — the reference selects the best interest by
+        argmax against the label item and scores every candidate with that
+        single user vector (`mind.py:56-65`); the MIND paper's soft form
+        is softmax((interest·label)^p). Attending per candidate instead
+        would score each negative by its own best-matching interest
+        (approximately max over K), systematically inflating negative
+        logits relative to the reference objective.
+        """
         interests = self.interests(batch, train)          # (B, K, D)
         item_batch = extract_item_batch(batch)
         item_emb = self.item_tower(item_batch, train)     # (B·S, D)
         S = batch["__item_ids__"].shape[1]
         item_emb = item_emb.reshape(-1, S, self.embedding_dim)
-        logits = jnp.einsum("bkd,bsd->bks", interests, item_emb)
-        att = jax.nn.softmax(jnp.power(jnp.abs(logits), self.pow_p)
-                             * jnp.sign(logits), axis=1)
-        scores = jnp.sum(att * logits, axis=1)            # (B, S)
+        pos_logits = jnp.einsum("bkd,bd->bk", interests, item_emb[:, 0, :])
+        att = jax.nn.softmax(jnp.power(jnp.abs(pos_logits), self.pow_p)
+                             * jnp.sign(pos_logits), axis=1)   # (B, K)
+        user_vec = jnp.einsum("bk,bkd->bd", att, interests)    # (B, D)
+        scores = jnp.einsum("bd,bsd->bs", user_vec, item_emb)
         return scores / self.temperature
 
 

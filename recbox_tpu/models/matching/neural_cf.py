@@ -186,7 +186,12 @@ class NAIS(_HistoryScorer):
         dst = jnp.take(jnp.asarray(self.dst_table), item_ids, axis=0)
         prod = src[:, None, :, :] * dst[:, :, None, :]          # (B,S,L,D)
         logits = self.att_out(jax.nn.relu(self.att_mlp(prod)))[..., 0]
-        w = jnp.where(valid, jnp.exp(logits), 0.0)
+        # clamp before exp: an unbounded Dense logit > ~88 overflows f32 to
+        # inf and the smoothed-softmax ratio becomes inf/inf = NaN. A plain
+        # max-subtraction does NOT cancel here (the β exponent on the
+        # denominator breaks the identity), so clamp instead — exact for
+        # every sane logit, finite always.
+        w = jnp.where(valid, jnp.exp(jnp.minimum(logits, 60.0)), 0.0)
         denom = jnp.power(jnp.maximum(jnp.sum(w, axis=-1), 1e-12), self.beta)
         agg = jnp.sum(w * sim, axis=-1) / denom
         return agg + jnp.take(jnp.asarray(self.item_bias), item_ids, axis=0)

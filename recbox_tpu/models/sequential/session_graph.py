@@ -11,13 +11,14 @@ on-device at static shape:
     C[p, q]       = #{t : item_t == item_p ∧ item_{t+1} == item_q}
                   = eq[:, :, :L−1] @ eq[:, 1:, :]             one batched matmul
 
-`C` is exactly the unique-node adjacency of SRGNN scattered onto positions —
-rows/columns of duplicate items are identical, so the GGNN propagation over
-positions computes the same messages as over unique nodes (each duplicate
-position receives the full aggregated message, as the reference's
-alias-gather does). Row-normalization uses the *node* outdegree, recovering
-the reference's A_out/A_in weights. Everything is batched matmuls on the MXU
-instead of host-side graph construction.
+Binarizing `C` and dividing each edge by the successor's positional
+multiplicity recovers recbole's BINARY unique-node adjacency exactly
+(see `session_adjacency`) — rows of duplicate items are identical, so the
+GGNN propagation over positions computes the same messages as over unique
+nodes (each duplicate position receives the full aggregated message, as
+the reference's alias-gather does), and row-normalization equals the
+reference's distinct-successor outdegree. Everything is batched matmuls on
+the MXU instead of host-side graph construction.
 """
 
 from __future__ import annotations
@@ -36,6 +37,15 @@ def session_adjacency(item_seq: jnp.ndarray):
     """Per-session normalized in/out adjacency over positions (B, L, L).
 
     item_seq is right-padded (session first, PAD=0 at the tail).
+
+    Matches recbole's unique-node graph (`srgnn.py` _get_slice) exactly on
+    the positional layout: the reference's ``u_A`` is BINARY (a repeated
+    transition still contributes 1) and each distinct successor is counted
+    ONCE — so the positional form (a) binarizes the transition counts and
+    (b) divides each edge by the successor item's positional multiplicity,
+    making the per-position aggregate equal the unique-node aggregate
+    (duplicate positions carry identical hidden states throughout the
+    GGNN, so the division undoes the duplicate-position fan-out).
     """
     valid = (item_seq != 0)
     eq = (item_seq[:, :, None] == item_seq[:, None, :])
@@ -44,10 +54,14 @@ def session_adjacency(item_seq: jnp.ndarray):
     # successor counts via one batched matmul (see module docstring)
     step = (valid[:, :-1] & valid[:, 1:]).astype(jnp.float32)
     c = jnp.einsum("bpt,bt,btq->bpq", eqf[:, :, :-1], step, eqf[:, 1:, :])
-    out_deg = jnp.sum(c, axis=2, keepdims=True)
-    in_deg = jnp.sum(c, axis=1, keepdims=True)
-    a_out = c / jnp.maximum(out_deg, 1.0)
-    a_in = jnp.swapaxes(c / jnp.maximum(in_deg, 1.0), 1, 2)
+    b = (c > 0).astype(jnp.float32)                 # binary unique-node adj
+    mult = jnp.maximum(jnp.sum(eqf, axis=2), 1.0)   # (B, L) item multiplicity
+    w_out = b / mult[:, None, :]                    # /succ multiplicity
+    out_deg = jnp.sum(w_out, axis=2, keepdims=True)  # = distinct successors
+    a_out = w_out / jnp.maximum(out_deg, 1.0)
+    w_in = b / mult[:, :, None]                     # /pred multiplicity
+    in_deg = jnp.sum(w_in, axis=1, keepdims=True)    # = distinct predecessors
+    a_in = jnp.swapaxes(w_in / jnp.maximum(in_deg, 1.0), 1, 2)
     return a_in, a_out
 
 

@@ -169,8 +169,17 @@ class FeatureEmbedding(nn.Module):
                     pretrain = pretrain or f.pretrain_path
             if self.emb_init_scheme == "xavier_normal":
                 init = nn.initializers.xavier_normal()
-            else:
+            elif self.emb_init_scheme == "xavier_uniform":
+                init = nn.initializers.xavier_uniform()
+            elif self.emb_init_scheme == "normal":
                 init = emb_init(self.emb_init_std)
+            else:
+                # same guard as _GraphBase._table_init: a typo silently
+                # falling back to normal(1e-4) would confound exactly the
+                # init-parity experiments the schemes exist for
+                raise NotImplementedError(
+                    f"emb_init_scheme={self.emb_init_scheme!r}: expected "
+                    "'normal' | 'xavier_normal' | 'xavier_uniform'")
             if pretrain:
                 # pretrained load semantics (`embedding.py:30-107`): file
                 # vectors fill the leading rows, remaining rows (PAD/extra)

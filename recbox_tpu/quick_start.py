@@ -166,7 +166,8 @@ def run_matching_experiment(
             feature_map, train_arrays, corpus_arrays,
             batch_size=config.get("batch_size", 2048),
             num_negs=config.get("num_negs", 10),
-            seed=config.get("seed", 2024))
+            seed=config.get("seed", 2024),
+            exclude_ids=tuple(config.get("exclude_items", ())))
 
     trainer = Trainer(model, loss_fn, build_trainer_config(config),
                       eval_fn=evaluator, mesh=mesh, train_method=train_method)
@@ -406,7 +407,8 @@ def run_kg_experiment(
     loader = MatchingLoader(
         feature_map, train_arrays, corpus_arrays,
         batch_size=config.get("batch_size", 2048),
-        num_negs=config.get("num_negs", 1), seed=config.get("seed", 2024))
+        num_negs=config.get("num_negs", 1), seed=config.get("seed", 2024),
+        exclude_ids=tuple(config.get("exclude_items", ())))
 
     sample = next(iter(loader))
     sample.pop(MASK_KEY, None)
