@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from recbox_tpu.models.base import RankingModel
@@ -160,6 +161,14 @@ class DIEN(RankingModel):
     dropout: float = 0.0
 
     def setup(self):
+        if self.gru_hidden != self.embedding_dim:
+            # the attention compares target embeddings against GRU states
+            # and the auxiliary loss dots interest states with behavior
+            # embeddings — silent subspace slicing at mismatched widths
+            # would compute meaningless scores
+            raise ValueError(
+                f"DIEN requires gru_hidden == embedding_dim "
+                f"({self.gru_hidden} != {self.embedding_dim})")
         # submodules live in setup so both __call__ and auxiliary_logits can
         # reuse the extraction GRU (flax allows one compact method only)
         self.embedding = FeatureEmbedding(self.feature_map,
@@ -190,6 +199,12 @@ class DIEN(RankingModel):
                                         interest.shape),
              interest * target[:, None, :self.gru_hidden]], axis=-1)
         scores = self.att(att_in)[..., 0]
+        # masked softmax over the sequence (the reference's
+        # att_weight_normalization, `dien.py`): AUGRU gates z_eff = att·z
+        # must stay in [0, 1] — raw linear-head scores can be negative
+        # (extrapolating AWAY from the candidate state) or > 1 (overshoot)
+        scores = jnp.where(mask, scores, -1e9)
+        scores = jax.nn.softmax(scores, axis=-1)
         scores = jnp.where(mask, scores, 0.0)[..., None]   # (B, L, 1)
         # interest evolution via AUGRU
         evolved = self.augru(jnp.concatenate([interest, scores], axis=-1))
@@ -209,7 +224,11 @@ class DIEN(RankingModel):
         embs, _ = self._embed(batch)
         hist = embs[self.history_feature]
         interest = self.gru1(hist)
-        neg = embs.get(neg_hist_feature, jnp.flip(hist, axis=1))
+        # fallback negatives = the NEXT user's behaviors (batch roll) — the
+        # sampled-negative analog when no neg_hist column exists. (The old
+        # jnp.flip(hist) default used the user's OWN clicks as negatives,
+        # colliding with the positive at the midpoint.)
+        neg = embs.get(neg_hist_feature, jnp.roll(hist, 1, axis=0))
         h = interest[:, :-1, : self.embedding_dim]
         pos_l = jnp.sum(h * hist[:, 1:], axis=-1)
         neg_l = jnp.sum(h * neg[:, 1:], axis=-1)
@@ -257,10 +276,16 @@ class DSIN(RankingModel):
         interest = (jnp.sum(enc * w, axis=1)
                     / jnp.maximum(jnp.sum(w, axis=1), 1e-12)).reshape(B, S, D)
         sess_valid = mask.reshape(B, S, K).any(-1)
-        # session evolution: bidirectional GRU
-        fwd = nn.RNN(nn.GRUCell(D), name="gru_fwd")(interest)
-        bwd = jnp.flip(nn.RNN(nn.GRUCell(D), name="gru_bwd")(
-            jnp.flip(interest, axis=1)), axis=1)
+        # session evolution: bidirectional GRU over the VALID session
+        # prefix only (`seq_lengths`): a plain flip would run the backward
+        # recurrence through the empty padded sessions first, making valid
+        # sessions' evolved states depend on how much padding follows
+        # (the reference uses bidirectional_dynamic_rnn + sequence_length)
+        sess_len = jnp.sum(sess_valid.astype(jnp.int32), axis=-1)
+        fwd = nn.RNN(nn.GRUCell(D), name="gru_fwd")(
+            interest, seq_lengths=sess_len)
+        bwd = nn.RNN(nn.GRUCell(D), name="gru_bwd", reverse=True,
+                     keep_order=True)(interest, seq_lengths=sess_len)
         evolved = fwd + bwd
         att1 = TargetAttention(use_softmax=True, name="act1")(
             target, interest, sess_valid, train=train)

@@ -108,8 +108,15 @@ def _lambdas_for_query(scores: np.ndarray, rel: np.ndarray,
     delta = np.abs((gain[:, None] - gain[None, :])
                    * (disc[:, None] - disc[None, :])) / idcg
     s_diff = scores[:, None] - scores[None, :]
-    rho = 1.0 / (1.0 + np.exp(sigma * s_diff))      # P(i worse than j)
     sign = np.sign(rel[:, None] - rel[None, :])
+    # rho is oriented by the RELEVANCE ordering: for the (more-rel,
+    # less-rel) pair, rho = 1/(1+e^{σ(s_more − s_less)}) — near 0 when the
+    # pair is already correctly ordered with margin, 1 when inverted — and
+    # the SAME rho applies to both members (λ_j = −λ_i, antisymmetric).
+    # A row-oriented rho (1/(1+e^{σ(s_i−s_j)})) gives the less-relevant
+    # doc 1−rho instead: maximal push-down exactly on correctly-ordered
+    # pairs and ~zero on inverted ones.
+    rho = 1.0 / (1.0 + np.exp(np.clip(sigma * sign * s_diff, -60, 60)))
     lam = sigma * delta * rho * sign
     return lam.sum(axis=1)
 

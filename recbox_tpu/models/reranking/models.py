@@ -149,6 +149,10 @@ class GSF(nn.Module):
     def __call__(self, item_feats, mask, train: bool = False):
         B, N, D = item_feats.shape
         m = self.group_size
+        # zero padded slots FIRST: circular groups mix arbitrary pad
+        # content into valid items' group scores otherwise (every other
+        # reranker here honors the mask contract)
+        item_feats = item_feats * mask[..., None].astype(item_feats.dtype)
         # circular groups starting at every position: (B, N, m, D)
         idx = (jnp.arange(N)[:, None] + jnp.arange(m)[None, :]) % N
         groups = item_feats[:, idx]                    # (B, N, m, D)

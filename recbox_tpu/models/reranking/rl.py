@@ -39,9 +39,16 @@ class EGREvaluator(nn.Module):
     @nn.compact
     def __call__(self, item_feats, mask, train: bool = False):
         x = nn.Dense(self.d_model, name="proj")(item_feats)
-        fwd = nn.RNN(nn.GRUCell(self.d_model), name="fwd")(x)
-        bwd = jnp.flip(nn.RNN(nn.GRUCell(self.d_model), name="bwd")(
-            jnp.flip(x, axis=1)), axis=1)
+        # length-aware recurrence (the reference's
+        # bidirectional_dynamic_rnn + sequence_length): a plain flip would
+        # run the backward GRU through the padded tail first, making valid
+        # items' logits — and thus the generator's reward — depend on how
+        # much padding the list carries
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        fwd = nn.RNN(nn.GRUCell(self.d_model), name="fwd")(
+            x, seq_lengths=lengths)
+        bwd = nn.RNN(nn.GRUCell(self.d_model), name="bwd", reverse=True,
+                     keep_order=True)(x, seq_lengths=lengths)
         h = jnp.concatenate([fwd, bwd], axis=-1)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         scores = nn.Dense(1, name="score")(h)[..., 0]

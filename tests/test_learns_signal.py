@@ -182,7 +182,7 @@ def test_dien_attends_to_target_in_history():
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng2 = np.random.default_rng(1)
-    for _ in range(800):
+    for _ in range(1200):
         sel = rng2.integers(0, split, 256)
         batch = {k: jnp.asarray(v[sel]) for k, v in train.items()}
         params, opt_state, loss = step(params, opt_state, batch)
