@@ -29,8 +29,16 @@ def save_tuner_configs(tuner_config: Dict[str, Any], out_dir: str) -> List[str]:
     `enumerate_params` writing config files with md5 expids)."""
     os.makedirs(out_dir, exist_ok=True)
     combos = expand_tuner_space(tuner_config)
-    sections = {c["experiment_id"]: {k: v for k, v in c.items()
-                                     if k != "experiment_id"} for c in combos}
+    sections = {}
+    for c in combos:
+        eid = c["experiment_id"]
+        # 8-hex md5 expids can collide (~1% by 300 combos); a dict
+        # overwrite would silently drop a configuration from the sweep
+        while eid in sections:
+            eid = eid + "x"
+        sections[eid] = {k: v for k, v in c.items()
+                         if k != "experiment_id"}
+    assert len(sections) == len(combos)
     path = os.path.join(out_dir, "model_config.yaml")
     with open(path, "w") as fh:
         yaml.safe_dump(sections, fh)

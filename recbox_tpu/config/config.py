@@ -115,8 +115,10 @@ def load_config(config_dir: str, experiment_id: str,
         dataset_sections = _load_yaml_sections(dataset_paths)
         if dataset_id not in dataset_sections:
             raise KeyError(f"dataset_id {dataset_id!r} not found in {dataset_paths}")
-        for k, v in dataset_sections[dataset_id].items():
-            cfg.setdefault(k, v)
+        # dataset section OVERRIDES Base/expid keys — reference precedence
+        # (`ranking/utils.py:27-31` params.update(data_params)); CLI and
+        # dict overrides below still win over everything
+        cfg.update(dataset_sections[dataset_id])
     return cfg.merge(overrides, parse_cli_overrides() if cli else None)
 
 

@@ -100,10 +100,17 @@ class FeatureEncoder:
         auto_dims: set = set()
         num_items = 0
         # process share_embedding columns AFTER their base columns so the
-        # shared vocab exists when they fit (a share column listed first
-        # would otherwise silently build its own incompatible vocab)
-        order = sorted(self.feature_cols,
-                       key=lambda c: bool(c.get("share_embedding")))
+        # shared vocab exists when they fit, and SEQUENCE share columns
+        # after categorical shares: a sequence share snapshots the base
+        # vocab (its PAD id = final vocab_size), so every categorical
+        # merge_vocab must have grown the base first — otherwise tokens
+        # added later encode to OOV in the sequence column and its PAD id
+        # aliases a live row of the shared table
+        order = sorted(
+            self.feature_cols,
+            key=lambda c: (bool(c.get("share_embedding")),
+                           bool(c.get("share_embedding"))
+                           and c.get("type", CATEGORICAL) == SEQUENCE))
         for col in order:
             name = col["name"]
             share_target = col.get("share_embedding")
@@ -191,7 +198,15 @@ class FeatureEncoder:
                     vocab_size=vocab, embedding_dim=emb_dim)
                 continue
             if ftype == CATEGORICAL:
-                if share and share in self.tokenizers:
+                if share and share not in self.tokenizers:
+                    # the target exists but has no token vocab (bucketized
+                    # or numeric column): sharing its table would mix two
+                    # unrelated id spaces onto the same rows
+                    raise ValueError(
+                        f"feature {name!r}: share_embedding target "
+                        f"{share!r} has no token vocabulary (bucketized/"
+                        "numeric columns cannot share embeddings)")
+                if share:
                     tok = self.tokenizers[share]
                     # grow shared vocab with this column's tokens
                     aux = Tokenizer(min_freq=col.get("min_categr_count", min_categr_count),
@@ -219,7 +234,12 @@ class FeatureEncoder:
                     padding=col.get("padding", "pre"),
                 )
                 tok.fit(values, use_padding=True)
-                if share and share in self.tokenizers:
+                if share and share not in self.tokenizers:
+                    raise ValueError(
+                        f"feature {name!r}: share_embedding target "
+                        f"{share!r} has no token vocabulary (bucketized/"
+                        "numeric columns cannot share embeddings)")
+                if share:
                     base = self.tokenizers[share]
                     # share the table: sequence ids must live in the base
                     # vocab; PAD maps to base vocab_size (extra zero row).
@@ -316,7 +336,14 @@ class FeatureEncoder:
         # ids between train and serve. Vectorized FNV-1a over the
         # fixed-width byte matrix (a per-element Python hash loop runs
         # ~1M vals/s — minutes per transform at Criteo scale).
-        flat = np.asarray(values).astype("S")          # (N,) fixed-width bytes
+        arr = np.asarray(values)
+        try:
+            flat = arr.astype("S")                     # (N,) fixed-width bytes
+        except UnicodeEncodeError:
+            # astype('S') is a strict ASCII cast; non-ASCII categories
+            # ('münchen', 'café') that fit() accepted must encode too —
+            # same utf-8 fallback as the native encoder's to_bytes
+            flat = np.char.encode(arr.astype(str), "utf-8")
         byte_mat = flat.view(np.uint8).reshape(len(flat), -1)  # (N, W)
         h = np.full(len(flat), np.uint64(0xCBF29CE484222325))
         prime = np.uint64(0x100000001B3)

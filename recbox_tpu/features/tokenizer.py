@@ -227,6 +227,9 @@ class Tokenizer:
 
     # -- persistence --------------------------------------------------------
     def state(self) -> dict:
+        # every encode-time flag must persist: a reloaded tokenizer that
+        # dropped `lower` (case-folding) or `na_value` would resolve
+        # tokens differently at serve than at fit
         return {
             "vocab": self.vocab,
             "vocab_size": self.vocab_size,
@@ -235,12 +238,15 @@ class Tokenizer:
             "padding": self.padding,
             "oov_token": self.oov_token,
             "use_padding": self.use_padding,
+            "lower": self.lower,
+            "na_value": self.na_value,
         }
 
     @classmethod
     def from_state(cls, st: dict) -> "Tokenizer":
         tok = cls(splitter=st.get("splitter"), oov_token=st.get("oov_token", 0),
-                  max_len=st.get("max_len", 0), padding=st.get("padding", "pre"))
+                  max_len=st.get("max_len", 0), padding=st.get("padding", "pre"),
+                  lower=st.get("lower", False), na_value=st.get("na_value"))
         tok.vocab = dict(st["vocab"])
         tok.vocab_size = st["vocab_size"]
         tok.use_padding = st.get("use_padding")

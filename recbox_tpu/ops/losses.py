@@ -111,7 +111,10 @@ def embedding_reg_loss(params, p: int = 2, prefix: str = "emb_") -> jnp.ndarray:
             leaves.append(leaf)
     if not leaves:
         return jnp.asarray(0.0)
-    return sum(jnp.sum(jnp.abs(l) ** p) for l in leaves)
+    # the reference scales by 1/p ((emb_lambda/emb_p)*||W||_p^p,
+    # `match_model.py:84-89`) — omitting it makes any lambda tuned on the
+    # reference p-times stronger here
+    return sum(jnp.sum(jnp.abs(l) ** p) for l in leaves) / p
 
 
 def full_softmax_loss(full_scores: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndarray:

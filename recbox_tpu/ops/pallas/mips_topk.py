@@ -190,6 +190,13 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     cs, ci = mips_segment_candidates(queries, corpus, interpret=interpret)
     cs, ci = cs.T, ci.T                       # back to (Qt, n_candidates)
     cs = jnp.where(ci < n_items, cs, -jnp.inf)
+    if k > cs.shape[1]:
+        # only ~N/128 candidates survive segmentation; top_k beyond that
+        # would crash (k > last dim) — fail fast with the actual bound
+        raise ValueError(
+            f"pallas_mips_topk: k={k} exceeds the {cs.shape[1]} segment "
+            f"candidates for a {corpus.shape[0]}-row corpus; use the "
+            "'segmented'/'approx' XLA paths for k this large")
     if exact_merge or cs.shape[1] <= 2 * k:
         top_s, pos = jax.lax.top_k(cs, k)
     else:
@@ -199,4 +206,7 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
         # trigger a pathological reduction at small k (measured 10.3 ms
         # vs 3.2 ms at k=100 on (1024, 7936))
         top_s, pos = jax.lax.approx_max_k(cs, k, recall_target=0.95)
-    return top_s, jnp.take_along_axis(ci, pos, axis=1)
+    top_i = jnp.take_along_axis(ci, pos, axis=1)
+    # -inf slots (k between valid and padded candidate counts) carry
+    # padded-row ids >= n_items: return -1 like the other engines' pads
+    return top_s, jnp.where(jnp.isfinite(top_s), top_i, -1)

@@ -88,6 +88,26 @@ def parse_collectives(hlo_text: str) -> List[CollectiveOp]:
         head = line[: m.start()]
         eq = head.find("=")
         result_type = head[eq + 1:].strip() if eq >= 0 else ""
+        # async '-start' ops have tuple type (operand, ..., result): the
+        # operand member is aliased, not transferred — counting the whole
+        # tuple would inflate comm bytes up to ~2x whenever XLA
+        # async-ifies a collective. Keep only the LAST tuple member (the
+        # result, matching what the sync form of the same op reports).
+        if m.group(0).endswith("-start(") and result_type.startswith("("):
+            inner = result_type.strip("()")
+            depth, parts, cur = 0, [], ""
+            for ch in inner:
+                if ch == "," and depth == 0:
+                    parts.append(cur)
+                    cur = ""
+                    continue
+                if ch in "({[":
+                    depth += 1
+                elif ch in ")}]":
+                    depth -= 1
+                cur += ch
+            parts.append(cur)
+            result_type = parts[-1].strip()
         out.append(CollectiveOp(
             kind=m.group(1),
             result_shape=result_type,

@@ -77,10 +77,23 @@ def shard_params(params, mesh: Mesh, specs=None):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every batch array over the 'data' axis (dim 0)."""
+    """Shard every batch array over the 'data' axis (dim 0).
+
+    Multi-process: each process passes its LOCAL shard (host_shard_loader
+    rows) and the global batch is assembled process-locally
+    (`jax.make_array_from_process_local_data`) — global batch = P·B rows.
+    A plain device_put would treat every host's local batch as the same
+    GLOBAL value, silently dropping (P−1)/P of each host's loaded rows
+    and shrinking the true batch P-fold.
+    """
+    multi = jax.process_count() > 1
+
     def put(x):
         arr = np.asarray(x)
         spec = P(DATA_AXIS) if arr.ndim >= 1 else P()
-        return jax.device_put(arr, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi and arr.ndim >= 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     return {k: put(v) for k, v in batch.items()}

@@ -59,7 +59,8 @@ class TrainerConfig:
     lr_decay_factor: float = 0.1        # reduce-lr-on-plateau multiplier
     min_lr: float = 1e-6
     reload_best_on_plateau: bool = True
-    # p2 penalty on emb_* tables. NOTE: this is a FULL-TABLE L2^2 penalty —
+    # p2 penalty on emb_* tables ((1/p)*||W||_p^p like the reference,
+    # match_model.py:84-89). NOTE: this is a FULL-TABLE penalty —
     # deliberately stronger than recbole's EmbLoss, which is the L2 norm of
     # the batch's ego embeddings / batch_size (~5e-8 at reg 1e-5, i.e.
     # numerically zero). Copying a recbole reg_weight verbatim
@@ -176,10 +177,15 @@ class Trainer:
     def _device_megabatch(self, batches) -> Dict[str, jnp.ndarray]:
         """Place a stacked (K, B, ...) megabatch: the BATCH dim (axis 1)
         shards over 'data'; plain jnp.asarray would replicate the whole
-        stack on every device (and on multi-host meshes each process would
-        build a different host-local 'global' array)."""
+        stack on every device. Multi-process runs assemble the global
+        array from each host's local stack (same contract as
+        `parallel.mesh.shard_batch`)."""
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(None, "data"))
+            if jax.process_count() > 1:
+                return {k: jax.make_array_from_process_local_data(
+                            sharding, np.asarray(v))
+                        for k, v in batches.items()}
             return {k: jax.device_put(np.asarray(v), sharding)
                     for k, v in batches.items()}
         return {k: jnp.asarray(v) for k, v in batches.items()}

@@ -70,6 +70,19 @@ _WORKER = textwrap.dedent("""
     out = t._evaluate_and_checkpoint()
     expect = (0.9 * 2 + 0.5 * 6) / 8
     assert abs(out["AUC"] - expect) < 1e-6, out
+
+    # 4. shard_batch assembles the GLOBAL batch from per-process locals:
+    # 2 hosts x 4 local rows -> one 8-row global array holding BOTH
+    # hosts' data (a plain device_put would treat each local batch as
+    # the global value and drop half of every host's rows)
+    from jax.sharding import Mesh
+    from recbox_tpu.parallel.mesh import shard_batch
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 1), ("data", "model"))
+    local = np.arange(4, dtype=np.float32) + (0.0 if rank == 0 else 10.0)
+    global_arr = shard_batch({{"x": local}}, mesh)["x"]
+    assert global_arr.shape == (8,), global_arr.shape
+    total = float(jax.jit(lambda a: a.sum())(global_arr))
+    assert abs(total - (6.0 + 46.0)) < 1e-6, total
     print("WORKER_OK", rank)
 """)
 
