@@ -78,9 +78,15 @@ void parallel_for(int n, int n_threads, const std::function<void(int, int)>& fn)
   }
   n_threads = std::min(n_threads, n);
   std::vector<std::thread> threads;
-  int chunk = (n + n_threads - 1) / n_threads;
+  // 64-bit chunk math: n near INT_MAX would overflow (n + n_threads - 1)
+  // in signed int (UB -> negative chunk -> uninitialized output)
+  int chunk = static_cast<int>(
+      (static_cast<int64_t>(n) + n_threads - 1) / n_threads);
   for (int t = 0; t < n_threads; ++t) {
-    int lo = t * chunk, hi = std::min(n, lo + chunk);
+    int lo = static_cast<int>(std::min<int64_t>(
+        static_cast<int64_t>(t) * chunk, n));
+    int hi = static_cast<int>(std::min<int64_t>(
+        static_cast<int64_t>(lo) + chunk, n));
     if (lo >= hi) break;
     threads.emplace_back(fn, lo, hi);
   }

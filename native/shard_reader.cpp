@@ -116,7 +116,7 @@ bool parse_npy(const uint8_t* buf, size_t n, Column* col, std::string* err) {
     }
   }
   if (cur >= 0) col->shape.push_back(cur);
-  if (col->shape.empty()) col->shape.push_back(1);  // 0-d scalar -> (1,)
+  // 0-d scalars keep ndim 0: the binding reshapes to () like np.load
   size_t itemsize = 0;
   const std::string& dt = col->dtype;
   if (dt == "<f4" || dt == "<i4" || dt == "<u4") itemsize = 4;
@@ -144,6 +144,11 @@ bool read_npz(const std::string& path, Shard* shard) {
   std::fseek(fh, 0, SEEK_END);
   long size = std::ftell(fh);
   std::fseek(fh, 0, SEEK_SET);
+  if (size < 0) {   // non-seekable path (FIFO): resize(-1) would throw
+    std::fclose(fh);
+    shard->error = "not a seekable file";
+    return false;
+  }
   std::vector<uint8_t>& buf = shard->file_buf;
   buf.resize(static_cast<size_t>(size));
   if (std::fread(buf.data(), 1, buf.size(), fh) != buf.size()) {
@@ -162,6 +167,13 @@ bool read_npz(const std::string& path, Shard* shard) {
     uint64_t raw_size = rd32(&buf[off + 22]);
     uint16_t name_len = rd16(&buf[off + 26]);
     uint16_t extra_len = rd16(&buf[off + 28]);
+    if (off + 30 + static_cast<size_t>(name_len) +
+            static_cast<size_t>(extra_len) > buf.size()) {
+      // truncated archive (partial write): reading the name/extra region
+      // would run past the file buffer
+      shard->error = "truncated zip header";
+      return false;
+    }
     std::string name(reinterpret_cast<char*>(&buf[off + 30]), name_len);
     // numpy's savez always writes zip64 entries: the 32-bit size fields
     // hold 0xFFFFFFFF and the real sizes live in the 0x0001 extra record
@@ -201,6 +213,13 @@ bool read_npz(const std::string& path, Shard* shard) {
     }
     if (data_off + comp_size > buf.size()) {
       shard->error = "zip member overruns: " + name;
+      return false;
+    }
+    if (raw_size > comp_size) {
+      // store-method entries have raw == comp; a corrupt zip64 extra with
+      // raw > comp would let parse_npy validate offsets against a region
+      // larger than the buffer actually holds
+      shard->error = "zip64 size mismatch: " + name;
       return false;
     }
     Column col;
@@ -256,7 +275,14 @@ struct Reader {
       auto shard = std::make_unique<Shard>();
       shard->index = idx;
       shard->path = paths[static_cast<size_t>(idx)];
-      read_npz(shard->path, shard.get());
+      try {
+        read_npz(shard->path, shard.get());
+      } catch (const std::exception& e) {
+        // bad_alloc/length_error must surface through rb_shard_error,
+        // not std::terminate the whole training process
+        shard->columns.clear();
+        shard->error = std::string("decode exception: ") + e.what();
+      }
       std::unique_lock<std::mutex> lk(mu);
       // bounded ring, ordered emission: hold until within the window
       cv_space.wait(lk, [&] {

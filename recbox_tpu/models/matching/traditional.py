@@ -62,8 +62,13 @@ class ItemKNN:
         S = G / denom
         S = S - jnp.diag(jnp.diagonal(S))  # no self-similarity
         if self.topk and self.topk < num_items:
-            thresh = jax.lax.top_k(S, self.topk)[0][:, -1:]
-            S = jnp.where(S >= thresh, S, 0.0)
+            # keep the top-k neighbors PER TARGET COLUMN: scores = X·S
+            # consume S column-wise, and the reference (recbole
+            # ComputeSimilarity / daisy KNNCF) keeps each target item's
+            # own k nearest neighbors. S is symmetric here, so the column
+            # threshold is the row top-k threshold transposed.
+            thresh = jax.lax.top_k(S, self.topk)[0][:, -1]
+            S = jnp.where(S >= thresh[None, :], S, 0.0)
         self.X = X
         self.S = S
         return self

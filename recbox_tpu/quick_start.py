@@ -204,13 +204,18 @@ def run_sequential_experiment(
             rng = np.random.default_rng(config.get("seed", 2024))
             tgt = split[feature_map.corpus_index]
             n_items = feature_map.num_items
+            excluded = set(int(x) for x in config.get("exclude_items", ()))
+            excluded.add(0)                       # PAD row, like uniform
             if dist == "popularity":
                 counts = np.bincount(
                     train_arrays[feature_map.corpus_index],
                     minlength=n_items).astype(np.float64)
+                for e in excluded:
+                    if 0 <= e < n_items:
+                        counts[e] = 0.0
                 from recbox_tpu.data.sampling import AliasTable
-                alias = AliasTable(np.where(counts > 0, counts, 0.0)
-                                   if counts.sum() else np.ones(n_items))
+                alias = AliasTable(counts if counts.sum()
+                                   else np.ones(n_items))
                 draw = lambda size: alias.sample(size, rng)
             else:
                 draw = lambda size: rng.integers(1, n_items, size=size)
@@ -228,9 +233,17 @@ def run_sequential_experiment(
         return _cand_cache[split_id]
 
     def eval_split(trainer, split, split_id=0):
-        scores = np.asarray(trainer.apply(
-            {k: split[k] for k in ("item_seq", "seq_len", "user_id")
-             if k in split}, method=trainer.model.full_scores))
+        # chunk the full-softmax scoring: one shot would materialize an
+        # (n_rows, n_items) matrix on device (80 GB at 200k x 100k)
+        bs = config.get("eval_batch_size", 4096)
+        keys = [k for k in ("item_seq", "seq_len", "user_id") if k in split]
+        n = len(split[feature_map.corpus_index])
+        parts = []
+        for s in range(0, n, bs):
+            parts.append(np.asarray(trainer.apply(
+                {k: split[k][s:s + bs] for k in keys},
+                method=trainer.model.full_scores)))
+        scores = np.concatenate(parts, axis=0)
         tgt = split[feature_map.corpus_index][:, None]
         if protocol != "full":
             cand = _candidates(split, split_id)        # (R, 1+N), col 0 = tgt
@@ -288,7 +301,8 @@ def run_rerank_experiment(
 
     def eval_fn(trainer):
         import jax.numpy as jnp
-        scores = trainer.model.apply(
+        # trainer.model is the _Shim; score through the INNER module
+        scores = trainer.model.inner.apply(
             {"params": trainer.params},
             jnp.asarray(valid_lists["item_feats"]),
             jnp.asarray(valid_lists["mask"]))
@@ -333,7 +347,7 @@ def run_rerank_experiment(
 
     trainer = Trainer(_Shim(model), lambda o, b: listwise_bce(
         o, b["labels"], b["mask"]), build_trainer_config(config),
-        eval_fn=None, mesh=mesh)
+        eval_fn=eval_fn, mesh=mesh)
     loader = _ListLoader(train_lists, config.get("batch_size", 256),
                          config.get("seed", 2024))
     trainer.fit(loader, epochs=config.get("epochs"))

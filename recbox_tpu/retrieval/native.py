@@ -98,6 +98,11 @@ def exact_topk(queries: np.ndarray, items: np.ndarray, k: int,
     items = _f32(items)
     nq, d = queries.shape
     ni = items.shape[0]
+    if items.shape[1] != d:
+        # the C++ kernel indexes both arrays with the query's d — a
+        # mismatch would read past the items buffer
+        raise ValueError(
+            f"dim mismatch: queries d={d} vs items d={items.shape[1]}")
     k = min(k, ni)
     lib = load_native()
     if lib is not None:
@@ -123,6 +128,11 @@ class IVFFlatIndex:
 
     def __init__(self, nlist: int = 64, nprobe: int = 8,
                  kmeans_iters: int = 10, seed: int = 0, n_threads: int = 0):
+        if kmeans_iters < 1:
+            # assignments are only written inside the iteration loop (both
+            # native and numpy paths) — 0 iters would build inverted lists
+            # from uninitialized memory
+            raise ValueError("kmeans_iters must be >= 1")
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
@@ -168,6 +178,10 @@ class IVFFlatIndex:
                k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         queries = _f32(queries)
         nq, d = queries.shape
+        if self.items is not None and self.items.shape[1] != d:
+            raise ValueError(
+                f"dim mismatch: queries d={d} vs fitted items "
+                f"d={self.items.shape[1]}")
         k = min(k, self.items.shape[0])
         lib = load_native()
         if lib is not None:
