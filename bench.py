@@ -25,8 +25,8 @@ columns + AdaGrad state packed into one 128-lane row per vocab entry, so the
 step does ONE row-gather and ONE row-scatter total.
 
 ROUND-2 HONEST NUMBERS AND THE WALL (v5e, driver-comparable runs):
-measured 0.75-0.85M examples/s across runs (tunnel-noise band; best-of
-reported). The hard floor at these shapes, measured op by op
+best-of-5 band 0.851-0.860M examples/s across healthy runs (<1% spread;
+earlier single-shot timings read 0.75-0.85M — tunnel noise, superseded). The hard floor at these shapes, measured op by op
 (`tools/prof_row_width.py`, `tools/prof_packed_step.py`): the single
 851,968-row gather costs ~10.5 ms and the single scatter-add ~16 ms —
 per-128-lane-row costs that are FLAT across f32/bf16/int8 (narrowing rows

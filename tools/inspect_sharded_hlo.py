@@ -63,7 +63,7 @@ def step_collectives(trainer, batch):
         import jax.numpy as jnp
         args = (trainer.params, trainer.packs, trainer.accs,
                 trainer.model_state, trainer.opt_state, dbatch, rng,
-                jnp.int32(1))
+                jnp.int32(1), jnp.float32(trainer._emb_lr))
     else:
         args = (trainer.params, trainer.model_state, trainer.opt_state,
                 dbatch, rng)

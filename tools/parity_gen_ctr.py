@@ -7,6 +7,8 @@ u = rng.integers(0, num_users, n)
 i = rng.integers(0, num_items, n)
 logit = np.where(ub[u] == ib[i], 1.5, -1.5)
 y = (rng.random(n) < 1/(1+np.exp(-logit))).astype(int)
+import os
+os.makedirs("/tmp/parity/synthctr", exist_ok=True)
 with open("/tmp/parity/synthctr/synthctr.inter", "w") as fh:
     fh.write("user_id:token\titem_id:token\tlabel:float\n")
     for k in range(n):

@@ -13,6 +13,8 @@ for u in range(num_users):
     for t, it in enumerate(list(chosen) + list(noise)):
         rows.append((u, it, 1, t))
 rng.shuffle(rows)
+import os
+os.makedirs("/tmp/parity/synth", exist_ok=True)
 with open("/tmp/parity/synth/synth.inter", "w") as fh:
     fh.write("user_id:token\titem_id:token\trating:float\ttimestamp:float\n")
     for u, i, r, t in rows:

@@ -8,6 +8,8 @@ for u in range(num_users):
     for t in range(seq_len):
         rows.append((u, it, 1, t))
         it = succ[it] if rng.random() < 0.85 else rng.integers(0, num_items)
+import os
+os.makedirs("/tmp/parity/synthseq", exist_ok=True)
 with open("/tmp/parity/synthseq/synthseq.inter", "w") as fh:
     fh.write("user_id:token\titem_id:token\trating:float\ttimestamp:float\n")
     for u, i, r, t in rows:

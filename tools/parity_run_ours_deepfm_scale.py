@@ -51,7 +51,13 @@ cfg = TrainerConfig(learning_rate=1e-3, seed=SEED,
                     reload_best_on_plateau=False)
 t = Trainer(model, lambda o, b: binary_crossentropy(o, b["label"]), cfg,
             eval_fn=ev)
-m = t.fit(ArrayLoader(train, batch_size=2048, drop_last=True, seed=SEED))
+# NOTE: the recorded round-2 head-to-head used batch 2048 while the
+# reference runner trains at 512 (4x fewer Adam updates/epoch for ours) —
+# and ours still matched the reference AUC within the 3-seed spread.
+# OURS_BATCH aligns the schedules for a strict comparison.
+m = t.fit(ArrayLoader(train,
+                      batch_size=int(os.environ.get("OURS_BATCH", 2048)),
+                      drop_last=True, seed=SEED))
 print("OURS last-valid:", m)
 print("OURS best-valid monitor:", t.monitor.best_value)
 test_ev = CTREvaluator(test, label="label", metrics=["AUC", "logloss"])

@@ -27,13 +27,34 @@ N_ROWS, V, W = 851_968, 2_600_000, 128
 K = 10
 
 
+
+def _vary(args, rep):
+    """Content-vary the SMALLEST array argument per repetition: identical
+    execute requests (same executable + same buffers) can be served from
+    the tunnel cache (bench.py measurement note). Floats scale by
+    (1+1e-7·rep); int id arrays roll by rep. The smallest array keeps the
+    perturbation cost negligible next to the op under test."""
+    arrs = [(i, a) for i, a in enumerate(args)
+            if hasattr(a, "dtype") and hasattr(a, "size") and a.ndim >= 1]
+    if not arrs or rep == 0:
+        return tuple(args)
+    i, a = min(arrs, key=lambda ia: ia[1].size)
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        a = a * (1.0 + 1e-7 * rep)
+    else:
+        a = jnp.roll(a, rep)
+    out = list(args)
+    out[i] = a
+    return tuple(out)
+
 def timed(name, fn, *args):
     out = fn(*args)
     _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
     best = float("inf")
-    for _ in range(3):
+    for rep in range(1, 4):
+        vargs = _vary(args, rep)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*vargs)
         _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         best = min(best, time.perf_counter() - t0)
     print(f"{name:14s} {best/K*1e3:8.2f} ms/step", flush=True)
@@ -56,7 +77,7 @@ def main():
         def body(c, i):
             idv = vary(i, ids)
             order = jnp.argsort(idv)
-            return c + jnp.sum(g[order][:, 0]), ()
+            return c + jnp.sum(g[order]), ()
         c, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
         return c
 

@@ -28,13 +28,34 @@ NUM_TABLES, VOCAB, DIM, BATCH = 26, 100_000, 64, 32_768
 K = 20
 
 
+
+def _vary(args, rep):
+    """Content-vary the SMALLEST array argument per repetition: identical
+    execute requests (same executable + same buffers) can be served from
+    the tunnel cache (bench.py measurement note). Floats scale by
+    (1+1e-7·rep); int id arrays roll by rep. The smallest array keeps the
+    perturbation cost negligible next to the op under test."""
+    arrs = [(i, a) for i, a in enumerate(args)
+            if hasattr(a, "dtype") and hasattr(a, "size") and a.ndim >= 1]
+    if not arrs or rep == 0:
+        return tuple(args)
+    i, a = min(arrs, key=lambda ia: ia[1].size)
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        a = a * (1.0 + 1e-7 * rep)
+    else:
+        a = jnp.roll(a, rep)
+    out = list(args)
+    out[i] = a
+    return tuple(out)
+
 def timed(name, fn, *args):
     out = fn(*args)
     _ = float(jnp.sum(out[-1]) if isinstance(out, tuple) else jnp.sum(out))
     best = float("inf")
-    for _ in range(3):
+    for rep in range(1, 4):
+        vargs = _vary(args, rep)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*vargs)
         _ = float(jnp.sum(out[-1]) if isinstance(out, tuple) else jnp.sum(out))
         best = min(best, time.perf_counter() - t0)
     ms = best / K * 1e3

@@ -31,11 +31,16 @@ def main():
     p = rng.random(N).astype(np.float32)
     g = rng.integers(0, GROUPS, N).astype(np.int32)
 
-    # device engine (includes compile on first call; time the second)
+    # device engine: compile+warmup, then best-of-3 with per-rep
+    # perturbed predictions (identical execute requests can be served
+    # from the tunnel cache — bench.py measurement note)
     dev = grouped_metrics_device(y, p, g, ["gAUC", "MRR"], ndcg_ks=(10,))
-    t0 = time.perf_counter()
-    dev = grouped_metrics_device(y, p, g, ["gAUC", "MRR"], ndcg_ks=(10,))
-    t_dev = time.perf_counter() - t0
+    t_dev = float("inf")
+    for rep in range(1, 4):
+        pv = p * (1.0 + 1e-9 * rep)
+        t0 = time.perf_counter()
+        dev = grouped_metrics_device(y, pv, g, ["gAUC", "MRR"], ndcg_ks=(10,))
+        t_dev = min(t_dev, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     host = {
@@ -46,7 +51,7 @@ def main():
     }
     t_host = time.perf_counter() - t0
 
-    for k in ("gAUC", "MRR", 10):
+    for k in ("gAUC", "MRR", "NDCG@10"):
         assert abs(dev[k] - host[k]) < 1e-4, (k, dev[k], host[k])
     print(f"rows={N:,} groups={GROUPS:,}")
     print(f"host loop engine : {t_host:8.2f} s")

@@ -40,9 +40,12 @@ def timed(name, run, *args):
     out = run(*args)
     _ = float(out)
     best = float("inf")
-    for _ in range(3):
+    for rep in range(1, 4):
+        # vary the queries per repetition: identical execute requests can
+        # be served from the tunnel cache (bench.py measurement note)
+        vargs = (args[0] * (1.0 + 1e-7 * rep),) + args[1:]
         t0 = time.perf_counter()
-        _ = float(run(*args))
+        _ = float(run(*vargs))
         best = min(best, time.perf_counter() - t0)
     per = best / ITERS
     print(f"{name:18s} {per*1e3:8.1f} ms/sweep  {Q/per:10,.0f} qps",
@@ -108,12 +111,14 @@ def main():
         best = float("inf")
         s, i = fn(queries, *args)          # compile + warmup
         _ = float(jnp.sum(s))
-        for _ in range(3):
+        for rep in range(1, 4):
             t0 = time.perf_counter()
-            bump = 0.0
             for it in range(iters):
-                s, _ = fn(queries * (1.0 + 1e-6 * (it + bump)), *args)
-                bump = float(s[0, 0]) * 0.0
+                # every call content-distinct ACROSS reps too (the old
+                # bump = float(s)*0.0 was always 0 — reps replayed the
+                # identical perturbation sequence)
+                s, _ = fn(queries * (1.0 + 1e-6 * (it + 10 * rep)), *args)
+            _ = float(s[0, 0])
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 

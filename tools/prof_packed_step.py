@@ -28,7 +28,10 @@ def main():
     from recbox_tpu.training.packed import PackedEmbeddingTrainer
 
     num_cat, num_num = 26, 13
-    vocab, dim, batch_size = 100_000, 64, 32768
+    import os
+    vocab = int(os.environ.get("VOCAB", 100_000))
+    dim = int(os.environ.get("DIM", 64))
+    batch_size = int(os.environ.get("BATCH", 32768))
     feats = tuple(
         FeatureSpec(f"c{i}", "categorical", vocab_size=vocab, embedding_dim=dim)
         for i in range(num_cat)
@@ -82,6 +85,15 @@ def main():
                 packs, accs = tr._apply_row_updates(packs, accs, row_grads,
                                                     ctx, emb_lr,
                                                     jnp.int32(1))
+            # variants that skip an update must still CONSUME the grads —
+            # otherwise XLA dead-code-eliminates the very bwd pass being
+            # measured (the bench.py measurement-note trap)
+            if dgrads is not None and not do_dense_update:
+                loss = loss + sum(jnp.sum(jnp.abs(g)) for g in
+                                  jax.tree_util.tree_leaves(dgrads)) * 1e-12
+            if not do_row_update:
+                loss = loss + sum(jnp.sum(jnp.abs(g))
+                                  for g in row_grads.values()) * 1e-12
             return dense, packs, accs, opt_state, loss
         return step
 
@@ -93,14 +105,24 @@ def main():
         @jax.jit
         def run(dense, packs, accs, opt_state, b, rng):
             rngs = jax.random.split(rng, K)
+            steps_i = jnp.arange(K, dtype=jnp.float32)
 
-            def body(carry, r):
+            def body(carry, inp):
+                r, i = inp
                 dense, packs, accs, opt_state = carry
+                # iteration-dependent inputs: variants whose carry passes
+                # through unchanged (fwdbwd_only) would otherwise let XLA
+                # hoist the gather/fwd/bwd out of the timed scan entirely
+                b2 = dict(b)
+                for k, v in b.items():
+                    if v.dtype == jnp.float32:
+                        b2[k] = v * (1.0 + 1e-6 * i)
+                        break
                 dense, packs, accs, opt_state, loss = step(
-                    dense, packs, accs, opt_state, b, r)
+                    dense, packs, accs, opt_state, b2, r)
                 return (dense, packs, accs, opt_state), loss
             carry, losses = jax.lax.scan(
-                body, (dense, packs, accs, opt_state), rngs)
+                body, (dense, packs, accs, opt_state), (rngs, steps_i))
             return carry, losses
 
         db = {k: jnp.asarray(v) for k, v in batch.items()}

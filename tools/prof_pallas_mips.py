@@ -24,14 +24,35 @@ import numpy as np
 N, D, QT, K_ITER = 1_000_000, 128, 512, 10
 
 
+
+def _vary(args, rep):
+    """Content-vary the SMALLEST array argument per repetition: identical
+    execute requests (same executable + same buffers) can be served from
+    the tunnel cache (bench.py measurement note). Floats scale by
+    (1+1e-7·rep); int id arrays roll by rep. The smallest array keeps the
+    perturbation cost negligible next to the op under test."""
+    arrs = [(i, a) for i, a in enumerate(args)
+            if hasattr(a, "dtype") and hasattr(a, "size") and a.ndim >= 1]
+    if not arrs or rep == 0:
+        return tuple(args)
+    i, a = min(arrs, key=lambda ia: ia[1].size)
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        a = a * (1.0 + 1e-7 * rep)
+    else:
+        a = jnp.roll(a, rep)
+    out = list(args)
+    out[i] = a
+    return tuple(out)
+
 def timed(name, fn, *args):
     out = fn(*args)
     _ = float(jnp.sum(out[-1].astype(jnp.float32)) if isinstance(out, tuple)
               else jnp.sum(out))
     best = float("inf")
-    for _ in range(3):
+    for rep in range(1, 4):
+        vargs = _vary(args, rep)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*vargs)
         _ = float(jnp.sum(out[-1].astype(jnp.float32))
                   if isinstance(out, tuple) else jnp.sum(out))
         best = min(best, time.perf_counter() - t0)

@@ -21,8 +21,11 @@ def main():
     from recbox_tpu.training import TrainerConfig
     from recbox_tpu.training.packed import PackedEmbeddingTrainer
 
+    import os
     num_cat, num_num = 26, 13
-    vocab, dim, batch_size = 100_000, 64, 32768
+    vocab = int(os.environ.get("VOCAB", 100_000))
+    dim = int(os.environ.get("DIM", 64))
+    batch_size = int(os.environ.get("BATCH", 32768))
     feats = tuple(
         FeatureSpec(f"c{i}", "categorical", vocab_size=vocab, embedding_dim=dim)
         for i in range(num_cat)
@@ -56,15 +59,18 @@ def main():
         @deco
         def repeat(dense, packs, accs, opt_state, batch, rng, n):
             rngs = jax.random.split(rng, n)
+            steps = jnp.arange(1, n + 1, dtype=jnp.int32)
 
-            def body(carry, step_rng):
+            def body(carry, inp):
+                step_rng, step = inp
                 dense, packs, accs, opt_state = carry
                 dense, packs, accs, _, opt_state, loss = inner(
-                    dense, packs, accs, opt_state, batch, step_rng)
+                    dense, packs, accs, {}, opt_state, batch, step_rng,
+                    step, jnp.float32(5e-2))
                 return (dense, packs, accs, opt_state), loss
 
             carry, losses = jax.lax.scan(
-                body, (dense, packs, accs, opt_state), rngs)
+                body, (dense, packs, accs, opt_state), (rngs, steps))
             return carry + (losses,)
         return repeat
 
