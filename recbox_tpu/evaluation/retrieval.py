@@ -82,6 +82,9 @@ def _metrics_chunk(topk_items, true_items, ks: Tuple[Tuple[str, int], ...]):
     K = topk_items.shape[1]
     pos = jnp.arange(K, dtype=jnp.float32)
     # discounts use natural log like the reference (cancels in NDCG)
+    # NATURAL-log discount — reference parity (`core/metrics.py:131`
+    # uses np.log). Raw DCG therefore reads 1/ln2 = 1.4427x the textbook
+    # log2 value; NDCG is invariant to the base (dcg/idcg share it).
     disc = 1.0 / jnp.log(2.0 + pos)
     out = {}
     for name, k in ks:

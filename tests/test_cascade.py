@@ -105,7 +105,9 @@ def test_cascade_end_to_end(world):
     base = evaluate_rerank(-np.arange(LIST)[None].repeat(N_USERS, 0).astype(float),
                            true_rel, ks=[5])      # retrieval order
     ranked = evaluate_rerank(ctr_scores, true_rel, ks=[5])
-    assert ranked["NDCG@5"] >= base["NDCG@5"] - 0.02
+    # the CTR stage must IMPROVE on raw retrieval order, not merely not
+    # degrade it (a noise ranker would pass a -0.02 tolerance)
+    assert ranked["NDCG@5"] > base["NDCG@5"] + 0.02, (base, ranked)
 
     # --- stage 3: PRM listwise rerank over DCN-scored lists ----------------
     # item features for the reranker: [user emb ‖ item emb ‖ ctr score]
@@ -115,9 +117,16 @@ def test_cascade_end_to_end(world):
         ctr_scores[..., None]], axis=-1).astype(np.float32)
     mask = np.ones((N_USERS, LIST), bool)
     prm = PRM(d_model=16, n_layers=1, n_heads=2, max_list_len=LIST)
-    f, l, m = jnp.asarray(feats), jnp.asarray(true_rel), jnp.asarray(mask)
+    # HELD-OUT split: train the reranker on the first half of users' lists
+    # and evaluate on the second — fitting and scoring the same lists
+    # would measure in-sample memorization, not generalization
+    half = N_USERS // 2
+    f_tr = jnp.asarray(feats[:half])
+    l_tr = jnp.asarray(true_rel[:half])
+    m_tr = jnp.asarray(mask[:half])
     pvars = prm.init({"params": jax.random.PRNGKey(0),
-                      "dropout": jax.random.PRNGKey(1)}, f, m, train=True)
+                      "dropout": jax.random.PRNGKey(1)}, f_tr, m_tr,
+                     train=True)
     params = nn.meta.unbox(pvars["params"])
     import optax
     tx = optax.adam(1e-2)
@@ -126,17 +135,24 @@ def test_cascade_end_to_end(world):
     @jax.jit
     def step(params, st):
         def loss_fn(p):
-            s = prm.apply({"params": p}, f, m, train=True,
+            s = prm.apply({"params": p}, f_tr, m_tr, train=True,
                           rngs={"dropout": jax.random.PRNGKey(0)})
-            return listwise_bce(s, l, m)
+            return listwise_bce(s, l_tr, m_tr)
         loss, g = jax.value_and_grad(loss_fn)(params)
         up, st2 = tx.update(g, st, params)
         return optax.apply_updates(params, up), st2, loss
 
     for _ in range(100):
         params, st, _ = step(params, st)
-    rerank_scores = np.asarray(prm.apply({"params": params}, f, m, train=False))
-    reranked = evaluate_rerank(rerank_scores, true_rel, ks=[5])
-    # the cascade must not degrade retrieval order, and must be high quality
-    assert reranked["NDCG@5"] >= base["NDCG@5"] - 1e-9, (base, ranked, reranked)
-    assert reranked["NDCG@5"] > 0.8, (base, ranked, reranked)
+    rerank_scores = np.asarray(prm.apply(
+        {"params": params}, jnp.asarray(feats[half:]),
+        jnp.asarray(mask[half:]), train=False))
+    base_eval = evaluate_rerank(
+        -np.arange(LIST)[None].repeat(N_USERS - half, 0).astype(float),
+        true_rel[half:], ks=[5])
+    reranked = evaluate_rerank(rerank_scores, true_rel[half:], ks=[5])
+    # the cascade must not degrade retrieval order, and must be high
+    # quality on lists it never trained on
+    assert reranked["NDCG@5"] >= base_eval["NDCG@5"] - 1e-9, \
+        (base_eval, ranked, reranked)
+    assert reranked["NDCG@5"] > 0.8, (base_eval, ranked, reranked)

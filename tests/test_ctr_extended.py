@@ -103,18 +103,20 @@ def test_pure_factorization_learns_interaction(ctr_data, model_cls, kwargs):
     assert metrics["AUC"] > 0.75, metrics
 
 
-@pytest.mark.parametrize("model_cls,kwargs", [
+@pytest.mark.parametrize("model_cls,kwargs,epochs", [
     (CCPM, {"conv_kernel_widths": (3,), "conv_filters": (3,),
-            "hidden_units": (32,)}),
-    (MLR, {"num_regions": 4}),
+            "hidden_units": (32,)}, 4),
+    (MLR, {"num_regions": 4}, 10),     # MLR converges slower on 2 fields
 ], ids=["CCPM", "MLR"])
-def test_weaker_models_run_and_learn_something(ctr_data, model_cls, kwargs):
-    """CCPM/MLR have weak interaction inductive bias on 2 fields; require
-    finite learning above chance rather than full XOR recovery."""
+def test_weaker_models_run_and_learn_something(ctr_data, model_cls, kwargs,
+                                               epochs):
+    """Both reach ~0.91 AUC at these budgets (measured); the 0.8 bar sits
+    far above chance AND above the ~0.6 a bare linear price term gives,
+    so a dead conv stack / region gating cannot pass."""
     fm, train, valid = ctr_data
     model = model_cls(feature_map=fm, embedding_dim=8, **kwargs)
-    metrics = _fit(model, train, valid, epochs=4)
-    assert metrics["AUC"] > 0.55, metrics
+    metrics = _fit(model, train, valid, epochs=epochs)
+    assert metrics["AUC"] > 0.8, metrics
 
 
 @pytest.fixture(scope="module")

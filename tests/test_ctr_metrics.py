@@ -121,3 +121,22 @@ class TestGroupedDeviceEngine:
         g = np.array([0, 0, 1, 1], np.int32)
         out = grouped_metrics_device(y, p, g, ["gAUC", "avgAUC"])
         assert out["gAUC"] == 0.0 and out["avgAUC"] == 0.0
+
+
+def test_grouped_mrr_ndcg_hand_computed():
+    """Anchor the host helpers (and through the parity test, the device
+    engine) to hand-computed values — device-vs-host agreement alone could
+    not catch a formula bug shared by both implementations."""
+    from recbox_tpu.evaluation.ctr import _grouped_rank_metric, _mrr, _ndcg
+    # group 0: labels by descending score = [0, 1, 0]  -> first hit rank 2
+    # group 1: labels by descending score = [1, 0]     -> first hit rank 1
+    y = np.array([0, 1, 0, 1, 0], np.float32)
+    p = np.array([0.9, 0.8, 0.1, 0.7, 0.3], np.float32)
+    g = np.array([0, 0, 0, 1, 1], np.int32)
+    mrr = _grouped_rank_metric(y, p, g, _mrr)
+    assert mrr == pytest.approx((1 / 2 + 1 / 1) / 2, abs=1e-6)
+    # NDCG@2: group 0 dcg = 1/log2(3), idcg = 1/log2(2) -> 0.6309;
+    # group 1 dcg = idcg = 1/log2(2) -> 1.0
+    ndcg = _grouped_rank_metric(y, p, g, lambda t, q: _ndcg(t, q, 2))
+    g0 = (1 / np.log2(3.0)) / (1 / np.log2(2.0))
+    assert ndcg == pytest.approx((g0 + 1.0) / 2, abs=1e-6)

@@ -191,10 +191,10 @@ def test_dien_attends_to_target_in_history():
                          {k: jnp.asarray(v) for k, v in valid.items()},
                          train=False)
     auc = auc_score(valid["click"], np.asarray(jax.nn.sigmoid(logits)))
-    # chance = 0.5; a dead attention/AUGRU gate stalls there, the
-    # working mechanism reaches ~0.63 at this budget (0.65+ by 1500
-    # steps — this toy is a slow climb for DIEN's indirect attention)
-    assert auc > 0.58, auc
+    # chance = 0.5; the working mechanism reaches ~0.64 at this 1200-step
+    # budget (0.66 by 2000) — the bar sits well above both chance and the
+    # ~0.55-0.58 a membership-blind summary drifts to early in training
+    assert auc > 0.61, auc
 
 
 # ---------------------------------------------------------------------------

@@ -94,21 +94,25 @@ def pipeline():
         metrics=["Recall(k=20)", "NDCG(k=10)", "HitRate(k=20)"],
         batch_size=256,
     )
-    loader = MatchingLoader(fm, train_arrays, corpus_arrays, batch_size=256,
-                            num_negs=10, seed=3)
-    return fm, loader, evaluator
+    # a FACTORY, not a shared loader: MatchingLoader mutates its RNG every
+    # epoch, so a module-shared instance would make each test's negatives
+    # depend on which tests ran before it (order-dependent training data)
+    def make_loader():
+        return MatchingLoader(fm, train_arrays, corpus_arrays,
+                              batch_size=256, num_negs=10, seed=3)
+    return fm, make_loader, evaluator
 
 
 def test_mf_bpr_learns(pipeline):
-    fm, loader, evaluator = pipeline
+    fm, make_loader, evaluator = pipeline
     model = MF(feature_map=fm, embedding_dim=32)
     loss = get_matching_loss("PairwiseLogisticLoss")
     cfg = TrainerConfig(learning_rate=0.05, epochs=8, patience=3,
                         monitor="Recall(k=20)", monitor_mode="max",
                         grad_clip_norm=10.0)
     trainer = Trainer(model, lambda out, batch: loss(out), cfg, eval_fn=evaluator)
-    before = evaluator(_init_only(trainer, loader))
-    metrics = trainer.fit(loader)
+    before = evaluator(_init_only(trainer, make_loader()))
+    metrics = trainer.fit(make_loader())
     assert metrics["Recall(k=20)"] > 0.35, metrics
     assert metrics["Recall(k=20)"] > before["Recall(k=20)"] + 0.2
 
@@ -120,28 +124,28 @@ def _init_only(trainer, loader):
 
 
 def test_dssm_smoke(pipeline):
-    fm, loader, evaluator = pipeline
+    fm, make_loader, evaluator = pipeline
     model = DSSM(feature_map=fm, embedding_dim=16,
                  user_hidden_units=(32, 16), item_hidden_units=(32, 16))
     loss = get_matching_loss("SoftmaxCrossEntropyLoss")
     cfg = TrainerConfig(learning_rate=0.01, epochs=1, monitor="Recall(k=20)")
     trainer = Trainer(model, lambda out, batch: loss(out), cfg, eval_fn=evaluator)
-    metrics = trainer.fit(loader)
+    metrics = trainer.fit(make_loader())
     assert np.isfinite(metrics["Recall(k=20)"])
 
 
 def test_checkpoint_resume(pipeline, tmp_path):
-    fm, loader, evaluator = pipeline
+    fm, make_loader, evaluator = pipeline
     model = MF(feature_map=fm, embedding_dim=8)
     loss = get_matching_loss("PairwiseLogisticLoss")
     cfg = TrainerConfig(learning_rate=0.05, epochs=1, monitor="Recall(k=20)")
     t1 = Trainer(model, lambda out, b: loss(out), cfg, eval_fn=evaluator)
-    t1.fit(loader)
+    t1.fit(make_loader())
     path = str(tmp_path / "ckpt.msgpack")
     t1.save(path)
 
     t2 = Trainer(model, lambda out, b: loss(out), cfg, eval_fn=evaluator)
-    t2.init(next(iter(loader)))
+    t2.init(next(iter(make_loader())))
     t2.load(path)
     assert t2.step == t1.step
     m1, m2 = evaluator(t1), evaluator(t2)

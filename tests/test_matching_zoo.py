@@ -49,12 +49,27 @@ def test_multi_interest_shapes(cls, rng):
 
 
 def test_multi_interest_retrieval_max_merge(rng):
-    # multi-interest eval: (U, K, D) embeddings, scores maxed over K
-    items = rng.normal(size=(30, 8)).astype(np.float32)
-    users = rng.normal(size=(4, 3, 8)).astype(np.float32)
-    out = evaluate_retrieval(users, items, {}, {0: [1], 1: [2], 2: [3], 3: [4]},
-                             [0, 1, 2, 3], ["Recall(k=30)"])
-    assert out["Recall(k=30)"] == pytest.approx(1.0)  # k=corpus ⇒ recall 1
+    # multi-interest eval: (U, K, D) embeddings, scores maxed over K.
+    # Planted so the MERGE RULE is what's tested: each user's true item is
+    # the best match for exactly ONE interest and strongly negative for
+    # the others — max-merge ranks it #1, while a mean/min merge buries it
+    # below the distractor that is mildly positive for EVERY interest.
+    items = np.zeros((30, 3), np.float32)
+    users = np.zeros((3, 3, 3), np.float32)
+    valid = {}
+    for u in range(3):                           # one distinct axis each
+        true_item = u + 1
+        items[true_item, u] = 1.0                # aligned with interest u
+        users[u, u] = np.eye(3)[u] * 2.0         # interest u points at it
+        users[u, (u + 1) % 3] = -np.eye(3)[u]    # another interest hates it
+        valid[u] = [true_item]
+    items[20] = 0.2                              # mild all-interest distractor
+    out = evaluate_retrieval(jnp.asarray(users), jnp.asarray(items), {},
+                             valid, [0, 1, 2], ["Recall(k=1)"])
+    assert out["Recall(k=1)"] == pytest.approx(1.0)
+    # max over K ranks each true item #1 (score 2.0 vs distractor 0.4);
+    # a mean-merge scores the true item (2-1)/3 = 0.33 vs the distractor's
+    # ~0.2 on every interest — the max rule is load-bearing here
 
 
 def test_simplex_cosine_scores_bounded(rng):

@@ -30,11 +30,19 @@ _WORKER = textwrap.dedent("""
     info = process_info()
     assert info["process_count"] == 2, info
 
-    # 1. checkpoint: EVERY process calls save; only rank 0 may write
+    # 1. checkpoint: EVERY process calls save; only rank 0 may write.
+    # DETERMINISTIC ordering: rank 1 saves FIRST and we assert no file
+    # appears — a broken guard that lets both ranks write could otherwise
+    # pass whenever rank 0's write happened to land last.
     state = {{"x": np.full(4, 7.0), "rank_of_writer": np.asarray(rank)}}
     path = {ckpt!r}
-    save_checkpoint(path, state)
     from jax.experimental import multihost_utils
+    if rank == 1:
+        save_checkpoint(path, state)
+    multihost_utils.sync_global_devices("rank1_tried")
+    assert not os.path.exists(path), "rank 1 must not write checkpoints"
+    if rank == 0:
+        save_checkpoint(path, state)
     multihost_utils.sync_global_devices("ckpt_written")
     restored = load_checkpoint(path, {{"x": np.zeros(4),
                                       "rank_of_writer": np.asarray(9)}})

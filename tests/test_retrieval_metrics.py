@@ -79,14 +79,32 @@ def test_matches_oracle(setup):
 
 def test_hitrate_precision_f1(setup):
     user_embs, item_embs, train_u2i, valid_u2i, queries = setup
-    metrics = ["HitRate(k=5)", "Precision(k=5)", "F1(k=5)", "DCG(k=5)", "nRecall(k=5)"]
+    metrics = ["HitRate(k=5)", "Precision(k=5)", "Recall(k=5)", "F1(k=5)",
+               "DCG(k=5)", "nRecall(k=5)"]
     out = evaluate_retrieval(user_embs, item_embs, train_u2i, valid_u2i,
                              queries, metrics)
     assert 0 <= out["HitRate(k=5)"] <= 1
-    assert 0 <= out["Precision(k=5)"] <= 1
-    p, r = out["Precision(k=5)"], out["F1(k=5)"]
-    assert out["DCG(k=5)"] >= 0
+    assert 0 < out["Precision(k=5)"] <= 1
+    # F1 must satisfy its defining identity against P and R (per-user F1
+    # averages, so check on a single-user case below for exactness)
     assert 0 <= out["nRecall(k=5)"] <= 1 + 1e-6
+
+
+def test_f1_identity_and_dcg_hand_computed():
+    # one user; top-5 by score = items [0, 1, 2, 3, 4]; relevant = {0, 2, 9}
+    user = np.array([[1.0, 0.0]], np.float32)
+    items = np.stack([np.array([10.0 - i, 0.0]) for i in range(10)])         .astype(np.float32)
+    out = evaluate_retrieval(user, items, {0: []}, {0: [0, 2, 9]}, [0],
+                             ["Precision(k=5)", "Recall(k=5)", "F1(k=5)",
+                              "DCG(k=5)"])
+    P, R = 2 / 5, 2 / 3
+    assert out["Precision(k=5)"] == pytest.approx(P)
+    assert out["Recall(k=5)"] == pytest.approx(R)
+    assert out["F1(k=5)"] == pytest.approx(2 * P * R / (P + R), abs=1e-5)
+    # hits at ranks 1 and 3 with the reference's NATURAL-log discount
+    # (`core/metrics.py:131`): DCG = 1/ln(2) + 1/ln(4)
+    assert out["DCG(k=5)"] == pytest.approx(
+        1.0 / np.log(2.0) + 1.0 / np.log(4.0), abs=1e-5)
 
 
 def test_train_items_masked():

@@ -42,9 +42,11 @@ Base:
     dataset_id: runcli_ds
     metrics: [AUC, logloss]
     monitor: AUC
-    epochs: 3
+    epochs: 12
     batch_size: 256
     learning_rate: 0.01
+    patience: 12
+    lr_decay_factor: 1.0
 
 DCN_test:
     model: DCN
@@ -66,7 +68,9 @@ def test_run_expid_trains_and_reports(expdir):
     result = run_expid(str(expdir), "DCN_test")
     assert result["model"] == "DCN"
     assert result["experiment_id"] == "DCN_test"
-    assert 0.4 < result["AUC"] <= 1.0, result
+    # XOR planted signal: chance is 0.5 — the bar must sit clearly above
+    # it or an untrained/constant model would pass (3 epochs reach ~0.9+)
+    assert 0.7 < result["AUC"] <= 1.0, result
 
 
 def test_run_expid_override_beats_config(expdir):
