@@ -33,6 +33,9 @@ per-128-lane-row costs that are FLAT across f32/bf16/int8 (narrowing rows
 buys nothing) and unbeatable by per-row Pallas DMA (~800 ns/row) — plus
 fwd/bwd ~2.4 ms ⇒ a ~29 ms/step floor = 1.13M ex/s ceiling; the remaining
 gap is ~6 ms of slice/concat/optimizer machinery around the row ops.
+(CAVEAT: the fwd/bwd component was measured before prof_packed_step's
+LICM/DCE hardening — re-measure on chip; a larger true fwd/bwd LOWERS the
+ceiling, strengthening the wall analysis, and cannot raise it.)
 Scaling past this is the multi-chip row-budget split (R/M rows per chip,
 docs/ARCHITECTURE.md cost model), not single-chip kernel work.
 
