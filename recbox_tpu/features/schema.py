@@ -71,6 +71,12 @@ class FeatureSpec:
     pretrain_path: Optional[str] = None
     freeze_emb: bool = False
     pooling: str = "mean"
+    # per-table mesh placement: None = the module default (row-shard over
+    # the combined grid); False = replicate this table on every device —
+    # the right call for SMALL/HOT tables where replicating the tiny grad
+    # all-reduce is cheaper than the id/row exchange
+    # (`parallel.placement.plan_table_placement` decides from a cost model)
+    shard_table: Optional[bool] = None
 
     def __post_init__(self):
         if self.type not in _VALID_TYPES:

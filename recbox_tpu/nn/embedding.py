@@ -185,7 +185,13 @@ class FeatureEmbedding(nn.Module):
                 # vectors fill the leading rows, remaining rows (PAD/extra)
                 # keep the default draw
                 init = _pretrained_init(pretrain, rows, dim, init)
-            if self.shard_tables:
+            # per-table placement: FeatureSpec.shard_table overrides the
+            # module default — False replicates a small/hot table on every
+            # device (its tiny grad all-reduce beats the id/row exchange;
+            # `parallel.placement.plan_table_placement` makes the call)
+            shard = owner.shard_table if owner.shard_table is not None \
+                else self.shard_tables
+            if shard:
                 init = nn.with_partitioning(init, (("data", "model"), None))
             table = self.param(f"emb_{tname}", init, (rows, dim), self.param_dtype)
             tables[tname] = table
