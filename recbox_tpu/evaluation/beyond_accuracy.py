@@ -89,14 +89,20 @@ def diversity(topk_items: np.ndarray,
     U, K = topk_items.shape
     if K < 2:
         return 0.0
+    valid = (topk_items >= 0) & (topk_items < len(cats))   # pad slots drop
     c = cats[np.clip(topk_items, 0, len(cats) - 1)]        # (U, K, C)
     sq = np.sum(c * c, axis=-1)                            # (U, K)
     gram = np.einsum("ukc,ulc->ukl", c, c)                 # (U, K, K)
     d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
     d = np.sqrt(np.maximum(d2, 0.0))
     iu = np.triu_indices(K, k=1)
-    per_user = d[:, iu[0], iu[1]].mean(axis=1)             # mean over pairs
-    return float(per_user.mean())
+    pair_ok = (valid[:, iu[0]] & valid[:, iu[1]]).astype(np.float64)
+    n_pairs = pair_ok.sum(axis=1)
+    per_user = np.where(n_pairs > 0,
+                        (d[:, iu[0], iu[1]] * pair_ok).sum(axis=1)
+                        / np.maximum(n_pairs, 1.0), 0.0)
+    keep = n_pairs > 0
+    return float(per_user[keep].mean()) if keep.any() else 0.0
 
 
 def evaluate_beyond_accuracy(
@@ -106,24 +112,38 @@ def evaluate_beyond_accuracy(
                                   "GiniIndex"),
         tail_ratio: float = 0.1,
         item_categories: Optional[np.ndarray] = None) -> Dict[str, float]:
-    """Dispatch over the beyond-accuracy metric names (recbole spelling)."""
+    """Dispatch over the beyond-accuracy metric names (recbole spelling).
+
+    Slots outside [0, num_items) are PADDING (candidate-protocol lists
+    shorter than k carry out-of-catalog ids) and are dropped before any
+    counting — coverage/entropy/Gini must describe real recommendations
+    only, and a bincount over a pad id >= num_items would crash Gini.
+    """
+    topk_items = np.asarray(topk_items)
+    valid = (topk_items >= 0) & (topk_items < num_items)
+    if valid.all():
+        counted = topk_items
+    else:
+        # count-based metrics see the valid multiset only; Diversity is
+        # per-row and masks pad slots internally
+        counted = topk_items[valid].reshape(1, -1)
     out: Dict[str, float] = {}
     for m in metrics:
         key = m.lower()
         if key == "itemcoverage":
-            out[m] = item_coverage(topk_items, num_items)
+            out[m] = item_coverage(counted, num_items)
         elif key == "averagepopularity":
             if item_counts is None:
                 raise ValueError("AveragePopularity needs item_counts")
-            out[m] = average_popularity(topk_items, item_counts)
+            out[m] = average_popularity(counted, item_counts)
         elif key == "shannonentropy":
-            out[m] = shannon_entropy(topk_items)
+            out[m] = shannon_entropy(counted)
         elif key == "giniindex":
-            out[m] = gini_index(topk_items, num_items)
+            out[m] = gini_index(counted, num_items)
         elif key == "tailpercentage":
             if item_counts is None:
                 raise ValueError("TailPercentage needs item_counts")
-            out[m] = tail_percentage(topk_items, item_counts, tail_ratio)
+            out[m] = tail_percentage(counted, item_counts, tail_ratio)
         elif key == "diversity":
             if item_categories is None:
                 raise ValueError("Diversity needs item_categories")

@@ -90,7 +90,13 @@ class FeatureSpec:
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
-        return {k: v for k, v in d.items() if v not in (None, "", 0, False) or k in ("name", "type", "vocab_size", "embedding_dim")}
+        # shard_table is TRI-state: False (replicate) is a meaningful
+        # non-default that must survive JSON round-trips — only None is
+        # its "unset" value
+        return {k: v for k, v in d.items()
+                if v not in (None, "", 0, False)
+                or k in ("name", "type", "vocab_size", "embedding_dim")
+                or (k == "shard_table" and v is not None)}
 
 
 @dataclasses.dataclass(frozen=True)

@@ -276,17 +276,24 @@ class DSIN(RankingModel):
         interest = (jnp.sum(enc * w, axis=1)
                     / jnp.maximum(jnp.sum(w, axis=1), 1e-12)).reshape(B, S, D)
         sess_valid = mask.reshape(B, S, K).any(-1)
-        # session evolution: bidirectional GRU over the VALID session
-        # prefix only (`seq_lengths`): a plain flip would run the backward
-        # recurrence through the empty padded sessions first, making valid
-        # sessions' evolved states depend on how much padding follows
-        # (the reference uses bidirectional_dynamic_rnn + sequence_length)
+        # session evolution: bidirectional GRU over the VALID sessions only
+        # (the reference uses bidirectional_dynamic_rnn + sequence_length;
+        # a plain flip would run the backward recurrence through empty
+        # padded sessions). seq_lengths assumes the valid run is a PREFIX,
+        # but the framework's default tokenizer padding is 'pre' (valid
+        # sessions form a SUFFIX) — roll each row so its valid run starts
+        # at position 0, run the length-aware RNNs, and roll back.
         sess_len = jnp.sum(sess_valid.astype(jnp.int32), axis=-1)
+        lead = jnp.argmax(sess_valid.astype(jnp.int32), axis=-1)  # 1st valid
+        pos = jnp.arange(S)[None, :]
+        fwd_idx = (pos + lead[:, None]) % S                   # to prefix
+        inv_idx = (pos - lead[:, None]) % S                   # back
+        pre = jnp.take_along_axis(interest, fwd_idx[..., None], axis=1)
         fwd = nn.RNN(nn.GRUCell(D), name="gru_fwd")(
-            interest, seq_lengths=sess_len)
+            pre, seq_lengths=sess_len)
         bwd = nn.RNN(nn.GRUCell(D), name="gru_bwd", reverse=True,
-                     keep_order=True)(interest, seq_lengths=sess_len)
-        evolved = fwd + bwd
+                     keep_order=True)(pre, seq_lengths=sess_len)
+        evolved = jnp.take_along_axis(fwd + bwd, inv_idx[..., None], axis=1)
         att1 = TargetAttention(use_softmax=True, name="act1")(
             target, interest, sess_valid, train=train)
         att2 = TargetAttention(use_softmax=True, name="act2")(

@@ -41,15 +41,23 @@ class EGREvaluator(nn.Module):
         x = nn.Dense(self.d_model, name="proj")(item_feats)
         # length-aware recurrence (the reference's
         # bidirectional_dynamic_rnn + sequence_length): a plain flip would
-        # run the backward GRU through the padded tail first, making valid
-        # items' logits — and thus the generator's reward — depend on how
-        # much padding the list carries
+        # run the backward GRU through padded slots, making valid items'
+        # logits — and thus the generator's reward — depend on padding.
+        # seq_lengths assumes a valid PREFIX; roll rows whose valid run
+        # starts later (pre-padded lists) to a prefix and roll back after.
+        N = x.shape[1]
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        lead = jnp.argmax(mask.astype(jnp.int32), axis=-1)
+        pos = jnp.arange(N)[None, :]
+        fwd_idx = (pos + lead[:, None]) % N
+        inv_idx = (pos - lead[:, None]) % N
+        xp = jnp.take_along_axis(x, fwd_idx[..., None], axis=1)
         fwd = nn.RNN(nn.GRUCell(self.d_model), name="fwd")(
-            x, seq_lengths=lengths)
+            xp, seq_lengths=lengths)
         bwd = nn.RNN(nn.GRUCell(self.d_model), name="bwd", reverse=True,
-                     keep_order=True)(x, seq_lengths=lengths)
+                     keep_order=True)(xp, seq_lengths=lengths)
         h = jnp.concatenate([fwd, bwd], axis=-1)
+        h = jnp.take_along_axis(h, inv_idx[..., None], axis=1)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         scores = nn.Dense(1, name="score")(h)[..., 0]
         return scores

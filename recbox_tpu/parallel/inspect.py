@@ -107,7 +107,14 @@ def parse_collectives(hlo_text: str) -> List[CollectiveOp]:
                     depth -= 1
                 cur += ch
             parts.append(cur)
-            result_type = parts[-1].strip()
+            # the RESULT is the last ARRAY member; async ops can carry
+            # trailing u32[]/s32[] context scratch fields whose 0-4 bytes
+            # would undercount the op to ~nothing
+            array_parts = [p_ for p_ in parts
+                           if re.match(r"\s*(f|bf|s|u)\d+\[[^\]]+\]",
+                                       p_.strip())]
+            result_type = (array_parts[-1] if array_parts
+                           else parts[-1]).strip()
         out.append(CollectiveOp(
             kind=m.group(1),
             result_shape=result_type,

@@ -15,6 +15,8 @@ import dataclasses
 import logging
 from typing import Any, Dict, Mapping, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from recbox_tpu.config.config import Config
@@ -220,11 +222,16 @@ def run_sequential_experiment(
             else:
                 draw = lambda size: rng.integers(1, n_items, size=size)
             negs = draw((len(tgt), n_neg))
-            # exclude the row's own history + target via bounded re-draw
+            # exclude the row's own history + target + excluded catalog
+            # rows via bounded re-draw (uniform and popularity protocols
+            # must exclude the SAME id set or uniN-vs-popN comparisons
+            # skew)
+            excl_arr = np.asarray(sorted(excluded), np.int64)
             hist = split["item_seq"]
             for _ in range(20):
                 bad = (negs[:, :, None] == hist[:, None, :]).any(-1) \
-                    | (negs == tgt[:, None])
+                    | (negs == tgt[:, None]) \
+                    | np.isin(negs, excl_arr)
                 if not bad.any():
                     break
                 negs[bad] = draw(int(bad.sum()))
@@ -234,15 +241,21 @@ def run_sequential_experiment(
 
     def eval_split(trainer, split, split_id=0):
         # chunk the full-softmax scoring: one shot would materialize an
-        # (n_rows, n_items) matrix on device (80 GB at 200k x 100k)
+        # (n_rows, n_items) matrix on device (80 GB at 200k x 100k).
+        # variables are hoisted ONCE (full_params() merges packed/sparse
+        # table state — paying it per chunk would re-materialize tables
+        # 50x) and the scorer is jitted once per shape
         bs = config.get("eval_batch_size", 4096)
         keys = [k for k in ("item_seq", "seq_len", "user_id") if k in split]
         n = len(split[feature_map.corpus_index])
+        variables = {"params": trainer.full_params(), **trainer.model_state}
+        score_fn = jax.jit(lambda v, b: trainer.model.apply(
+            v, b, method=trainer.model.full_scores))
         parts = []
         for s in range(0, n, bs):
-            parts.append(np.asarray(trainer.apply(
-                {k: split[k][s:s + bs] for k in keys},
-                method=trainer.model.full_scores)))
+            parts.append(np.asarray(score_fn(
+                variables, {k: jnp.asarray(split[k][s:s + bs])
+                            for k in keys})))
         scores = np.concatenate(parts, axis=0)
         tgt = split[feature_map.corpus_index][:, None]
         if protocol != "full":

@@ -256,7 +256,8 @@ class BruteForceMIPS:
         `ops/pallas/mips_topk.py` — beats 'approx' at k>=500, loses to
         'segmented'; measured envelope in the kernel docstring) |
         'refined' (two-phase, near-exact) | 'exact'/'exact_sort' (scan
-        merge, truly exact).
+        merge, truly exact). Pad convention (all engines): slots beyond
+        the candidate pool return score=-inf, id=-1.
       recall_target: approx_max_k knob for method='approx'.
       quantize: None | 'int8' — per-row symmetric int8 corpus (s8×s8→s32
         MXU scoring, ~2× bf16 rate, 4× less HBM than f32; see
@@ -356,6 +357,11 @@ class BruteForceMIPS:
             all_s = jnp.where(valid, all_s, -jnp.inf)
             ms, pos = jax.lax.top_k(all_s, topk)
             mi = jnp.take_along_axis(all_i, pos, axis=1)
+            # unified pad convention across every engine (and
+            # RetrievalService): exhausted slots are score=-inf, id=-1 —
+            # never a padded-row id >= num_items that silently indexes
+            # item metadata
+            mi = jnp.where(jnp.isfinite(ms), mi, -1)
             return ms, mi.astype(jnp.int32)
 
         fn = shard_map(

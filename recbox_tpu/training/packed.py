@@ -613,10 +613,14 @@ class PackedEmbeddingTrainer(Trainer):
                     new_state = model_state
                 loss = loss_fn(outputs, batch)
                 if cfg.embedding_regularizer:
-                    # p2 penalty on the TOUCHED rows (the sparse analog of
+                    # (1/2)*p2 penalty on the TOUCHED rows — same 1/p factor as
+                    # embedding_reg_loss on the dense path, so one
+                    # lambda means the same thing under every
+                    # trainer. Duplicate ids count once per batch
+                    # occurrence (the per-example sparse analog of
                     # the dense path's whole-table penalty — untouched rows
                     # receive no gradient either way)
-                    loss = loss + cfg.embedding_regularizer * sum(
+                    loss = loss + cfg.embedding_regularizer * 0.5 * sum(
                         jnp.sum(jnp.square(r.astype(jnp.float32)))
                         for r in rows.values())
                 if cfg.net_regularizer:
@@ -806,14 +810,23 @@ class PackedEmbeddingTrainer(Trainer):
                           for k, v in self._best_packs.items()}
             self.accs = {k: jnp.asarray(v)
                          for k, v in self._best_accs.items()}
+            # plateau reloads happen far more often than load(): the
+            # restored packs must come back with the combined-grid
+            # sharding or a mesh run re-materializes them replicated
+            self._reshard_packed()
 
     def state_dict(self):
         # the public checkpoint contract (incl. OrbaxCheckpointer): the
         # packed table/optimizer state MUST ride along or an orbax restore
-        # would silently revert every embedding to fresh random init
+        # would silently revert every embedding to fresh random init.
+        # emb_lr rides too: the plateau schedule decays it, and resuming
+        # at the static-config value would jump the tables back to the
+        # undecayed lr (-1.0 = not yet resolved)
         state = super().state_dict()
         state["packs"] = self.packs
         state["accs"] = self.accs
+        state["emb_lr"] = float(self._emb_lr if self._emb_lr is not None
+                                else -1.0)
         return state
 
     def save(self, path: str) -> None:
@@ -847,6 +860,9 @@ class PackedEmbeddingTrainer(Trainer):
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
         self.monitor.restore(state["monitor"])
+        saved_lr = float(state.get("emb_lr", -1.0))
+        if saved_lr > 0:
+            self._emb_lr = saved_lr
         self._reshard_packed()
         # the saved state is the best-so-far (best.ckpt is written on
         # improvement); seed the best-weights cache so plateau reloads and

@@ -202,10 +202,14 @@ class SparseEmbeddingTrainer(Trainer):
                     new_state = model_state
                 loss = loss_fn(outputs, batch)
                 if cfg.embedding_regularizer:
-                    # p2 penalty on the TOUCHED rows (the sparse analog of
+                    # (1/2)*p2 penalty on the TOUCHED rows — same 1/p factor as
+                    # embedding_reg_loss on the dense path, so one
+                    # lambda means the same thing under every
+                    # trainer. Duplicate ids count once per batch
+                    # occurrence (the per-example sparse analog of
                     # the dense path's whole-table penalty -- untouched
                     # rows receive no gradient either way)
-                    loss = loss + cfg.embedding_regularizer * sum(
+                    loss = loss + cfg.embedding_regularizer * 0.5 * sum(
                         jnp.sum(jnp.square(r.astype(jnp.float32)))
                         for r in rows.values())
                 if cfg.net_regularizer:
@@ -298,10 +302,13 @@ class SparseEmbeddingTrainer(Trainer):
     def state_dict(self):
         # the public checkpoint contract (incl. OrbaxCheckpointer): tables
         # and accumulators MUST ride along or an orbax restore would
-        # silently revert every embedding to fresh random init
+        # silently revert every embedding to fresh random init. emb_lr
+        # rides too (plateau-decayed; -1.0 = not yet resolved)
         state = super().state_dict()
         state["tables"] = self.tables
         state["accumulators"] = self.accumulators
+        state["emb_lr"] = float(self._emb_lr if self._emb_lr is not None
+                                else -1.0)
         return state
 
     def save(self, path: str) -> None:
@@ -321,6 +328,9 @@ class SparseEmbeddingTrainer(Trainer):
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
         self.monitor.restore(state["monitor"])
+        saved_lr = float(state.get("emb_lr", -1.0))
+        if saved_lr > 0:
+            self._emb_lr = saved_lr
         # seed the best-weights cache from the restored state (best.ckpt is
         # written on improvement, so it IS the best-so-far) — otherwise a
         # resumed run whose evals never improve ends on drifted weights

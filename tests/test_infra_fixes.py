@@ -132,6 +132,10 @@ def test_async_collective_start_counts_result_only():
     # sync form of the same op reports the same number
     hlo2 = "%ag2 = f32[8,16]{1,0} all-gather(f32[2,16]{1,0} %p), dimensions={0}"
     assert parse_collectives(hlo2)[0].bytes == 8 * 16 * 4
+    # trailing u32[] context scratch members must not become the "result"
+    hlo3 = ("%cp = (f32[4,16]{1,0}, f32[4,16]{1,0}, u32[], u32[]) "
+            "collective-permute-start(f32[4,16]{1,0} %p)")
+    assert parse_collectives(hlo3)[0].bytes == 4 * 16 * 4
 
 
 def test_pallas_topk_rejects_oversized_k():

@@ -104,3 +104,16 @@ def test_mixed_placement_trains_on_mesh():
     t.init(batch)
     loss = float(t.train_step(batch))
     assert np.isfinite(loss)
+
+
+def test_shard_table_false_survives_feature_map_roundtrip(tmp_path):
+    fm = FeatureMap("plrt", (
+        FeatureSpec("g", "categorical", vocab_size=4, embedding_dim=8,
+                    shard_table=False),
+        FeatureSpec("i", "categorical", vocab_size=64, embedding_dim=8),
+    ), labels=("y",))
+    path = str(tmp_path / "fm.json")
+    fm.save(path)
+    fm2 = FeatureMap.load(path)
+    assert fm2["g"].shard_table is False          # the planner's decision
+    assert fm2["i"].shard_table is None           # unset stays unset

@@ -41,6 +41,29 @@ def test_gsf_scores_invariant_to_pad_content():
     np.testing.assert_allclose(s1[:, :5], s2[:, :5], rtol=1e-5)
 
 
+def test_egr_evaluator_invariant_to_padding_prepad():
+    """PRE-padded lists (valid items as a SUFFIX — the framework's default
+    tokenizer layout): valid logits must equal the post-padded run's."""
+    from recbox_tpu.models.reranking.rl import EGREvaluator
+    rng = np.random.default_rng(0)
+    valid_feats = rng.normal(size=(2, 4, 6)).astype(np.float32)
+    model = EGREvaluator(d_model=8)
+    post = np.zeros((2, 8, 6), np.float32)
+    post[:, :4] = valid_feats
+    m_post = np.zeros((2, 8), bool)
+    m_post[:, :4] = True
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(post),
+                   jnp.asarray(m_post))
+    s_post = np.asarray(model.apply(v, jnp.asarray(post),
+                                    jnp.asarray(m_post)))
+    pre = np.zeros((2, 8, 6), np.float32)
+    pre[:, 4:] = valid_feats
+    m_pre = np.zeros((2, 8), bool)
+    m_pre[:, 4:] = True
+    s_pre = np.asarray(model.apply(v, jnp.asarray(pre), jnp.asarray(m_pre)))
+    np.testing.assert_allclose(s_pre[:, 4:], s_post[:, :4], rtol=1e-5)
+
+
 def test_egr_evaluator_invariant_to_padding():
     from recbox_tpu.models.reranking.rl import EGREvaluator
     rng = np.random.default_rng(0)
@@ -83,6 +106,36 @@ def test_dien_rejects_dim_mismatch():
     with pytest.raises(ValueError, match="gru_hidden"):
         model.init({"params": jax.random.PRNGKey(0),
                     "dropout": jax.random.PRNGKey(1)}, batch, train=True)
+
+
+def test_dsin_prepadded_histories_match_postpadded():
+    """The framework's default tokenizer pads at the FRONT (valid sessions
+    are a suffix): DSIN's session Bi-GRU must produce the same logits as
+    for the equivalent post-padded layout."""
+    from recbox_tpu.models.ranking.sequence_ctr import DSIN
+    vocab, L = 20, 10
+    fm = FeatureMap("dsinpp", (
+        FeatureSpec("item_id", "categorical", vocab_size=vocab + 1,
+                    embedding_dim=8),
+        FeatureSpec("hist", "sequence", vocab_size=vocab + 1,
+                    embedding_dim=8, max_len=L, padding_idx=vocab,
+                    share_embedding="item_id"),
+    ), labels=("click",))
+    model = DSIN(feature_map=fm, embedding_dim=8, session_count=5,
+                 hidden_units=(16,))
+    rng = np.random.default_rng(0)
+    real = rng.integers(1, vocab, size=(2, 4)).astype(np.int32)
+    post = np.full((2, L), vocab, np.int32)
+    post[:, :4] = real                           # valid prefix
+    pre = np.full((2, L), vocab, np.int32)
+    pre[:, L - 4:] = real                        # valid suffix (pre-pad)
+    b_post = {"item_id": jnp.asarray([3, 7]), "hist": jnp.asarray(post)}
+    b_pre = {"item_id": jnp.asarray([3, 7]), "hist": jnp.asarray(pre)}
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, b_post, train=True)
+    out_post = np.asarray(model.apply(v, b_post))
+    out_pre = np.asarray(model.apply(v, b_pre))
+    np.testing.assert_allclose(out_pre, out_post, rtol=1e-4)
 
 
 def test_dsin_invariant_to_empty_session_padding():
