@@ -1,0 +1,104 @@
+"""One-command round-readiness check: the verify-skill recipes, mechanized.
+
+Runs (all CPU-safe; each step prints PASS/FAIL):
+  1. driver entry points — __graft_entry__.entry() compile + one call, and
+     dryrun_multichip(8) on a virtual 8-device CPU mesh;
+  2. every example in examples/ end to end;
+  3. the full test suite (skip with --no-tests for a quick pass);
+  4. bench.py's tunnel guard path parses as one JSON line.
+
+Usage:  python tools/roundcheck.py [--no-tests] [--no-examples]
+Exit status: number of failed steps (0 = round-ready).
+
+Env handling: everything launches through subprocesses with the
+axon-bypass env (PYTHONPATH='' JAX_PLATFORMS=cpu) so the check works even
+while the TPU tunnel is down (see .claude/skills/verify/SKILL.md).
+"""
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CPU_ENV = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+
+_ENTRY_SNIPPET = """
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
+jax.config.update('jax_num_cpu_devices', 8)
+import sys; sys.path.insert(0, {repo!r})
+import __graft_entry__ as g
+fn, args = g.entry()
+jax.jit(fn)(*args)
+g.dryrun_multichip(8)
+print('ENTRY_OK')
+"""
+
+
+def run(name, cmd, timeout, expect=None):
+    t0 = time.time()
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, env=CPU_ENV, cwd=REPO)
+        ok = proc.returncode == 0 and (expect is None
+                                       or expect in proc.stdout)
+        tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+    except subprocess.TimeoutExpired:
+        ok, tail = False, ["TIMEOUT"]
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name} ({time.time() - t0:.0f}s)")
+    if not ok:
+        for line in tail:
+            print(f"       {line}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-tests", action="store_true")
+    ap.add_argument("--no-examples", action="store_true")
+    args = ap.parse_args()
+    failures = 0
+
+    failures += not run(
+        "entry + dryrun_multichip(8)",
+        [sys.executable, "-c", _ENTRY_SNIPPET.format(repo=REPO)],
+        timeout=600, expect="ENTRY_OK")
+
+    if not args.no_examples:
+        for path in sorted(glob.glob(os.path.join(REPO, "examples",
+                                                  "*.py"))):
+            failures += not run(f"example {os.path.basename(path)}",
+                                [sys.executable, path], timeout=900)
+
+    if not args.no_tests:
+        failures += not run(
+            "pytest tests/",
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-x"],
+            timeout=1800)
+
+    # bench guard: must emit ONE parseable JSON line even with the tunnel
+    # down (value 0 + error field) — never hang the driver. Probe quickly
+    # by shrinking the reachability timeout via a wrapper.
+    probe = ("import json, bench\n"
+             "bench._backend_reachable = lambda *a, **k: False\n"
+             "import io, contextlib; buf = io.StringIO()\n"
+             "with contextlib.redirect_stdout(buf):\n"
+             "    bench.main()\n"
+             "line = buf.getvalue().strip().splitlines()[-1]\n"
+             "json.loads(line)\nprint('BENCH_GUARD_OK')")
+    failures += not run("bench.py guard emits parseable JSON",
+                        [sys.executable, "-c", probe], timeout=900,
+                        expect="BENCH_GUARD_OK")
+
+    print(f"\n{'ROUND-READY' if failures == 0 else f'{failures} FAILURES'}")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
