@@ -25,6 +25,22 @@ def test_evaluate_rerank_perfect_vs_reversed():
     assert b["NDCG@2"] < g["NDCG@2"]
 
 
+def test_evaluate_rerank_map_ndcg_hand_computed():
+    """Anchor MAP/NDCG to hand values (a mixed ordering, not just the
+    perfect/reversed extremes): relevant at ranks 1 and 3 of 4."""
+    labels = np.array([[1.0, 0.0, 1.0, 0.0]])
+    scores = np.array([[4.0, 3.0, 2.0, 1.0]])    # keeps the given order
+    out = evaluate_rerank(scores, labels, ks=[4])
+    # AP = (1/1 + 2/3) / 2 hits
+    assert out["MAP@4"] == pytest.approx((1.0 + 2.0 / 3.0) / 2.0, abs=1e-9)
+    # exponential-gain NDCG (binary labels => gains 1):
+    # dcg = 1/log2(2) + 1/log2(4); idcg = 1/log2(2) + 1/log2(3)
+    dcg = 1.0 + 1.0 / 2.0
+    idcg = 1.0 + 1.0 / np.log2(3.0)
+    assert out["NDCG@4"] == pytest.approx(dcg / idcg, abs=1e-9)
+    assert out["clicks@4"] == pytest.approx(2.0)
+
+
 def test_evaluate_rerank_mask_ignores_padding():
     labels = np.array([[1.0, 0.0, 1.0]])
     scores = np.array([[0.1, 0.5, 9.0]])
