@@ -239,18 +239,24 @@ def run_sequential_experiment(
                 [tgt[:, None], negs], axis=1).astype(np.int64)
         return _cand_cache[split_id]
 
+    _score_fn_cache: Dict[int, Any] = {}
+
     def eval_split(trainer, split, split_id=0):
         # chunk the full-softmax scoring: one shot would materialize an
         # (n_rows, n_items) matrix on device (80 GB at 200k x 100k).
-        # variables are hoisted ONCE (full_params() merges packed/sparse
-        # table state — paying it per chunk would re-materialize tables
-        # 50x) and the scorer is jitted once per shape
+        # variables are hoisted ONCE per eval (full_params() merges
+        # packed/sparse table state — paying it per chunk would
+        # re-materialize tables 50x); the jitted scorer is cached across
+        # eval rounds (a fresh lambda per call would recompile per epoch)
         bs = config.get("eval_batch_size", 4096)
         keys = [k for k in ("item_seq", "seq_len", "user_id") if k in split]
         n = len(split[feature_map.corpus_index])
         variables = {"params": trainer.full_params(), **trainer.model_state}
-        score_fn = jax.jit(lambda v, b: trainer.model.apply(
-            v, b, method=trainer.model.full_scores))
+        if id(trainer.model) not in _score_fn_cache:
+            model = trainer.model
+            _score_fn_cache[id(trainer.model)] = jax.jit(
+                lambda v, b: model.apply(v, b, method=model.full_scores))
+        score_fn = _score_fn_cache[id(trainer.model)]
         parts = []
         for s in range(0, n, bs):
             parts.append(np.asarray(score_fn(
