@@ -175,3 +175,29 @@ def test_rerank_ndcg_debiased_labels_no_nan():
     out = evaluate_rerank(scores, labels, mask, ks=[4])
     assert np.isfinite(out["NDCG@4"])
     assert out["NDCG@4"] == pytest.approx(1.0, abs=1e-6)  # ideal order
+
+
+# ---------------------------------------------------------------------------
+# ENMF: Gram-trick whole-corpus loss == naive O(B*N) computation
+# ---------------------------------------------------------------------------
+
+def test_enmf_efficient_loss_matches_naive():
+    """The (sum uu^T)(sum vv^T) reduction must equal the literal
+    c0*sum_u sum_ALL-ITEMS yhat^2 term it replaces — a shared-formula bug
+    in the trick would silently mistrain ENMF at every scale."""
+    from recbox_tpu.models.matching.neural_cf import enmf_loss
+    rng = np.random.default_rng(0)
+    B, N, D, c0 = 6, 9, 4, 0.37
+    user_repr = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    item_table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    pos_items = rng.integers(0, N, size=B)
+    mask = np.array([1, 1, 0, 1, 1, 1], np.float32)   # one padded row
+    hv = np.asarray(item_table) * np.asarray(h)[None, :]
+    scores_all = np.asarray(user_repr) @ hv.T          # (B, N)
+    pos_scores = scores_all[np.arange(B), pos_items]
+    eff = float(enmf_loss(jnp.asarray(pos_scores), user_repr, item_table,
+                          h, jnp.asarray(mask) > 0, neg_weight=c0))
+    naive = (np.sum(((1 - c0) * pos_scores ** 2 - 2 * pos_scores) * mask)
+             + c0 * np.sum(scores_all ** 2)) / B
+    assert eff == pytest.approx(naive, rel=1e-5)
