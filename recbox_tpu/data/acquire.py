@@ -101,7 +101,10 @@ def download_url(url: str, folder: str,
             return path
     logger.info("downloading %s", url)
     tmp = path + ".part"
-    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+    # bounded: a stalled mirror must fail loudly, not wedge every rank at
+    # the acquisition barrier (repo convention: run hangables bounded)
+    with urllib.request.urlopen(url, timeout=60) as resp, \
+            open(tmp, "wb") as out:
         shutil.copyfileobj(resp, out, length=1 << 20)
         out.flush()
         os.fsync(out.fileno())

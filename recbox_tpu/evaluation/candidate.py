@@ -62,6 +62,7 @@ def sample_eval_candidates(
     seed: int = 2024,
     max_attempts: int = 50,
     exclude_items: Sequence[int] = (),
+    user_chunk: Optional[int] = None,
 ):
     """Build the static candidate matrix for every evaluated user.
 
@@ -103,26 +104,38 @@ def sample_eval_candidates(
     else:
         raise NotImplementedError(f"distribution={distribution}")
 
-    # used-id exclusion via membership bitmap (vectorized across all users)
-    used = np.zeros((U, num_items + 1), dtype=bool)
-    for it in exclude_items:
-        if 0 <= it < num_items:
-            used[:, it] = True
-    for i, q in enumerate(query_indices):
-        for it in train_user2items.get(int(q), ()):
-            if 0 <= it < num_items:
-                used[i, it] = True
-        for it in true_lists[i]:
-            used[i, it] = True
-
-    negs = draw((U, n_neg))
-    rows = np.arange(U)[:, None]
-    for _ in range(max_attempts):
-        bad = used[rows, negs]
-        n_bad = int(bad.sum())
-        if n_bad == 0:
-            break
-        negs[bad] = draw(n_bad)
+    # used-id exclusion via membership bitmap, vectorized across users but
+    # CHUNKED on the user axis: a dense (U, num_items) bitmap is O(users x
+    # catalog) — hundreds of GB at production scale (100k+ users x millions
+    # of items), where this sampled protocol exists precisely to be cheap.
+    # Chunk rows so the bitmap stays <= ~256 MB; per-chunk cost then scales
+    # with interactions, not users x catalog.
+    excl = np.array([it for it in exclude_items if 0 <= it < num_items],
+                    dtype=np.int64)
+    chunk = user_chunk or max(1, min(U, (1 << 28) // (num_items + 1)))
+    negs = np.empty((U, n_neg), dtype=np.int64)
+    for c0 in range(0, U, chunk):
+        c1 = min(c0 + chunk, U)
+        uc = c1 - c0
+        used = np.zeros((uc, num_items + 1), dtype=bool)
+        if excl.size:
+            used[:, excl] = True
+        for i in range(c0, c1):
+            q = int(query_indices[i])
+            for it in train_user2items.get(q, ()):
+                if 0 <= it < num_items:
+                    used[i - c0, it] = True
+            for it in true_lists[i]:
+                used[i - c0, it] = True
+        neg_c = draw((uc, n_neg))
+        rows = np.arange(uc)[:, None]
+        for _ in range(max_attempts):
+            bad = used[rows, neg_c]
+            n_bad = int(bad.sum())
+            if n_bad == 0:
+                break
+            neg_c[bad] = draw(n_bad)
+        negs[c0:c1] = neg_c
 
     pos_part = np.where(true_padded >= 0, true_padded, num_items)
     cand_ids = np.concatenate([pos_part, negs], axis=1).astype(np.int32)

@@ -80,7 +80,7 @@ def _block_plan(corpus_dtype, qt: int, d: int):
     return sub_rows, spb
 
 
-def _make_kernel(subs_per_block: int, sub_rows: int):
+def _make_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
     c_block = sub_rows * subs_per_block
 
     def _kernel(q_ref, c_ref, out_s_ref, out_i_ref):
@@ -103,6 +103,17 @@ def _make_kernel(subs_per_block: int, sub_rows: int):
                 c, q, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (SUB, Qt)
             qt = s.shape[1]
+            if valid_rows is not None:
+                # Padded corpus rows score 0 (q . 0), which WINS any
+                # segment whose valid rows all score negative — masking
+                # only after segmentation (the old behavior) silently
+                # dropped those segments' true candidates. Mask the pad
+                # rows to -inf BEFORE the segment reduce so a pad row can
+                # never beat a valid one.
+                row_g = (b * c_block + j * sub_rows
+                         + jax.lax.broadcasted_iota(
+                             jnp.int32, (sub_rows, qt), 0))
+                s = jnp.where(row_g < valid_rows, s, -jnp.inf)
             n_seg = sub_rows // SEGMENT
             # STRIDED segmentation: segment g = rows {g, g+n_seg, ...} —
             # the reduce then runs over the MAJOR axis (SEGMENT sequential
@@ -123,15 +134,18 @@ def _make_kernel(subs_per_block: int, sub_rows: int):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mips_segment_candidates(queries, corpus, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("valid_items", "interpret"))
+def mips_segment_candidates(queries, corpus, valid_items: int = None,
+                            interpret: bool = False):
     """(n_segments, Qt) candidate scores + global item ids
     (candidate-major layout; `pallas_mips_topk` transposes back).
 
     queries (Qt, D), corpus (N, D) with N a multiple of 2048 and D a
-    multiple of 128 (pad; padded corpus rows should be -inf-able — the
-    caller masks ids >= true N). dtypes are used as given — pass bf16 for
-    MXU-rate scoring with f32 accumulation.
+    multiple of 128. `valid_items` (static; default = all rows) marks
+    rows >= it as padding: they are scored -inf INSIDE the kernel, before
+    the segment reduce, so a zero-scored pad row can never win a segment
+    whose valid rows all score negative. dtypes are used as given — pass
+    bf16 for MXU-rate scoring with f32 accumulation.
     """
     qt, d = queries.shape
     n, d2 = corpus.shape
@@ -143,12 +157,14 @@ def mips_segment_candidates(queries, corpus, interpret: bool = False):
     n_blocks = n // c_block
     n_seg = c_block // SEGMENT      # candidate rows per grid step
     grid = (n_blocks,)
+    mask_from = None if (valid_items is None or valid_items >= n) \
+        else int(valid_items)
     out_shape = (
         jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.float32),
         jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.int32),
     )
     return pl.pallas_call(
-        _make_kernel(spb, sub_rows),
+        _make_kernel(spb, sub_rows, mask_from),
         grid=grid,
         in_specs=[
             pl.BlockSpec((qt, d), lambda b: (0, 0),
@@ -187,8 +203,12 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
         corpus = jnp.pad(corpus, ((0, n_pad), (0, d_pad)))
     if d_pad:
         queries = jnp.pad(queries, ((0, 0), (0, d_pad)))
-    cs, ci = mips_segment_candidates(queries, corpus, interpret=interpret)
+    cs, ci = mips_segment_candidates(queries, corpus,
+                                     valid_items=int(n_items),
+                                     interpret=interpret)
     cs, ci = cs.T, ci.T                       # back to (Qt, n_candidates)
+    # pad rows were scored -inf inside the kernel; this where only
+    # normalizes the all-pad segments' winners (score already -inf)
     cs = jnp.where(ci < n_items, cs, -jnp.inf)
     if k > cs.shape[1]:
         # only ~N/128 candidates survive segmentation; top_k beyond that

@@ -69,6 +69,11 @@ class OrbaxCheckpointer:
         import orbax.checkpoint as ocp
         self._ocp = ocp
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # meta JSON staged per save, committed only once the matching async
+        # array snapshot is durable — otherwise a crash mid-flight leaves
+        # NEW step/epoch meta paired with the PREVIOUS (or no) arrays and a
+        # resume restores mismatched state
+        self._pending_meta = None          # (tmp_path, final_path)
 
     @staticmethod
     def _split(state: dict):
@@ -81,22 +86,36 @@ class OrbaxCheckpointer:
                 arrays[k] = v
         return arrays, meta
 
+    def _commit_pending_meta(self) -> None:
+        if self._pending_meta is not None:
+            tmp, final = self._pending_meta
+            self._pending_meta = None
+            if os.path.exists(tmp):
+                os.replace(tmp, final)
+
     def save(self, directory: str, state: dict) -> None:
         import json
         directory = os.path.abspath(directory)
         arrays, meta = self._split(state)
         import jax
+        # AsyncCheckpointer.save waits for any in-flight save before
+        # starting the new one — so once it returns, the PREVIOUS snapshot
+        # is durable and its staged meta can commit.
         self._ckptr.save(directory, args=self._ocp.args.StandardSave(arrays),
                          force=True)
+        self._commit_pending_meta()
         if jax.process_count() == 1 or jax.process_index() == 0:
             os.makedirs(directory + ".meta", exist_ok=True)
             tmp = directory + ".meta/state.json.tmp"
             with open(tmp, "w") as fh:
                 json.dump(meta, fh)
-            os.replace(tmp, directory + ".meta/state.json")
+            # staged, NOT committed: the matching array save is still in
+            # flight; commit happens at wait() or the next save()
+            self._pending_meta = (tmp, directory + ".meta/state.json")
 
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
+        self._commit_pending_meta()
 
     def load(self, directory: str, template: dict) -> dict:
         import json
@@ -114,4 +133,5 @@ class OrbaxCheckpointer:
         return out
 
     def close(self) -> None:
-        self._ckptr.close()
+        self._ckptr.close()            # waits for in-flight saves
+        self._commit_pending_meta()

@@ -461,8 +461,20 @@ class Trainer:
             # all-gather map-reduce (`trainer.py:630-652`). Evaluators expose
             # their local row count as `last_sample_count`.
             from recbox_tpu.parallel.distributed import merge_host_metrics
-            weight = float(getattr(self.eval_fn, "last_sample_count", 1.0))
-            metrics = merge_host_metrics(metrics, weight)
+            weight = getattr(self.eval_fn, "last_sample_count", None)
+            if weight is None:
+                # Equal-weighting hosts whose eval shards differ in size
+                # skews the merged metric vs the reference's sample-weighted
+                # map-reduce (`trainer.py:630-652`) — make the silent
+                # fallback loud so custom eval_fns set last_sample_count.
+                logger.warning(
+                    "multi-host eval merge: eval_fn has no "
+                    "last_sample_count attribute; falling back to equal "
+                    "host weights, which is WRONG if hosts' eval shards "
+                    "differ in size. Set eval_fn.last_sample_count to the "
+                    "local row count after each call.")
+                weight = 1.0
+            metrics = merge_host_metrics(metrics, float(weight))
         value, improved, should_stop = self.monitor.update(metrics, self.epoch)
         logger.info("eval @ epoch %d step %d: %s -> monitor %.6f%s",
                     self.epoch, self.step,

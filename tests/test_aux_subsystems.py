@@ -329,6 +329,25 @@ class TestOrbaxCheckpointer:
         assert restored["step"] == 7 and restored["epoch"] == 2
         ckpt.close()
 
+    def test_meta_commits_only_after_wait(self, tmp_path):
+        """Regression (round-2 ADVICE): the step/epoch meta JSON must not
+        commit while the async array save may still be in flight — a crash
+        would pair NEW meta with the PREVIOUS arrays. save() stages the
+        meta; wait()/close()/the next save() commit it."""
+        import os
+        import jax.numpy as jnp
+        from recbox_tpu.training.checkpoint import OrbaxCheckpointer
+        ckpt = OrbaxCheckpointer()
+        d = str(tmp_path / "ck")
+        ckpt.save(d, {"w": jnp.ones(3), "step": 5})
+        assert not os.path.exists(d + ".meta/state.json")   # staged only
+        assert os.path.exists(d + ".meta/state.json.tmp")
+        ckpt.wait()
+        assert os.path.exists(d + ".meta/state.json")       # now durable
+        restored = ckpt.load(d, {"w": jnp.zeros(3), "step": 0})
+        assert restored["step"] == 5
+        ckpt.close()
+
     def test_trainer_state_dict_contract(self, rng):
         """Trainer.state_dict() is orbax-saveable and restores into a
         fresh trainer via the same template."""

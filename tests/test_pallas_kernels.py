@@ -70,6 +70,28 @@ class TestPallasMIPS:
         assert int(np.asarray(ids).max()) < 3000
         assert np.isfinite(np.asarray(s)).all()
 
+    def test_negative_scores_with_padding(self):
+        """Regression (round-2 ADVICE): zero-scored PAD rows must not win
+        segments whose valid rows all score negative — pads are now masked
+        to -inf INSIDE the kernel, before the segment reduce. Construction:
+        every valid corpus row scores strictly negative for every query, so
+        under the old post-segmentation masking nearly every returned slot
+        was -1; exact top-k must survive."""
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(3)
+        q = np.abs(rng.normal(size=(8, 64))).astype(np.float32)
+        c = -np.abs(rng.normal(size=(3000, 64))).astype(np.float32)
+        s, ids = pallas_mips_topk(q, c, 5, interpret=True, exact_merge=True)
+        ids = np.asarray(ids)
+        assert (ids >= 0).all() and (ids < 3000).all(), ids
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :5]
+        recall = np.mean([len(set(ids[i]) & set(eids[i])) / 5
+                          for i in range(8)])
+        assert recall >= 0.95, recall
+        np.testing.assert_allclose(
+            np.asarray(s), np.take_along_axis(exact, ids, axis=1), rtol=1e-5)
+
     def test_index_method_dispatch(self):
         """BruteForceMIPS(method='pallas') falls back to approx for small
         corpora (no pallas on CPU) and accepts the method string."""

@@ -151,6 +151,24 @@ class TestCandidateProtocol:
             pos = set(cand[i, :P][cand_valid[i, :P]].tolist())
             assert pos == set(valid[u])
 
+    def test_user_chunking_preserves_exclusion(self):
+        """Regression (round-2 ADVICE): the used-ids bitmap is built per
+        user CHUNK (memory scales with chunk x catalog, not users x
+        catalog). A tiny forced chunk must still honor every user's
+        exclusions and the positive-slot layout."""
+        from recbox_tpu.evaluation.candidate import sample_eval_candidates
+        _, _, train, valid, U, I = self._setup()
+        q = np.arange(U)
+        cand, cand_valid, true_p = sample_eval_candidates(
+            q, train, valid, I, num_negs=10, seed=3, user_chunk=4)
+        P = true_p.shape[1]
+        for i, u in enumerate(q):
+            used = set(train[u]) | set(valid[u])
+            negs = cand[i, P:]
+            assert not (set(negs.tolist()) & used)
+            pos = set(cand[i, :P][cand_valid[i, :P]].tolist())
+            assert pos == set(valid[u])
+
     def test_perfect_model_gets_perfect_hitrate(self):
         """If the model scores the true items highest, candidate-set
         HitRate@1..k must be 1 (sanity for ranking within candidates)."""
