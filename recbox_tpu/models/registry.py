@@ -46,6 +46,11 @@ def list_models(stage: str = None):
 for _name, _cls in [("MF", MF), ("DSSM", DSSM), ("YoutubeDNN", YoutubeDNN),
                     ("LightGCN", LightGCN), ("NGCF", NGCF)]:
     register_model(_name, _cls, "matching")
+# recbole's BPR (`general_recommender/bpr.py`) IS matrix factorization
+# trained with the pairwise logistic (BPR) loss — the matching pipelines'
+# default loss — so the alias makes `run_experiment("BPR", ...)` work with
+# reference spelling.
+register_model("BPR", MF, "matching")
 for _name, _cls in [("LR", LR), ("FM", FM), ("DNN", DNN), ("WideDeep", WideDeep),
                     ("DeepFM", DeepFM), ("NFM", NFM), ("AFM", AFM), ("DCN", DCN),
                     ("DCNv2", DCNv2), ("xDeepFM", xDeepFM), ("AutoInt", AutoInt),

@@ -34,7 +34,7 @@ logger = logging.getLogger("recbox_tpu")
 
 __all__ = ["build_model", "build_trainer_config", "run_ranking_experiment",
            "run_matching_experiment", "run_sequential_experiment",
-           "run_rerank_experiment", "run_kg_experiment"]
+           "run_rerank_experiment", "run_kg_experiment", "run_experiment"]
 
 
 def build_model(config: Mapping[str, Any], feature_map: FeatureMap):
@@ -125,8 +125,15 @@ def run_matching_experiment(
     train_user2items: Mapping[int, Any],
     valid_user2items: Mapping[int, Any],
     mesh=None,
+    test_user2items: Optional[Mapping[int, Any]] = None,
+    test_user_arrays: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, float]:
-    """Two-tower / graph / sequential matching pipeline with retrieval eval."""
+    """Two-tower / graph / sequential matching pipeline with retrieval eval.
+
+    ``test_user2items`` (optional) adds a held-out test evaluation after
+    fit() restored the best-valid weights, with train ∪ valid positives
+    masked — recbole's test phase (`quick_start.py:96-102`). The reported
+    keys are prefixed ``test_``."""
     config = Config(config)
     model, stage = build_model(config, feature_map)
     metrics = list(config.get("metrics", ["Recall(k=20)", "NDCG(k=10)"]))
@@ -174,6 +181,23 @@ def run_matching_experiment(
     trainer = Trainer(model, loss_fn, build_trainer_config(config),
                       eval_fn=evaluator, mesh=mesh, train_method=train_method)
     result = trainer.fit(loader, epochs=config.get("epochs"))
+    if test_user2items:
+        tq = np.asarray(sorted(test_user2items), dtype=np.int64)
+        tu = test_user_arrays if test_user_arrays is not None else {
+            (feature_map.query_index or "user_id"): tq.astype(np.int32)}
+        # test masks train AND valid positives (recbole full-sort test)
+        merged: Dict[int, list] = {}
+        for u2i in (train_user2items, valid_user2items):
+            for u, its in u2i.items():
+                merged.setdefault(int(u), []).extend(int(i) for i in its)
+        test_eval = RetrievalEvaluator(
+            tu, corpus_arrays, tq, merged, test_user2items, metrics=metrics,
+            batch_size=config.get("eval_batch_size", 4096),
+            protocol=config.get("eval_protocol", "full"),
+            protocol_seed=config.get("seed", 2024),
+            exclude_items=tuple(config.get("exclude_items", ())))
+        result = {**result, **{f"test_{k}": v
+                               for k, v in test_eval(trainer).items()}}
     logger.info("experiment %s: %s", config.get("experiment_id", "?"), result)
     return result
 
@@ -509,3 +533,249 @@ def run_kg_experiment(
     logger.info("kg experiment %s: %s",
                 config.get("experiment_id", "?"), result)
     return result
+
+
+def _user2items(split) -> Dict[int, list]:
+    out: Dict[int, list] = {}
+    for u, i in zip(split.user_ids, split.item_ids):
+        out.setdefault(int(u), []).append(int(i))
+    return out
+
+
+def run_experiment(
+    model: str,
+    dataset: str,
+    config: Optional[Mapping[str, Any]] = None,
+    data_dir: Optional[str] = None,
+    mesh=None,
+    **overrides,
+) -> Dict[str, float]:
+    """One call from a dataset NAME to trained + evaluated metrics.
+
+    The `run_recbole(model, dataset)` analog
+    (`third_party/recbole/quick_start/quick_start.py:42-112` +
+    `data/utils.py:28` create_dataset/data_preparation): acquire the atomic
+    files by name (download with cache/sha256, or reuse pre-staged files —
+    `data/acquire.py`), load + filter + contiguously remap, split, then
+    dispatch to the stage-appropriate pipeline. Returns best-valid metrics,
+    plus ``test_*`` where the stage evaluates a test split.
+
+    Config/overrides (all optional; everything else passes through to the
+    stage pipeline and the model's dataclass fields):
+
+      dataset_url / dataset_sha256 — override the URL registry;
+      user_field / item_field / rating_field / time_field — atomic column
+        names (defaults: user_id / item_id / rating-if-present /
+        timestamp-if-present);
+      min_rating — keep interactions with rating >= this BEFORE splitting;
+      min_user_inter / min_item_inter — iterative k-core pruning
+        (recbole user/item_inter_num_interval);
+      split — 'RS' (ratio, default) or 'LS' (leave-one-out);
+      split_ratios — RS ratios, default (0.8, 0.1, 0.1);
+      order — 'TO' (time, default when timestamps exist) or 'RO';
+      binarize_threshold — ranking stage: label = rating >= threshold
+        (recbole's label-by-threshold);
+      max_seq_len — sequential stage history window (default 50);
+      embedding_dim — FeatureMap embedding width (default 64).
+
+    Stages multitask and reranking need supervision structures a single
+    .inter file cannot express (multiple labels; slates) — use their
+    explicit `run_*_experiment` entry points.
+    """
+    from recbox_tpu.data.acquire import acquire_dataset
+    from recbox_tpu.data.atomic import load_atomic_dataset
+    from recbox_tpu.features.schema import FeatureSpec
+
+    cfg = dict(config or {})
+    cfg.update(overrides)
+    cfg["model"] = model
+    cfg.setdefault("experiment_id", f"{model}-{dataset}")
+    _, stage = get_model(model)
+    if stage in ("multitask", "reranking"):
+        raise NotImplementedError(
+            f"model {model!r} is stage {stage!r}: a single .inter file "
+            "cannot express its supervision (multiple labels / slates) — "
+            f"use quick_start.run_{'ranking' if stage == 'multitask' else 'rerank'}"
+            "_experiment with explicit arrays.")
+
+    # `dataset_dir` is the acquisition cache root (NOT run.py's `data_dir`,
+    # which means a pre-encoded npz directory)
+    folder = acquire_dataset(dataset,
+                             data_dir or cfg.get("dataset_dir", "datasets"),
+                             url=cfg.get("dataset_url"),
+                             checksum=cfg.get("dataset_sha256"))
+    uf = cfg.get("user_field", "user_id")
+    itf = cfg.get("item_field", "item_id")
+    ds = load_atomic_dataset(folder, dataset, user_field=uf, item_field=itf)
+    rf = cfg.get("rating_field",
+                 "rating" if "rating" in ds.inter else None)
+    tf = cfg.get("time_field",
+                 "timestamp" if "timestamp" in ds.inter else None)
+    inter = ds.to_interactions(user_field=uf, item_field=itf,
+                               rating_field=rf, time_field=tf)
+
+    if stage == "knowledge":
+        # KG entity ids are already aligned with the loader's item remap
+        # (items = linked entities); re-filtering + re-remapping here would
+        # break that alignment, so the knowledge path uses the loaded ids
+        # as-is (recbole likewise remaps kg jointly at load).
+        for k in ("min_rating", "min_user_inter", "min_item_inter"):
+            if cfg.get(k):
+                raise NotImplementedError(
+                    f"{k} is not supported for knowledge-stage one-call runs:"
+                    " filtering would desynchronize the item <-> KG-entity id"
+                    " space joined at load time")
+    else:
+        if cfg.get("min_rating") is not None:
+            inter = inter.filter_by_rating(float(cfg["min_rating"]))
+        if cfg.get("min_user_inter") or cfg.get("min_item_inter"):
+            inter = inter.filter_by_count(
+                int(cfg.get("min_user_inter", 0) or 0),
+                int(cfg.get("min_item_inter", 0) or 0))
+        # ids start at 1; 0 stays the PAD/OOV row everywhere downstream
+        inter = inter.remap_ids(start=1)
+    n_users, n_items = inter.num_users, inter.num_items
+    seed = cfg.get("seed", 2024)
+    emb_dim = cfg.get("embedding_dim", 64)
+    order = cfg.get("order", "TO" if inter.timestamps is not None else "RO")
+
+    if stage == "sequential":
+        from recbox_tpu.data.sequential import (
+            group_user_sequences, leave_one_out_split,
+        )
+        seqs = group_user_sequences(inter.user_ids, inter.item_ids,
+                                    inter.timestamps)
+        max_len = cfg.get("max_seq_len", 50)
+        train, valid, test = leave_one_out_split(seqs, max_len=max_len)
+        fm = FeatureMap(dataset, (
+            FeatureSpec("item_id", "categorical", source="item",
+                        vocab_size=n_items, embedding_dim=emb_dim),),
+            query_index="user_id", corpus_index="item_id",
+            num_items=n_items)
+        ks = cfg.get("topk", (10, 20))
+        ks = (int(ks),) if isinstance(ks, int) else tuple(ks)
+        return run_sequential_experiment(cfg, fm, train, valid,
+                                         test_arrays=test, ks=ks, mesh=mesh)
+
+    if stage == "ranking":
+        if rf is None:
+            raise ValueError(
+                f"CTR model {model!r} needs a rating/label column in "
+                f"{dataset}.inter (set rating_field=) to derive labels")
+        vals = np.unique(inter.ratings)
+        if cfg.get("binarize_threshold") is not None:
+            inter = inter.binarize(float(cfg["binarize_threshold"]))
+        elif not np.isin(vals, (0.0, 1.0)).all():
+            raise ValueError(
+                f"{dataset!r} ratings take values {vals[:8]}... — set "
+                "binarize_threshold (recbole's label-by-threshold, e.g. 4.0 "
+                "for 1-5 star scales) to derive a binary CTR label")
+        arrays = {"user_id": inter.user_ids.astype(np.int32),
+                  "item_id": inter.item_ids.astype(np.int32),
+                  "label": inter.ratings.astype(np.float32)}
+        rng = np.random.default_rng(seed)
+        n = len(inter)
+        idx = rng.permutation(n)
+        ratios = tuple(cfg.get("split_ratios", (0.8, 0.1, 0.1)))
+        c1 = n - int(ratios[1] * n) - int(ratios[2] * n)
+        c2 = n - int(ratios[2] * n)
+        tr, va, te = idx[:c1], idx[c1:c2], idx[c2:]
+        fm = FeatureMap(dataset, (
+            FeatureSpec("user_id", "categorical", source="user",
+                        vocab_size=n_users, embedding_dim=emb_dim),
+            FeatureSpec("item_id", "categorical", source="item",
+                        vocab_size=n_items, embedding_dim=emb_dim)),
+            labels=("label",))
+        sel = lambda rows: {k: v[rows] for k, v in arrays.items()}
+        return run_ranking_experiment(
+            cfg, fm, sel(tr), sel(va),
+            test_arrays=sel(te) if len(te) else None, mesh=mesh)
+
+    # matching / traditional / knowledge: interaction splits + retrieval eval
+    if cfg.get("split", "RS") == "LS":
+        train, valid, test = inter.split_leave_one_out(
+            order=order if inter.timestamps is not None else "RO", seed=seed)
+    else:
+        train, valid, test = inter.split_ratio(
+            tuple(cfg.get("split_ratios", (0.8, 0.1, 0.1))), order=order,
+            group_by_user=True, seed=seed)
+    train_u2i = _user2items(train)
+    valid_u2i = _user2items(valid)
+    test_u2i = _user2items(test)
+    if not valid_u2i:
+        raise ValueError(
+            f"dataset {dataset!r}: the valid split is EMPTY after "
+            f"filtering/splitting ({len(train)} train rows) — per-user "
+            "ratio splits floor(n*ratio) each part, so users need enough "
+            "interactions (>= 10 at the default 0.8/0.1/0.1) or use "
+            "split='LS' (leave-one-out)")
+    exclude = tuple(cfg.get("exclude_items", (0,)))   # PAD/OOV row
+    cfg.setdefault("exclude_items", list(exclude))
+    metrics = list(cfg.get("metrics", ["Recall(k=20)", "NDCG(k=10)"]))
+
+    if stage == "traditional":
+        # closed-form / neighborhood models: fit(user_ids, item_ids) then
+        # full_scores(user_rows); full-sort eval with train-positive masking
+        from recbox_tpu.evaluation.retrieval import (
+            _pad_lists, parse_metric, retrieval_metrics_from_topk,
+        )
+        import inspect
+        cls, _ = get_model(model)
+        accepted = set(inspect.signature(cls.__init__).parameters) - {"self"}
+        m = cls(**{k: v for k, v in cfg.items() if k in accepted})
+        m.fit(train.user_ids, train.item_ids, n_users, n_items)
+        max_topk = max(parse_metric(s)[1] for s in metrics)
+
+        def _eval(u2i_truth, u2i_masks):
+            q = np.asarray(sorted(u2i_truth), dtype=np.int64)
+            out = {}
+            for s in range(0, len(q), 4096):
+                qs = q[s:s + 4096]
+                scores = np.array(m.full_scores(qs), dtype=np.float32)
+                for r, u in enumerate(qs):
+                    for mask in u2i_masks:
+                        scores[r, list(mask.get(int(u), ()))] = -np.inf
+                    scores[r, list(exclude)] = -np.inf
+                topk = np.argsort(-scores, axis=1)[:, :max_topk]
+                true_p = _pad_lists(
+                    [list(dict.fromkeys(u2i_truth.get(int(u), ())))
+                     for u in qs], pad=-1)
+                vals = retrieval_metrics_from_topk(topk, true_p, metrics)
+                for k, v in vals.items():
+                    out[k] = out.get(k, 0.0) + v * len(qs)
+            return {k: v / max(len(q), 1) for k, v in out.items()}
+
+        result = _eval(valid_u2i, (train_u2i,))
+        result.update({f"test_{k}": v for k, v in
+                       _eval(test_u2i, (train_u2i, valid_u2i)).items()})
+        logger.info("experiment %s: %s", cfg["experiment_id"], result)
+        return result
+
+    fm = FeatureMap(dataset, (
+        FeatureSpec("user_id", "categorical", source="user",
+                    vocab_size=n_users, embedding_dim=emb_dim),
+        FeatureSpec("item_id", "categorical", source="item",
+                    vocab_size=n_items, embedding_dim=emb_dim)),
+        query_index="user_id", corpus_index="item_id", num_items=n_items)
+    vu = np.asarray(sorted(valid_u2i), dtype=np.int64)
+    train_arrays = {"user_id": train.user_ids.astype(np.int32),
+                    "item_id": train.item_ids.astype(np.int32)}
+    corpus_arrays = {"item_id": np.arange(n_items, dtype=np.int32)}
+    eval_user_arrays = {"user_id": vu.astype(np.int32)}
+
+    if stage == "knowledge":
+        kg = ds.to_knowledge_graph()
+        # KG models declare graph dims as dataclass fields — fill them from
+        # the loaded graph unless the caller pinned them
+        cfg.setdefault("n_entities", kg.n_entities)
+        cfg.setdefault("n_relations", kg.n_relations)
+        cfg.setdefault("num_users", n_users)
+        cfg.setdefault("num_items", n_items)
+        return run_kg_experiment(
+            cfg, fm, train_arrays, corpus_arrays, kg, eval_user_arrays,
+            vu, train_u2i, valid_u2i, mesh=mesh)
+
+    return run_matching_experiment(
+        cfg, fm, train_arrays, corpus_arrays, eval_user_arrays, vu,
+        train_u2i, valid_u2i, mesh=mesh,
+        test_user2items=test_u2i or None)

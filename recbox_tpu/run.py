@@ -55,11 +55,25 @@ def run_expid(config_dir: str, experiment_id: str,
     cfg = load_config(config_dir, experiment_id, cli=cli,
                       overrides=dict(overrides) if overrides else None)
     data_dir = cfg.get("data_dir")
+    if not data_dir and cfg.get("dataset"):
+        # raw-dataset route (recbole `run_recbole(model, dataset)` surface):
+        # a dataset NAME instead of a pre-encoded npz dir — acquire/load/
+        # filter/split/train/eval in one chain (`quick_start.run_experiment`)
+        metrics = quick_start.run_experiment(
+            cfg["model"], cfg["dataset"], config=dict(cfg))
+        result = {"experiment_id": experiment_id, "model": cfg["model"],
+                  "dataset": cfg["dataset"], **metrics}
+        workdir = cfg.get("workdir")
+        if workdir:
+            os.makedirs(workdir, exist_ok=True)
+            with open(os.path.join(workdir, "results.jsonl"), "a") as fh:
+                fh.write(json.dumps(result) + "\n")
+        return result
     if not data_dir:
         raise KeyError(
-            f"expid {experiment_id!r}: no `data_dir` — the dataset section "
-            "must point at a FeatureEncoder.save directory with "
-            "feature_map.json + train/valid npz splits.")
+            f"expid {experiment_id!r}: no `data_dir` (pre-encoded npz dir) "
+            "and no `dataset` (raw dataset name for the one-call "
+            "acquire→load→split→train chain) — set one of them.")
     fm = FeatureMap.load(os.path.join(data_dir, "feature_map.json"))
     train = _load_split(data_dir, "train")
     valid = _load_split(data_dir, "valid")
