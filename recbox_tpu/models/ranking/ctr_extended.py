@@ -16,13 +16,16 @@ holographic_interaction}.py`).
 All pairwise interactions use batched einsum/gram forms (MXU-tiled), never
 per-pair Python loops; pair indices are static `triu_indices`.
 
-Known reference deviations (tracked for a follow-up pass):
-  * ONN/CCPM/FGCNN/EDCN omit the deepctr first-order linear logit their
-    references add (FFM/FwFM/FmFM/FEFM/FLEN/HFM here do include it);
-  * FiGNN's readout gate is per-field (Dense(1) on h_i) where recbole's
-    AttentionalPrediction gates each field from the flattened full state;
-  * EulerNet applies a learned bias to the real component post-exp only,
-    not the reference's bias_lam/bias_theta inside the complex rotation.
+Reference-parity notes (the round-2 deviations list is closed):
+  * ONN/CCPM/FGCNN/EDCN include the deepctr first-order linear logit
+    (`deepctr/feature_column.py:141-170` get_linear_logit, wired by each
+    model ctor, e.g. `deepctr/models/ccpm.py`);
+  * FiGNN's readout matches recbole's AttentionalPrediction
+    (`fignn.py:95-143`): per-field score mlp1(h) gated by an UN-sigmoided
+    mlp2 over the FLATTENED full state;
+  * EulerNet matches `recbole/.../eulernet.py:60-162`: initial phase =
+    embedding, modulus = mu; bias_lam/bias_theta added inside the
+    log-modulus/phase mix (pre-exp), shared implicit linear + relu.
 """
 
 from __future__ import annotations
@@ -171,13 +174,15 @@ class DeepFEFM(_FieldModel):
 
 class ONN(_FieldAwareBase):
     """ONN/NFFM (`deepctr/models/onn.py`): field-aware pair inner products
-    concatenated with per-feature embeddings, into a DNN."""
+    concatenated with per-feature embeddings, into a DNN, plus the
+    first-order linear logit (`feature_column.py:141-170`)."""
 
     hidden_units: Sequence[int] = (400, 400)
     dropout: float = 0.0
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
         E = self._field_aware_stack(batch)
         F = E.shape[1]
         iu, ju = _pairs(F)
@@ -187,7 +192,8 @@ class ONN(_FieldAwareBase):
         x = jnp.concatenate([flat, prods.astype(flat.dtype)], axis=-1)
         logit = self._mlp(self.hidden_units, output_dim=1,
                           dropout=self.dropout)(x, train=train)
-        return logit.reshape(-1).astype(jnp.float32)
+        return (self._first_order(lin).reshape(-1)
+                + logit.reshape(-1).astype(jnp.float32))
 
 
 class CCPM(_FieldModel):
@@ -201,6 +207,7 @@ class CCPM(_FieldModel):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
         field = stack_embeddings(self._embedding()(batch),
                                  self.feature_map.input_features)
         B, F, D = field.shape
@@ -219,7 +226,10 @@ class CCPM(_FieldModel):
         x = x.reshape(B, -1)
         logit = self._mlp(self.hidden_units, output_dim=1,
                           dropout=self.dropout)(x, train=train)
-        return logit.reshape(-1).astype(jnp.float32)
+        # + first-order linear logit (`deepctr/models/ccpm.py` via
+        # get_linear_logit, `feature_column.py:141-170`)
+        return (self._first_order(lin).reshape(-1)
+                + logit.reshape(-1).astype(jnp.float32))
 
 
 class FGCNN(_FieldModel):
@@ -236,6 +246,7 @@ class FGCNN(_FieldModel):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
         field = stack_embeddings(self._embedding()(batch),
                                  self.feature_map.input_features)
         B, F, D = field.shape
@@ -260,7 +271,10 @@ class FGCNN(_FieldModel):
         xcat = jnp.concatenate([flat, inner.astype(flat.dtype)], axis=-1)
         logit = self._mlp(self.hidden_units, output_dim=1,
                           dropout=self.dropout)(xcat, train=train)
-        return logit.reshape(-1).astype(jnp.float32)
+        # + first-order linear logit (`deepctr/models/fgcnn.py` via
+        # get_linear_logit, `feature_column.py:141-170`)
+        return (self._first_order(lin).reshape(-1)
+                + logit.reshape(-1).astype(jnp.float32))
 
 
 class FLEN(_FieldModel):
@@ -392,6 +406,7 @@ class EDCN(_FieldModel):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        lin = self._linear_embedding()(batch)
         field = stack_embeddings(self._embedding()(batch),
                                  self.feature_map.input_features)
         B, F, D = field.shape
@@ -413,7 +428,10 @@ class EDCN(_FieldModel):
                 xd = _Regulation(F, self.tau, name=f"reg_d{i + 1}")(bf)
         out = jnp.concatenate([xc, xd, bridge], axis=-1)
         logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)
-        return logit.reshape(-1).astype(jnp.float32)
+        # + first-order linear logit (`deepctr/models/edcn.py` via
+        # get_linear_logit, `feature_column.py:141-170`)
+        return (self._first_order(lin).reshape(-1)
+                + logit.reshape(-1).astype(jnp.float32))
 
 
 class MLR(_FieldModel):
@@ -480,50 +498,101 @@ class FiGNN(_FieldModel):
         layer = _FiGNNLayer(D, name="prop")
         for _ in range(self.gnn_steps):
             h = layer(h, w_adj, h0, cell)
-        # attentional readout (`fignn.py` AttentionalScore)
+        # attentional readout (`fignn.py:95-143` AttentionalPrediction):
+        # per-field score mlp1(h_i) weighted by mlp2 over the FLATTENED
+        # full state (Linear(F*D -> F), no bias, NO sigmoid — the
+        # reference multiplies the raw weights)
         score = nn.Dense(1, use_bias=False, name="mlp1")(h)[..., 0]   # (B, F)
-        gate = jax.nn.sigmoid(
-            nn.Dense(1, use_bias=False, name="mlp2")(h)[..., 0])
-        return jnp.sum(score * gate, axis=1).astype(jnp.float32)
+        weight = nn.Dense(F, use_bias=False, name="mlp2")(
+            h.reshape(B, F * D))                                      # (B, F)
+        return jnp.sum(score * weight, axis=1).astype(jnp.float32)
+
+
+def _orders_init(key, shape, dtype=jnp.float32):
+    """softmax(randn/0.01, axis=0) — near-one-hot columns, the reference's
+    `init_orders` (`eulernet.py:106-111`)."""
+    return jax.nn.softmax(jax.random.normal(key, shape, dtype) / 0.01, axis=0)
+
+
+class _EulerLayer(nn.Module):
+    """One Euler interaction layer (`eulernet.py:95-162`
+    EulerInteractionLayer): explicit stream mixes log-modulus/phase across
+    fields through `inter_orders` with bias_lam/bias_theta added INSIDE the
+    mix (pre-exp / in the rotation angle); implicit stream is one SHARED
+    linear over the flattened real/imag parts + relu; outputs add."""
+
+    feature_dim: int
+    out_fields: int
+    apply_norm: bool = False
+    drop_ex: float = 0.0
+    drop_im: float = 0.0
+
+    @nn.compact
+    def __call__(self, r, p, train: bool = False):
+        B, Fin, D = r.shape
+        # explicit stream uses the PRE-dropout signal for lam/theta
+        # (reference order: lam/theta computed, then drop_im on r/p)
+        log_l = 0.5 * jnp.log(r * r + p * p + 1e-8)         # (B, Fin, D)
+        theta = jnp.arctan2(p, r)
+        log_l = nn.Dropout(self.drop_ex)(log_l, deterministic=not train)
+        theta = nn.Dropout(self.drop_ex)(theta, deterministic=not train)
+        orders = self.param("inter_orders", _orders_init,
+                            (Fin, self.out_fields))
+        bias_lam = self.param(
+            "bias_lam", nn.initializers.normal(0.01),
+            (1, D, self.out_fields))
+        bias_theta = self.param(
+            "bias_theta", nn.initializers.normal(0.01),
+            (1, D, self.out_fields))
+        lam_o = jnp.einsum("bfd,fg->bdg", log_l, orders) + bias_lam
+        th_o = jnp.einsum("bfd,fg->bdg", theta, orders) + bias_theta
+        lam_o = jnp.swapaxes(jnp.exp(lam_o), 1, 2)          # (B, Fout, D)
+        th_o = jnp.swapaxes(th_o, 1, 2)
+        # implicit stream: ONE linear shared by real and imag parts
+        im_lin = nn.Dense(self.out_fields * D, name="im",
+                          kernel_init=nn.initializers.normal(0.1))
+        rd = nn.Dropout(self.drop_im)(r, deterministic=not train)
+        pd = nn.Dropout(self.drop_im)(p, deterministic=not train)
+        r_i = jax.nn.relu(im_lin(rd.reshape(B, -1))).reshape(
+            B, self.out_fields, D)
+        p_i = jax.nn.relu(im_lin(pd.reshape(B, -1))).reshape(
+            B, self.out_fields, D)
+        o_r = r_i + lam_o * jnp.cos(th_o)
+        o_p = p_i + lam_o * jnp.sin(th_o)
+        if self.apply_norm:
+            o_r = nn.LayerNorm(name="norm_r")(o_r)
+            o_p = nn.LayerNorm(name="norm_p")(o_p)
+        return o_r, o_p
 
 
 class EulerNet(_FieldModel):
-    """EulerNet (recbole `eulernet.py`): adaptive-order interactions in
-    complex space — log-modulus/phase are linearly mixed across fields
-    (Euler's formula turns multiplicative feature crosses into additive
-    transforms)."""
+    """EulerNet (recbole `eulernet.py:25-162`): adaptive-order interactions
+    in complex space. Initial lift uses the EMBEDDING as the phase and a
+    learned per-field modulus mu (`forward`: r = mu*cos(e), p = mu*sin(e));
+    each layer mixes log-modulus/phase across fields (Euler's formula turns
+    multiplicative crosses into additive transforms) with biases inside the
+    rotation; the head applies ONE shared linear to the real and imag parts
+    and sums (`reg(o_r) + reg(o_p)`)."""
 
     order_layers: Sequence[int] = (16, 16)   # fields-out per Euler layer
-    dropout: float = 0.0
+    apply_norm: bool = False
+    dropout: float = 0.0                     # drop_ex = drop_im = dropout
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         field = stack_embeddings(self._embedding()(batch),
                                  self.feature_map.input_features)
         B, F, D = field.shape
-        mu = self.param("mu", nn.initializers.ones, (F, 1))
-        re = field * jnp.cos(mu)[None]
-        im = field * jnp.sin(mu)[None]
+        e = field.astype(jnp.float32)
+        mu = self.param("mu", nn.initializers.ones, (1, F, 1))
+        r, p = mu * jnp.cos(e), mu * jnp.sin(e)
         for i, f_out in enumerate(self.order_layers):
-            lam = jnp.sqrt(re * re + im * im + 1e-8)
-            theta = jnp.arctan2(im, re)
-            alpha = self.param(f"alpha{i}", nn.initializers.xavier_normal(),
-                               (f_out, lam.shape[1]))
-            log_l = jnp.einsum("gf,bfd->bgd", alpha, jnp.log(lam))
-            th = jnp.einsum("gf,bfd->bgd", alpha, theta)
-            bias = self.param(f"bias{i}", nn.initializers.zeros,
-                              (f_out, D))
-            l_new = jnp.exp(log_l)
-            # residual linear transform of the incoming signal (paper's
-            # implicit/explicit mixing)
-            re_lin = nn.Dense(D, name=f"re_lin{i}")(
-                jnp.einsum("gf,bfd->bgd", alpha, re))
-            im_lin = nn.Dense(D, name=f"im_lin{i}")(
-                jnp.einsum("gf,bfd->bgd", alpha, im))
-            re = l_new * jnp.cos(th) + bias[None] + re_lin
-            im = l_new * jnp.sin(th) + im_lin
-        out = jnp.concatenate([re.reshape(B, -1), im.reshape(B, -1)], axis=-1)
-        logit = nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)
+            r, p = _EulerLayer(D, f_out, apply_norm=self.apply_norm,
+                               drop_ex=self.dropout, drop_im=self.dropout,
+                               name=f"euler{i}")(r, p, train=train)
+        reg = nn.Dense(1, kernel_init=nn.initializers.normal(0.01),
+                       name="reg")
+        logit = reg(r.reshape(B, -1)) + reg(p.reshape(B, -1))
         return logit.reshape(-1).astype(jnp.float32)
 
 
