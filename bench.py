@@ -50,6 +50,7 @@ floor and a rows-proportional regime above ~16k batch.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -57,6 +58,56 @@ import time
 import numpy as np
 
 SELF_BASELINE_EXAMPLES_PER_SEC = 1.0e6  # round-1 reference point
+
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_history.jsonl")
+
+# Measured step-decomposition floor at bench shapes (851,968 rows/step);
+# tools/prof_row_width.py + tools/prof_packed_step.py, v5e via axon.
+# fwdbwd predates the LICM/DCE measurement hardening (bench caveat below);
+# re-measured values should replace these WITH the measured_on stamp.
+ROOFLINE_COMPONENTS_MS = {
+    "gather_ms": 10.5,
+    "scatter_ms": 16.0,
+    "fwdbwd_ms": 2.4,
+}
+ROOFLINE_MEASURED_ON = "2026-08-17 (round 2, tools/prof_row_width.py)"
+
+
+def _roofline(step_ms: float, batch_size: int) -> dict:
+    """Self-interpreting decomposition: measured step vs the op-level floor
+    (gather + scatter + fwd/bwd), with the residual labeled machinery."""
+    floor_ms = sum(ROOFLINE_COMPONENTS_MS.values())
+    ceiling = batch_size / (floor_ms / 1e3)
+    return {
+        **ROOFLINE_COMPONENTS_MS,
+        "machinery_ms": round(step_ms - floor_ms, 2),
+        "step_ms": round(step_ms, 2),
+        "ceiling_examples_per_sec": round(ceiling, 1),
+        "fraction_of_ceiling": round((batch_size / (step_ms / 1e3)) / ceiling,
+                                     4),
+        "components_measured_on": ROOFLINE_MEASURED_ON,
+    }
+
+
+def _append_history(record: dict) -> None:
+    """Persist healthy results so a tunnel outage at capture time degrades
+    to 'stale but real' instead of 0.0 (round-2 lost its perf evidence to
+    exactly that)."""
+    try:
+        with open(HISTORY_PATH, "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
+def _last_healthy() -> dict:
+    try:
+        with open(HISTORY_PATH) as fh:
+            lines = [json.loads(l) for l in fh if l.strip()]
+        return lines[-1] if lines else {}
+    except (OSError, ValueError):
+        return {}
 
 
 def _backend_reachable(timeout_s: float = 300.0) -> bool:
@@ -78,7 +129,8 @@ def _backend_reachable(timeout_s: float = 300.0) -> bool:
 
 def main():
     if not _backend_reachable():
-        print(json.dumps({
+        last = _last_healthy()
+        out = {
             "metric": "deepfm_criteo_train_throughput_per_chip",
             "value": 0.0,
             "unit": "examples/s",
@@ -87,7 +139,10 @@ def main():
                      "(axon tunnel down). Last healthy on-chip band: "
                      "851k-860k examples/s best-of-5 (see README bench "
                      "history and docs/PARITY.md).",
-        }))
+        }
+        if last:
+            out["last_healthy"] = last
+        print(json.dumps(out))
         return
 
     import jax
@@ -141,12 +196,16 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     examples_per_sec = steps * batch_size / best
-    print(json.dumps({
+    record = {
         "metric": "deepfm_criteo_train_throughput_per_chip",
         "value": round(examples_per_sec, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / SELF_BASELINE_EXAMPLES_PER_SEC, 4),
-    }))
+        "roofline": _roofline(best / steps * 1e3, batch_size),
+    }
+    _append_history({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                     **record})
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
