@@ -205,3 +205,25 @@ def test_collective_bytes_scale_with_batch_not_vocab():
     small, big = total_bytes(512), total_bytes(4096)
     assert big <= small * 1.25, (
         f"collective bytes grew with vocab: {small:,} -> {big:,}")
+
+
+def test_bench_multichip_smoke_emits_json():
+    """bench_multichip.py (hardware-ready mesh bench, VERDICT round-3
+    item 4) must run its CPU smoke mode end-to-end and emit one JSON line
+    with the mesh/scaling fields."""
+    import json
+    import os
+    import subprocess
+    import sys
+    env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.run(
+        [sys.executable, "bench_multichip.py", "--smoke"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["mesh"] == {"data": 4, "model": 2, "devices": 8}
+    assert d["smoke"] is True and d["value"] > 0
+    assert d["global_batch"] == 64 * 4      # per-chip batch x data shards
