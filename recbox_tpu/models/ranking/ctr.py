@@ -138,11 +138,23 @@ class DeepFM(_FieldModel):
     activation: str = "relu"
     dropout: float = 0.0
     batch_norm: bool = False
+    # feature_major_compute=True keeps activations in (F, B, D) layout end
+    # to end: per-feature row slices of the packed gather are ADJACENT row
+    # blocks, so stacking on axis 0 is a contiguous concat (vs the
+    # (B, F, D) interleave, a transpose-shaped copy XLA materializes both
+    # forward and in the row-grad pipeline — the ~6 ms/step "machinery"
+    # documented in bench.py). FM reduces over axis 0 directly and the
+    # first DNN layer contracts the feature axis via einsum('fbd,fdh->bh')
+    # — numerically identical to flatten+Dense (test_feature_major_
+    # equivalence transplants params between the two paths).
+    feature_major_compute: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         lin = self._linear_embedding()(batch)
         embs = self._embedding()(batch)
+        if self.feature_major_compute:
+            return self._feature_major_logit(lin, embs, batch, train)
         field = stack_embeddings(embs, self.feature_map.input_features)
         flat = field.reshape(field.shape[0], -1)
         logit = (self._first_order(lin).astype(jnp.float32)
@@ -152,6 +164,59 @@ class DeepFM(_FieldModel):
                              batch_norm=self.batch_norm)(
                      flat, train=train).astype(jnp.float32))
         return logit.reshape(-1)
+
+    def _feature_major_logit(self, lin, embs, batch, train):
+        from recbox_tpu.nn.core import get_activation
+
+        def pooled(emb_dict):
+            parts = []
+            for spec in self.feature_map.input_features:
+                if spec.name not in emb_dict:
+                    continue
+                e = emb_dict[spec.name]
+                if e.ndim == 3:      # sequence: masked mean (stack_embeddings)
+                    valid = jnp.any(e != 0, axis=-1).astype(e.dtype)
+                    counts = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+                    e = jnp.sum(e, axis=1) / counts[:, None]
+                parts.append(e)
+            return jnp.stack(parts, axis=0)              # (F, B, D)
+
+        x = pooled(embs)                                 # (F, B, D)
+        lx = pooled(lin)                                 # (F, B, 1)
+        F, B, D = x.shape
+        # first-order: sum of per-field scalar weights + bias
+        # (LogisticRegression's 3-D branch, reduced over axis 0 here)
+        lr_bias = self.param("lr_bias", nn.initializers.zeros, (1,))
+        first = jnp.sum(lx.astype(jnp.float32), axis=(0, 2)) + lr_bias
+        # FM second order: 0.5(sum^2 - sum of squares), feature axis = 0
+        s = jnp.sum(x, axis=0)
+        fm = 0.5 * jnp.sum(jnp.square(s) - jnp.sum(jnp.square(x), axis=0),
+                           axis=-1)
+        # DNN first layer as a feature-axis contraction: kernel is drawn at
+        # the flat (F*D, H) fan-in (same xavier statistics as Dense) and
+        # viewed (F, D, H) — einsum('fbd,fdh->bh') == flatten+matmul
+        h0 = self.hidden_units[0]
+
+        def w1_init(key, shape, dtype=jnp.float32):
+            flat = nn.initializers.xavier_normal()(key, (F * D, h0), dtype)
+            return flat.reshape(F, D, h0)
+
+        w1 = self.param("dnn_w1", w1_init, (F, D, h0))
+        b1 = self.param("dnn_b1", nn.initializers.zeros, (h0,))
+        h = jnp.einsum("fbd,fdh->bh", x, w1.astype(x.dtype)) \
+            + b1.astype(x.dtype)
+        if self.batch_norm:
+            h = nn.BatchNorm(use_running_average=not train,
+                             name="dnn_bn1")(h)
+        h = get_activation(self.activation)(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        deep = self._mlp(tuple(self.hidden_units[1:]), name="dnn_rest",
+                         activation=self.activation, output_dim=1,
+                         dropout=self.dropout, batch_norm=self.batch_norm)(
+            h, train=train)
+        return (first.astype(jnp.float32) + fm.astype(jnp.float32)
+                + deep.reshape(-1).astype(jnp.float32)).reshape(-1)
 
 
 class NFM(_FieldModel):
