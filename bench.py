@@ -110,6 +110,45 @@ def _last_healthy() -> dict:
         return {}
 
 
+# Headline workload constants — single source of truth shared by this
+# bench, bench_multichip.py, and tools/prof_feature_major.py (Criteo-regime
+# shapes, see module docstring).
+NUM_CAT, NUM_NUM = 26, 13
+VOCAB, DIM, BATCH_SIZE = 100_000, 64, 32768
+HIDDEN = (1024, 512, 256)
+
+
+def criteo_workload(batch_size: int = BATCH_SIZE, smoke: bool = False,
+                    feature_major: bool = False):
+    """(model, batch) for the headline DeepFM workload.
+
+    ``smoke=True`` shrinks every dimension for CPU harness-correctness
+    runs (NOT a performance configuration)."""
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.ranking.ctr import DeepFM
+
+    num_cat, num_num = (4, 2) if smoke else (NUM_CAT, NUM_NUM)
+    vocab, dim = (1000, 16) if smoke else (VOCAB, DIM)
+    hidden = (64, 32) if smoke else HIDDEN
+    feats = tuple(
+        FeatureSpec(f"c{i}", "categorical", vocab_size=vocab,
+                    embedding_dim=dim) for i in range(num_cat)
+    ) + tuple(
+        FeatureSpec(f"n{i}", "numeric", embedding_dim=dim)
+        for i in range(num_num))
+    fm = FeatureMap("criteo_bench", feats, labels=("click",))
+    rng = np.random.default_rng(0)
+    batch = {f"c{i}": rng.integers(0, vocab, batch_size).astype(np.int32)
+             for i in range(num_cat)}
+    batch.update({f"n{i}": rng.normal(size=batch_size).astype(np.float32)
+                  for i in range(num_num)})
+    batch["click"] = (rng.random(batch_size) > 0.5).astype(np.float32)
+    model = DeepFM(feature_map=fm, embedding_dim=dim, hidden_units=hidden,
+                   compute_dtype=None if smoke else "bfloat16",
+                   feature_major_compute=feature_major)
+    return model, batch
+
+
 def _backend_reachable(timeout_s: float = 300.0) -> bool:
     """Probe device init in a subprocess with a hard timeout.
 
@@ -147,31 +186,12 @@ def main():
 
     import jax
 
-    from recbox_tpu.features import FeatureMap, FeatureSpec
-    from recbox_tpu.models.ranking.ctr import DeepFM
     from recbox_tpu.ops import binary_crossentropy
     from recbox_tpu.training import TrainerConfig
     from recbox_tpu.training.packed import PackedEmbeddingTrainer
 
-    num_cat, num_num = 26, 13
-    vocab, dim, batch_size = 100_000, 64, 32768
-    feats = tuple(
-        FeatureSpec(f"c{i}", "categorical", vocab_size=vocab, embedding_dim=dim)
-        for i in range(num_cat)
-    ) + tuple(
-        FeatureSpec(f"n{i}", "numeric", embedding_dim=dim) for i in range(num_num)
-    )
-    fm = FeatureMap("criteo_bench", feats, labels=("click",))
-
-    rng = np.random.default_rng(0)
-    batch = {f"c{i}": rng.integers(0, vocab, size=batch_size).astype(np.int32)
-             for i in range(num_cat)}
-    batch.update({f"n{i}": rng.normal(size=batch_size).astype(np.float32)
-                  for i in range(num_num)})
-    batch["click"] = (rng.random(batch_size) > 0.5).astype(np.float32)
-
-    model = DeepFM(feature_map=fm, embedding_dim=dim,
-                   hidden_units=(1024, 512, 256), compute_dtype="bfloat16")
+    batch_size = BATCH_SIZE
+    model, batch = criteo_workload(batch_size)
     cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
                         monitor="AUC")
     trainer = PackedEmbeddingTrainer(
@@ -196,15 +216,20 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     examples_per_sec = steps * batch_size / best
+    platform = jax.default_backend()
     record = {
         "metric": "deepfm_criteo_train_throughput_per_chip",
         "value": round(examples_per_sec, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / SELF_BASELINE_EXAMPLES_PER_SEC, 4),
+        "platform": platform,
         "roofline": _roofline(best / steps * 1e3, batch_size),
     }
-    _append_history({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                     **record})
+    # the history is CHIP evidence for outage fallbacks — a CPU-forced run
+    # (reachable backend, wrong platform) must not poison last_healthy
+    if platform not in ("cpu",):
+        _append_history({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime()), **record})
     print(json.dumps(record))
 
 

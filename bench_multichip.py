@@ -32,9 +32,16 @@ import json
 import sys
 import time
 
-import numpy as np
+FALLBACK_SINGLE_CHIP = 857_000.0   # round-2 healthy band midpoint
 
-SINGLE_CHIP_BASELINE = 857_000.0   # bench.py healthy band midpoint (round 2)
+
+def _single_chip_baseline():
+    """bench.py's last healthy on-chip value (bench_history.jsonl), falling
+    back to the frozen round-2 midpoint when no history exists."""
+    import bench
+    last = bench._last_healthy()
+    v = float(last.get("value", 0.0) or 0.0)
+    return v if v > 0 else FALLBACK_SINGLE_CHIP
 
 
 def main(argv=None):
@@ -46,6 +53,8 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU shapes; harness correctness only")
     args = ap.parse_args(argv)
+    if args.model_shards < 1:
+        ap.error("--model-shards must be >= 1")
 
     if args.smoke:
         import jax
@@ -54,8 +63,7 @@ def main(argv=None):
         jax.config.update("jax_num_cpu_devices", 8)
     import jax
 
-    from recbox_tpu.features import FeatureMap, FeatureSpec
-    from recbox_tpu.models.ranking.ctr import DeepFM
+    import bench
     from recbox_tpu.ops import binary_crossentropy
     from recbox_tpu.parallel import make_mesh
     from recbox_tpu.training import TrainerConfig
@@ -64,38 +72,18 @@ def main(argv=None):
     devices = jax.devices()
     n = args.devices or len(devices)
     devices = devices[:n]
-    m = args.model_shards if n % max(args.model_shards, 1) == 0 else 1
+    m = args.model_shards
+    if n % m != 0:
+        print(f"# --model-shards {m} does not divide {n} devices; "
+              "falling back to model=1", file=sys.stderr)
+        m = 1
     mesh = make_mesh(num_model_shards=m, devices=devices)
     n_data = n // m
 
-    if args.smoke:
-        num_cat, num_num, vocab, dim = 4, 2, 1000, 16
-        per_chip_batch, hidden = 64, (64, 32)
-        steps = 3
-    else:
-        num_cat, num_num, vocab, dim = 26, 13, 100_000, 64
-        per_chip_batch, hidden = 32768, (1024, 512, 256)
-        steps = args.steps
+    per_chip_batch = 64 if args.smoke else bench.BATCH_SIZE
+    steps = 3 if args.smoke else args.steps
     batch_size = per_chip_batch * n_data       # weak scaling over 'data'
-
-    feats = tuple(
-        FeatureSpec(f"c{i}", "categorical", vocab_size=vocab,
-                    embedding_dim=dim)
-        for i in range(num_cat)
-    ) + tuple(
-        FeatureSpec(f"n{i}", "numeric", embedding_dim=dim)
-        for i in range(num_num)
-    )
-    fm = FeatureMap("criteo_multichip", feats, labels=("click",))
-    rng = np.random.default_rng(0)
-    batch = {f"c{i}": rng.integers(0, vocab, batch_size).astype(np.int32)
-             for i in range(num_cat)}
-    batch.update({f"n{i}": rng.normal(size=batch_size).astype(np.float32)
-                  for i in range(num_num)})
-    batch["click"] = (rng.random(batch_size) > 0.5).astype(np.float32)
-
-    model = DeepFM(feature_map=fm, embedding_dim=dim, hidden_units=hidden,
-                   compute_dtype="bfloat16" if not args.smoke else None)
+    model, batch = bench.criteo_workload(batch_size, smoke=args.smoke)
     cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
                         monitor="AUC")
     trainer = PackedEmbeddingTrainer(
@@ -113,6 +101,7 @@ def main(argv=None):
 
     examples_per_sec = steps * batch_size / best
     per_chip = examples_per_sec / n
+    baseline = _single_chip_baseline()
     print(json.dumps({
         "metric": "deepfm_criteo_train_throughput_multichip",
         "value": round(examples_per_sec, 1),
@@ -120,8 +109,8 @@ def main(argv=None):
         "mesh": {"data": n_data, "model": m, "devices": n},
         "global_batch": batch_size,
         "per_chip_examples_per_sec": round(per_chip, 1),
-        "scaling_efficiency_vs_bench": round(
-            per_chip / SINGLE_CHIP_BASELINE, 4),
+        "single_chip_baseline": baseline,
+        "scaling_efficiency_vs_bench": round(per_chip / baseline, 4),
         "smoke": bool(args.smoke),
     }))
 

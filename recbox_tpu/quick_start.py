@@ -193,6 +193,11 @@ def run_matching_experiment(
         test_eval = RetrievalEvaluator(
             tu, corpus_arrays, tq, merged, test_user2items, metrics=metrics,
             batch_size=config.get("eval_batch_size", 4096),
+            # same metric surface as the valid phase (recbole evaluates one
+            # metric set on both) — dropping these here would silently lose
+            # the test_ItemCoverage/... keys
+            beyond_accuracy_metrics=config.get("beyond_accuracy_metrics", ()),
+            beyond_topk=config.get("beyond_topk", 20),
             protocol=config.get("eval_protocol", "full"),
             protocol_seed=config.get("seed", 2024),
             exclude_items=tuple(config.get("exclude_items", ())))
@@ -570,9 +575,12 @@ def run_experiment(
       min_rating — keep interactions with rating >= this BEFORE splitting;
       min_user_inter / min_item_inter — iterative k-core pruning
         (recbole user/item_inter_num_interval);
-      split — 'RS' (ratio, default) or 'LS' (leave-one-out);
+      split — 'RS' (ratio, default) or 'LS' (leave-one-out; matching/
+        traditional/knowledge stages — the ranking stage is RS-only);
       split_ratios — RS ratios, default (0.8, 0.1, 0.1);
-      order — 'TO' (time, default when timestamps exist) or 'RO';
+      order — 'TO' or 'RO'. Matching-family default: 'TO' when timestamps
+        exist, else 'RO'. Ranking default: 'RO' (recbole CTR shuffles
+        rows); pass order='TO' there for a temporal split;
       binarize_threshold — ranking stage: label = rating >= threshold
         (recbole's label-by-threshold);
       max_seq_len — sequential stage history window (default 50);
@@ -673,9 +681,20 @@ def run_experiment(
         arrays = {"user_id": inter.user_ids.astype(np.int32),
                   "item_id": inter.item_ids.astype(np.int32),
                   "label": inter.ratings.astype(np.float32)}
-        rng = np.random.default_rng(seed)
+        if cfg.get("split", "RS") != "RS":
+            raise NotImplementedError(
+                "ranking stage uses row-wise RS splits (recbole CTR "
+                "protocol); leave-one-out has no meaning for pointwise "
+                "labels")
         n = len(inter)
-        idx = rng.permutation(n)
+        # honor `order`: 'TO' = temporal split (no future-in-train leak),
+        # 'RO' (ranking default) = shuffled rows
+        if cfg.get("order", "RO") == "TO":
+            if inter.timestamps is None:
+                raise ValueError("order='TO' needs a timestamp column")
+            idx = np.argsort(inter.timestamps, kind="mergesort")
+        else:
+            idx = np.random.default_rng(seed).permutation(n)
         ratios = tuple(cfg.get("split_ratios", (0.8, 0.1, 0.1)))
         c1 = n - int(ratios[1] * n) - int(ratios[2] * n)
         c2 = n - int(ratios[2] * n)

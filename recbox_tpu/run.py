@@ -61,14 +61,8 @@ def run_expid(config_dir: str, experiment_id: str,
         # filter/split/train/eval in one chain (`quick_start.run_experiment`)
         metrics = quick_start.run_experiment(
             cfg["model"], cfg["dataset"], config=dict(cfg))
-        result = {"experiment_id": experiment_id, "model": cfg["model"],
-                  "dataset": cfg["dataset"], **metrics}
-        workdir = cfg.get("workdir")
-        if workdir:
-            os.makedirs(workdir, exist_ok=True)
-            with open(os.path.join(workdir, "results.jsonl"), "a") as fh:
-                fh.write(json.dumps(result) + "\n")
-        return result
+        return _finish(cfg, experiment_id, metrics,
+                       dataset_id=cfg["dataset"])
     if not data_dir:
         raise KeyError(
             f"expid {experiment_id!r}: no `data_dir` (pre-encoded npz dir) "
@@ -99,8 +93,14 @@ def run_expid(config_dir: str, experiment_id: str,
             f"run_{stage}_experiment API for this stage (it needs "
             "stage-specific eval structures a flat npz dir cannot express).")
 
+    return _finish(cfg, experiment_id, metrics,
+                   dataset_id=cfg.get("dataset_id"))
+
+
+def _finish(cfg, experiment_id, metrics, dataset_id=None):
+    """One result schema + one append path for both dataset routes."""
     result = {"experiment_id": experiment_id, "model": cfg["model"],
-              "dataset_id": cfg.get("dataset_id"), **metrics}
+              "dataset_id": dataset_id, **metrics}
     workdir = cfg.get("workdir")
     if workdir:
         os.makedirs(workdir, exist_ok=True)

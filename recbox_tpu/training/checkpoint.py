@@ -119,6 +119,14 @@ class OrbaxCheckpointer:
 
     def load(self, directory: str, template: dict) -> dict:
         import json
+        # same-process save()->load(): the async save must finish AND its
+        # staged meta commit before we read, or we would pair the new
+        # arrays with template/stale meta. (Cross-process crash recovery
+        # deliberately falls back to template meta below: a .tmp meta on
+        # disk may belong to an array save that never committed, and
+        # stale-meta-with-newer-arrays only re-trains a little, while
+        # new-meta-with-old-arrays resumes wrong.)
+        self.wait()
         directory = os.path.abspath(directory)
         arrays_t, meta_t = self._split(template)
         restored = self._ckptr.restore(

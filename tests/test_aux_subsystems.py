@@ -346,6 +346,12 @@ class TestOrbaxCheckpointer:
         assert os.path.exists(d + ".meta/state.json")       # now durable
         restored = ckpt.load(d, {"w": jnp.zeros(3), "step": 0})
         assert restored["step"] == 5
+        # save -> load with NO explicit wait(): load must flush the
+        # in-flight save + staged meta itself (review finding round 3)
+        ckpt.save(d, {"w": jnp.full(3, 2.0), "step": 9})
+        restored = ckpt.load(d, {"w": jnp.zeros(3), "step": 0})
+        assert restored["step"] == 9
+        assert float(restored["w"][0]) == 2.0
         ckpt.close()
 
     def test_trainer_state_dict_contract(self, rng):

@@ -111,6 +111,25 @@ class TestRunExperiment:
         # marginals are near-uniform by construction)
         assert out["AUC"] > 0.6, out
 
+    def test_ranking_temporal_order_honored(self, dataset):
+        """order='TO' on the ranking stage must produce a temporal split
+        (review finding round 3: it was silently ignored) — smoke that it
+        runs; split='LS' must be rejected for pointwise labels."""
+        name, data_dir = dataset
+        # the planted timeline puts every low-rated row late, so a temporal
+        # valid slice is single-class: AUC is undefined there (correctly),
+        # which itself evidences the split became temporal — monitor
+        # logloss, which is defined on one class
+        out = run_experiment(
+            "FM", name, data_dir=data_dir, embedding_dim=8,
+            binarize_threshold=4.0, learning_rate=0.05, epochs=1,
+            batch_size=128, monitor="logloss", monitor_mode="min",
+            metrics=["logloss"], order="TO", seed=1)
+        assert "logloss" in out
+        with pytest.raises(NotImplementedError, match="RS"):
+            run_experiment("FM", name, data_dir=data_dir,
+                           binarize_threshold=4.0, epochs=1, split="LS")
+
     def test_ranking_requires_threshold_for_star_ratings(self, dataset):
         name, data_dir = dataset
         with pytest.raises(ValueError, match="binarize_threshold"):

@@ -18,35 +18,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import numpy as np
-
-VOCAB, DIM, NUM_CAT, NUM_NUM, BATCH = 100_000, 64, 26, 13, 32768
 
 
 def run_one(feature_major, steps=30, reps=4):
-    from recbox_tpu.features import FeatureMap, FeatureSpec
-    from recbox_tpu.models.ranking.ctr import DeepFM
+    import bench
     from recbox_tpu.ops import binary_crossentropy
     from recbox_tpu.training import TrainerConfig
     from recbox_tpu.training.packed import PackedEmbeddingTrainer
 
-    feats = tuple(
-        FeatureSpec(f"c{i}", "categorical", vocab_size=VOCAB,
-                    embedding_dim=DIM) for i in range(NUM_CAT)
-    ) + tuple(
-        FeatureSpec(f"n{i}", "numeric", embedding_dim=DIM)
-        for i in range(NUM_NUM))
-    fm = FeatureMap("criteo_bench", feats, labels=("click",))
-    rng = np.random.default_rng(0)
-    batch = {f"c{i}": rng.integers(0, VOCAB, BATCH).astype(np.int32)
-             for i in range(NUM_CAT)}
-    batch.update({f"n{i}": rng.normal(size=BATCH).astype(np.float32)
-                  for i in range(NUM_NUM)})
-    batch["click"] = (rng.random(BATCH) > 0.5).astype(np.float32)
-
-    model = DeepFM(feature_map=fm, embedding_dim=DIM,
-                   hidden_units=(1024, 512, 256), compute_dtype="bfloat16",
-                   feature_major_compute=feature_major)
+    model, batch = bench.criteo_workload(feature_major=feature_major)
     cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
                         monitor="AUC")
     tr = PackedEmbeddingTrainer(
@@ -60,7 +40,7 @@ def run_one(feature_major, steps=30, reps=4):
         _ = float(losses[-1])
         best = min(best, time.perf_counter() - t0)
     ms = best / steps * 1e3
-    return ms, steps * BATCH / best
+    return ms, steps * bench.BATCH_SIZE / best
 
 
 def main():
