@@ -184,12 +184,20 @@ def mips_segment_candidates(queries, corpus, valid_items: int = None,
 
 
 def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
-                     exact_merge: bool = False, interpret: bool = False):
+                     exact_merge: bool = False, interpret: bool = False,
+                     merge: str = None):
     """Top-k (scores, ids) over the corpus via the fused candidate kernel.
 
     Pads corpus rows/dims as needed; `valid_items` (default = corpus rows
     before padding) masks padded rows out of the result. Queries are swept
     in tiles that amortize the corpus stream.
+
+    ``merge`` selects the final candidate reduction: None = the measured
+    default (exact `lax.top_k` when candidates are few, else
+    `approx_max_k`); 'bitonic' = the in-VMEM Pallas sorting network
+    (`bitonic_topk.py`) consuming the kernel's candidate-major layout
+    directly — EXACT over the candidates, no transpose, and none of the
+    ~2.6 ms fixed per-call cost of the XLA top-k ops.
     """
     queries = jnp.asarray(queries)
     corpus = jnp.asarray(corpus)
@@ -206,6 +214,20 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     cs, ci = mips_segment_candidates(queries, corpus,
                                      valid_items=int(n_items),
                                      interpret=interpret)
+    if merge == "bitonic":
+        from recbox_tpu.ops.pallas.bitonic_topk import (
+            pallas_bitonic_topk_cmajor,
+        )
+        if k > cs.shape[0]:
+            raise ValueError(
+                f"pallas_mips_topk: k={k} exceeds the {cs.shape[0]} segment "
+                f"candidates for a {corpus.shape[0]}-row corpus")
+        # candidate-major throughout: no transpose, no XLA top-k call.
+        # pad rows were already scored -inf in-kernel; all-pad segment
+        # winners still carry pad ids — normalize to -1 like below.
+        ts, ti = pallas_bitonic_topk_cmajor(cs, ci, k=k, interpret=interpret)
+        ts, ti = ts.T, ti.T
+        return ts, jnp.where(jnp.isfinite(ts), ti, -1)
     cs, ci = cs.T, ci.T                       # back to (Qt, n_candidates)
     # pad rows were scored -inf inside the kernel; this where only
     # normalizes the all-pad segments' winners (score already -inf)

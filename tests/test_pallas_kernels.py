@@ -92,6 +92,19 @@ class TestPallasMIPS:
         np.testing.assert_allclose(
             np.asarray(s), np.take_along_axis(exact, ids, axis=1), rtol=1e-5)
 
+    def test_bitonic_merge_matches_default(self):
+        """merge='bitonic' (the in-VMEM sorting network killing the fixed
+        XLA top-k cost) must return exactly the default exact merge's
+        results over the same candidates."""
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(4)
+        q = rng.normal(size=(8, 64)).astype(np.float32)
+        c = rng.normal(size=(4000, 64)).astype(np.float32)
+        s0, i0 = pallas_mips_topk(q, c, 9, interpret=True, exact_merge=True)
+        s1, i1 = pallas_mips_topk(q, c, 9, interpret=True, merge="bitonic")
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
     def test_index_method_dispatch(self):
         """BruteForceMIPS(method='pallas') falls back to approx for small
         corpora (no pallas on CPU) and accepts the method string."""
@@ -106,3 +119,33 @@ class TestPallasMIPS:
         # small corpus routes through the exact/approx fallback
         np.testing.assert_array_equal(np.sort(i, axis=1),
                                       np.sort(exact_ids, axis=1))
+
+
+class TestBitonicTopK:
+    """In-VMEM bitonic top-k (`ops/pallas/bitonic_topk.py`) — exactness
+    against lax.top_k in interpret mode, row-major and candidate-major."""
+
+    @pytest.mark.parametrize("q,c,k", [(8, 100, 10), (4, 256, 50),
+                                       (3, 1000, 7), (5, 64, 64)])
+    def test_matches_lax_topk(self, q, c, k):
+        import jax
+        from recbox_tpu.ops.pallas.bitonic_topk import pallas_bitonic_topk
+        rng = np.random.default_rng(q * c + k)
+        s = rng.normal(size=(q, c)).astype(np.float32)
+        ts, ti = pallas_bitonic_topk(s, k=k, q_tile=8, interpret=True)
+        rs, ri = jax.lax.top_k(jnp.asarray(s), k)
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(rs))
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+    def test_carries_explicit_ids_and_duplicate_scores(self):
+        import jax
+        from recbox_tpu.ops.pallas.bitonic_topk import pallas_bitonic_topk
+        s = np.array([[1.0, 3.0, 3.0, 2.0, -1.0, 3.0, 0.0, 2.0]],
+                     np.float32)
+        ids = np.arange(8, dtype=np.int32)[None] * 10
+        ts, ti = pallas_bitonic_topk(s, ids=ids, k=4, q_tile=8,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(ts)[0], [3.0, 3.0, 3.0, 2.0])
+        # ties: the returned id SET at each score must be correct
+        assert set(np.asarray(ti)[0, :3].tolist()) == {10, 20, 50}
+        assert np.asarray(ti)[0, 3] in (30, 70)

@@ -106,12 +106,44 @@ def main():
         ts, _ = jax.lax.top_k(merged, min(K, merged.shape[-1]))
         return jnp.sum(ts, axis=-1)
 
-    def pallas_fused(k):
+    def pallas_fused(k, merge=None):
         from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
 
         def f(q, it):
-            ts, _ = pallas_mips_topk(q, it, k, valid_items=N)
+            ts, _ = pallas_mips_topk(q, it, k, valid_items=N, merge=merge)
             return jnp.sum(ts, axis=-1)
+        return f
+
+    def merge_sweep(merge_fn):
+        """ITERS-iteration scan with iteration-dependent inputs — the same
+        honest-timing shell as `sweep`, for merge-only microbenches.
+        (The qps column is per ONE CHUNK of queries here, not Q.)"""
+        @jax.jit
+        def run(cand_s, cand_i):
+            def body(c, i):
+                s = cand_s * (1.0 + 1e-6 * i)
+                return c + merge_fn(s, cand_i), ()
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+            return c
+        return run
+
+    def bitonic_merge_only(k):
+        """Isolate the merge: lax.top_k vs the in-VMEM bitonic network on a
+        candidate-major (n_cand, CHUNK) block — the ~2.6 ms fixed-cost
+        question, directly."""
+        from recbox_tpu.ops.pallas.bitonic_topk import (
+            pallas_bitonic_topk_cmajor,
+        )
+
+        def f(cand_scores, cand_ids):
+            ts, _ = pallas_bitonic_topk_cmajor(cand_scores, cand_ids, k=k)
+            return jnp.sum(ts)
+        return f
+
+    def lax_merge_only(k):
+        def f(cand_scores, cand_ids):
+            ts, _ = jax.lax.top_k(cand_scores.T, k)
+            return jnp.sum(ts)
         return f
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -122,6 +154,25 @@ def main():
     timed("segments", sweep(segments), queries, items)
     timed("pallas_500", sweep(pallas_fused(K)), queries, items)
     timed("pallas_100", sweep(pallas_fused(100)), queries, items)
+    timed("pallas_500_bitonic", sweep(pallas_fused(K, "bitonic")),
+          queries, items)
+    timed("pallas_100_bitonic", sweep(pallas_fused(100, "bitonic")),
+          queries, items)
+    # merge-only microbench (candidate block shaped like one chunk's
+    # output: N/128 candidates x CHUNK queries)
+    rngm = np.random.default_rng(7)
+    cand_s = jnp.asarray(rngm.normal(size=(N // 128, CHUNK))
+                         .astype(np.float32))
+    cand_i = jnp.asarray(rngm.integers(0, N, size=(N // 128, CHUNK))
+                         .astype(np.int32))
+    timed("merge_lax_top500", merge_sweep(lax_merge_only(K)),
+          cand_s, cand_i)
+    timed("merge_bitonic_500", merge_sweep(bitonic_merge_only(K)),
+          cand_s, cand_i)
+    timed("merge_lax_top100", merge_sweep(lax_merge_only(100)),
+          cand_s, cand_i)
+    timed("merge_bitonic_100", merge_sweep(bitonic_merge_only(100)),
+          cand_s, cand_i)
 
 
 if __name__ == "__main__":
