@@ -71,7 +71,7 @@ config = {
     "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
     "epochs": int(os.environ.get("REF_EPOCHS", 30)),
     "train_batch_size": 512, "eval_batch_size": 2048,
-    "learning_rate": 1e-3, "embedding_size": 32,
+    "learning_rate": float(os.environ.get("REF_LR", 1e-3)), "embedding_size": 32,
     "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
                   "group_by": "user", "mode": "full"},
     "metrics": ["Recall", "NDCG"], "topk": [20], "valid_metric": "Recall@20",
@@ -95,7 +95,7 @@ if model_name == "SASRec":
         "layer_norm_eps": 1e-12, "initializer_range": 0.02,
         "loss_type": "CE",
     })
-if model_name in ("FM", "DeepFM"):
+if model_name in ("FM", "DeepFM", "FiGNN", "EulerNet"):
     extra = []
     if os.environ.get("REF_DATASET") == "ctr_scale":
         extra = [f"c{i}" for i in range(2, 8)]
@@ -112,6 +112,13 @@ if model_name in ("FM", "DeepFM"):
     config.pop("RATING_FIELD", None)
     config.pop("TIME_FIELD", None)
     config.pop("topk", None)
+if model_name == "FiGNN":
+    # recbole properties/model/FiGNN.yaml defaults at embedding_size 16
+    config.update({"attention_size": 16, "n_layers": 2, "num_heads": 2,
+                   "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1})
+if model_name == "EulerNet":
+    config.update({"order_list": [16], "drop_ex": 0.1, "drop_im": 0.1,
+                   "apply_norm": False, "reg_weight": 0.0})
 dataset_name = os.environ.get("REF_DATASET", "synth")
 result = run_recbole(model=model_name, dataset=dataset_name, config_dict=config)
 print("REFERENCE RESULT:", result)
