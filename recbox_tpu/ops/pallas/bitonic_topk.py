@@ -13,9 +13,19 @@ lane gathers), and only the first k columns are written back.
 
 Scope: C (the sorted axis) padded to a power of two with -inf; scores and
 ids move together. Exact (a full sort, not a recall-target approximation).
-Measured envelope to be filled in on chip (tunnel outage at build time);
-correctness is pinned to `jax.lax.top_k` in `tests/test_pallas_kernels.py`
-both in interpret mode and through the `merge='bitonic'` MIPS path.
+Correctness is pinned to `jax.lax.top_k` in `tests/test_pallas_kernels.py`
+in interpret mode, through the `merge='bitonic'` MIPS path, and verified
+bit-exact on a real v5e chip (2026-08-18).
+
+MEASURED ENVELOPE (v5e, 2026-08-18, tools/prof_retrieval_topk.py): this
+kernel LOSES to lax.top_k and stays opt-in. Merge-only at (7812, 1024)
+k=500: bitonic 2.84 ms vs lax.top_k 2.32 ms (the sorting network does
+~133 stages of VPU compare-exchange ≈ its 2.3-2.8 ms compute bound, while
+XLA's sort unit needs only selection). End-to-end 1M×128 MIPS sweeps:
+segments+lax 338k qps, pallas mips + bitonic merge 87k qps. The ~2.6 ms
+"fixed" top-k cost round 2 measured is, at these shapes, real selection
+work — not dispatch overhead a kernel can dodge. Kept for the exactness
+path on candidate-major layouts and as the measured-negative record.
 
 Reference behavior replaced: the final merge of faiss-style top-k serving
 (`recbox/core/metrics.py:28-68`, `recbox/utils/ann/faiss.py`).
@@ -52,23 +62,37 @@ def _make_kernel(c: int, k: int):
     stages = _stages(c)
 
     def _kernel(s_ref, i_ref, out_s_ref, out_i_ref):
+        # optimization_barrier between stages: the 91-stage (C=8192)
+        # unrolled network otherwise lets the scheduler keep every stage's
+        # temporaries live at once (observed on-chip: 120.84M scoped-vmem
+        # stack request; a scratch-ref read-modify-write variant bounded
+        # liveness but pushed Mosaic compile past 9 minutes) — the barrier
+        # pins stage order so buffers can be reused
         s = s_ref[:]                               # (C, Qt) candidate-major
         ids = i_ref[:]
         qt = s.shape[1]
         for k_, j in stages:
             # direction of the compare-exchange at block k_, stride j:
             # position i = p*(2j) + side*j + r, and (i & k_) depends only
-            # on p — one bool per pair group, built from iota IN-KERNEL
-            # (Pallas forbids captured constants). Directions are inverted
-            # vs the classic ascending network → final order DESCENDING.
+            # on p — built from iota IN-KERNEL (Pallas forbids captured
+            # constants). Directions are inverted vs the classic ascending
+            # network → final order DESCENDING. The direction is carried as
+            # INT32 0/1 at full pair shape, never as a stored bool vector:
+            # Mosaic cannot lower the i8→i1 truncation a broadcast bool
+            # mask generates (observed on-chip: `arith.trunci vector<...xi8>
+            # -> vector<...xi1>` compile failure); int iota arithmetic plus
+            # one i32 comparison keeps every mask a native cmp result.
             n_pairs = c // (2 * j)
-            p = jax.lax.broadcasted_iota(jnp.int32, (n_pairs, 1, 1), 0)
-            desc = ((p * (2 * j)) & k_) == 0       # (C/2j, 1, 1)
             s3 = s.reshape(c // (2 * j), 2, j, qt)
             i3 = ids.reshape(c // (2 * j), 2, j, qt)
             a, b = s3[:, 0], s3[:, 1]              # (C/2j, j, Qt)
             ia, ib = i3[:, 0], i3[:, 1]
-            a_first = jnp.where(desc, a >= b, a < b)
+            p = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+            # ((p*2j) & k_) is 0 or k_; shift by log2(k_) → 0/1 int32
+            desc_i = 1 - (((p * (2 * j)) & k_) >> int(k_.bit_length() - 1))
+            ge_i = (a >= b).astype(jnp.int32)
+            # a_first = desc ? (a>=b) : (a<b)  ⇔  (a>=b) == desc
+            a_first = ge_i == desc_i
             new_a = jnp.where(a_first, a, b)
             new_b = jnp.where(a_first, b, a)
             new_ia = jnp.where(a_first, ia, ib)
@@ -81,6 +105,49 @@ def _make_kernel(c: int, k: int):
     return _kernel
 
 
+# Largest single-shot sorted block. Mosaic's stack allocator keeps ~3
+# stages of the unrolled network's temporaries live (measured on-chip:
+# 120.84M scoped-vmem request at C=8192·q_tile=128, i.e. ~60M at C=4096),
+# so blocks above 4096 candidates are handled by exact block-top-k +
+# recursive merge below instead of one giant network. Shrinking q_tile
+# does NOT help: q_tile is the lane dimension and Mosaic pads lanes to 128.
+_MAX_SORT_BLOCK = 4096
+
+
+def _block_topk_call(s, i, k: int, cb: int, q_tile: int, interpret: bool):
+    """One pallas_call: per (cb candidates × q_tile queries) block, bitonic
+    sort and emit the block's top-k rows. Grid covers (queries, c-blocks);
+    output is (nb·k, Q) candidate-major. cb and Q must already be padded."""
+    c, qp = s.shape
+    nb = c // cb
+    out_s, out_i = pl.pallas_call(
+        _make_kernel(cb, k),
+        grid=(qp // q_tile, nb),
+        in_specs=[
+            pl.BlockSpec((cb, q_tile), lambda qb, bb: (bb, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, q_tile), lambda qb, bb: (bb, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, q_tile), lambda qb, bb: (bb, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, q_tile), lambda qb, bb: (bb, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * k, qp), s.dtype),
+            jax.ShapeDtypeStruct((nb * k, qp), jnp.int32),
+        ),
+        # the 16 MB default scoped-vmem limit trips already at
+        # cb=1024·q_tile=128 (7.54M request); grant a flat budget sized for
+        # the cb=4096 worst case, under the 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
+        interpret=interpret,
+    )(s, i)
+    return out_s, out_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "interpret"))
 def pallas_bitonic_topk_cmajor(scores_cm, ids_cm, k: int,
                                q_tile: int = 128, interpret: bool = False):
@@ -88,40 +155,34 @@ def pallas_bitonic_topk_cmajor(scores_cm, ids_cm, k: int,
 
     The layout `mips_segment_candidates` already emits — using it directly
     skips BOTH transposes the row-major API would pay. C pads to a power
-    of two with -inf/-1, Q to the tile multiple."""
+    of two with -inf/-1, Q to the tile multiple. C above _MAX_SORT_BLOCK
+    is reduced EXACTLY by per-4096-block top-k (the global top-k is a
+    subset of the union of per-block top-ks) and recursing on the nb·k
+    survivors until one block sorts them all."""
     scores_cm = jnp.asarray(scores_cm)
     ids_cm = jnp.asarray(ids_cm, jnp.int32)
     c0, q = scores_cm.shape
-    c = 1 << int(np.ceil(np.log2(max(c0, 2))))
     if k > c0:
         raise ValueError(f"k={k} > {c0} candidates")
+    kp = 1 << int(np.ceil(np.log2(max(k, 2))))  # pow2 so merge blocks stay pow2
+    if c0 > _MAX_SORT_BLOCK and kp >= _MAX_SORT_BLOCK:
+        raise ValueError(
+            f"k={k} keeps every row of a {_MAX_SORT_BLOCK}-candidate merge "
+            f"block — the block-top-k reduction cannot make progress; use "
+            f"k < {_MAX_SORT_BLOCK // 2} or lax.top_k for near-full sorts")
     q_pad = (-q) % q_tile
-    s = jnp.pad(scores_cm, ((0, c - c0), (0, q_pad)),
-                constant_values=-jnp.inf)
-    i = jnp.pad(ids_cm, ((0, c - c0), (0, q_pad)), constant_values=-1)
-    qp = q + q_pad
-    out_s, out_i = pl.pallas_call(
-        _make_kernel(c, k),
-        grid=(qp // q_tile,),
-        in_specs=[
-            pl.BlockSpec((c, q_tile), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, q_tile), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((k, q_tile), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, q_tile), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, qp), scores_cm.dtype),
-            jax.ShapeDtypeStruct((k, qp), jnp.int32),
-        ),
-        interpret=interpret,
-    )(s, i)
-    return out_s[:, :q], out_i[:, :q]
+    s, i = scores_cm, ids_cm
+    while True:
+        c0 = s.shape[0]
+        cb = min(1 << int(np.ceil(np.log2(max(c0, 2)))), _MAX_SORT_BLOCK)
+        c = -(-c0 // cb) * cb
+        s = jnp.pad(s, ((0, c - c0), (0, q_pad)), constant_values=-jnp.inf)
+        i = jnp.pad(i, ((0, c - c0), (0, q_pad)), constant_values=-1)
+        q_pad = 0                      # only pad queries on the first pass
+        if c == cb:                    # one block sorts everything: done
+            out_s, out_i = _block_topk_call(s, i, k, cb, q_tile, interpret)
+            return out_s[:, :q], out_i[:, :q]
+        s, i = _block_topk_call(s, i, kp, cb, q_tile, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "interpret"))

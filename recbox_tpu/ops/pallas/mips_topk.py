@@ -196,8 +196,12 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     default (exact `lax.top_k` when candidates are few, else
     `approx_max_k`); 'bitonic' = the in-VMEM Pallas sorting network
     (`bitonic_topk.py`) consuming the kernel's candidate-major layout
-    directly — EXACT over the candidates, no transpose, and none of the
-    ~2.6 ms fixed per-call cost of the XLA top-k ops.
+    directly — EXACT over the candidates, no transpose. Measured on v5e
+    (2026-08-18): the bitonic merge is SLOWER than lax.top_k (2.84 vs
+    2.32 ms at (7812, 1024) k=500 — the sort network's ~133 VPU stages
+    cost more than XLA's selection), so None stays the default; 'bitonic'
+    remains for exactness on candidate-major layouts without an XLA
+    top-k call.
     """
     queries = jnp.asarray(queries)
     corpus = jnp.asarray(corpus)
