@@ -120,11 +120,22 @@ class PackedEmbeddingTrainer(Trainer):
                  direct_init: bool = None, table_initializer=None,
                  embedding_optimizer: str = "adagrad",
                  adam_b1: float = 0.9, adam_b2: float = 0.999,
+                 delta_kernel: str = "auto",
                  **kwargs):
         super().__init__(*args, **kwargs)
         if embedding_optimizer not in ("adagrad", "adam"):
             raise NotImplementedError(
                 f"embedding_optimizer={embedding_optimizer!r}")
+        if delta_kernel not in ("auto", "pallas", "xla"):
+            raise NotImplementedError(f"delta_kernel={delta_kernel!r}")
+        # 'pallas': assemble the scatter operand with the fused one-pass
+        # kernel (`ops/pallas/packed_delta.py`) for AdaGrad acc-in-row
+        # packs; 'xla': the jnp chain; 'auto': the measured winner = 'xla'
+        # (v5e 2026-08-18 A/B at bench shapes: xla 37.75 ms/step, pallas
+        # 39.51 — XLA fuses the delta chain into the scatter's operand
+        # computation, so a pre-scatter kernel only adds a (N, 128) f32
+        # HBM round trip; envelope in packed_delta.py).
+        self.delta_kernel = delta_kernel
         self.embedding_lr = embedding_lr
         self._emb_lr = None      # resolved at step build; plateau-decayed
         self.adagrad_init = adagrad_init
@@ -227,6 +238,12 @@ class PackedEmbeddingTrainer(Trainer):
                 f"__rows__ protocol (FeatureEmbedding): {sorted(orphans)}; "
                 "PackedEmbeddingTrainer requires all categorical/sequence "
                 "features to flow through FeatureEmbedding modules")
+
+    @property
+    def _use_delta_kernel(self) -> bool:
+        # 'auto' resolves to the jnp chain: measured LOSS for the Pallas
+        # kernel at bench shapes (see __init__ comment / packed_delta.py)
+        return self.delta_kernel == "pallas"
 
     def _pack_width(self, pname: str) -> int:
         slots = self._slots[pname]
@@ -514,8 +531,8 @@ class PackedEmbeddingTrainer(Trainer):
             # bench shapes; an optimization_barrier and a 0*G layout anchor
             # were both tried and measured — no improvement / pathological
             # compiles — so the copy stands, documented in bench.py).
-            grads = [g.astype(jnp.float32)
-                     for g in self._slot_grads(slots, segs, row_grads)]
+            raw_grads = self._slot_grads(slots, segs, row_grads)
+            grads = [g.astype(jnp.float32) for g in raw_grads]
             if self.embedding_optimizer == "adam":
                 # lazy Adam: m/v blocks mirror the value-column layout at
                 # offsets w_val and 2*w_val; scatter-ADD writes the state
@@ -539,6 +556,24 @@ class PackedEmbeddingTrainer(Trainer):
                     v_upds.append(v_new - v_pre_s)
                 parts = deltas + m_upds + v_upds
                 used = 3 * w_val
+            elif self._use_delta_kernel and self._acc_in_row[pname]:
+                # fused one-pass operand assembly (Pallas): reads G + the
+                # raw compute-dtype grads, writes the finished scatter
+                # operand — skips the upcast/concat/relayout
+                # materializations of the jnp chain below (measured ~5.7
+                # ms/step at bench shapes, tools/prof_packed_step.py)
+                from recbox_tpu.ops.pallas.packed_delta import (
+                    fused_adagrad_delta,
+                )
+                store_w = self._pack_store_width[pname]
+                upd = fused_adagrad_delta(
+                    G, raw_grads, emb_lr,
+                    dims=tuple(s.dim for s in slots),
+                    acc_cols=tuple(s.acc_col for s in slots),
+                    used=w_val + len(slots), store_w=store_w, eps=eps,
+                    interpret=jax.default_backend() != "tpu")
+                new_packs[pname] = packs[pname].at[ids].add(upd)
+                continue
             else:
                 deltas, g2_cols = [], []
                 for si, (s, g) in enumerate(zip(slots, grads)):

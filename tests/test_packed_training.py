@@ -510,3 +510,38 @@ def test_packed_batch_stats_accumulate_in_scans(rng):
                for k, v in arrays.items()}
     t.train_steps_fused(stacked)
     assert _state_movement(t) != mid
+
+
+def test_packed_delta_kernel_matches_xla_chain(rng):
+    """delta_kernel='pallas' (interpret on CPU) must reproduce the jnp
+    update chain: same packs after a step, same training trajectory.
+
+    The fused kernel (`ops/pallas/packed_delta.py`) computes row-wise
+    AdaGrad with the identical op order (f32 upcast -> mean-square ->
+    rsqrt-denominator), so the packs must agree to f32 roundoff."""
+    fm, arrays = _fixture(rng)
+    batch = {k: v[:256] for k, v in arrays.items()}
+    t_x = _make(fm, delta_kernel="xla")
+    t_p = _make(fm, delta_kernel="pallas")
+    t_x.init(batch)
+    t_p.init(batch)
+    # identical starting state — deep copies: the train step donates its
+    # inputs, so shared buffers would be deleted under the other trainer
+    import jax
+    t_p.packs = {k: jnp_copy for k, jnp_copy in
+                 ((k, v.copy()) for k, v in t_x.packs.items())}
+    t_p.params = jax.tree_util.tree_map(lambda a: a.copy(), t_x.params)
+    for _ in range(3):
+        lx = t_x.train_step(batch)
+        lp = t_p.train_step(batch)
+    assert abs(lx - lp) < 1e-5, (lx, lp)
+    for k in t_x.packs:
+        np.testing.assert_allclose(np.asarray(t_x.packs[k]),
+                                   np.asarray(t_p.packs[k]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_packed_delta_kernel_rejects_bad_value(rng):
+    fm, _ = _fixture(rng)
+    with pytest.raises(NotImplementedError):
+        _make(fm, delta_kernel="cuda")
