@@ -52,9 +52,26 @@ __all__ = ["FeatureEmbedding", "concat_embeddings", "stack_embeddings",
 # vocab-sized scatter.
 ROWS_PREFIX = "__rows__"
 
+# Block variant of the protocol: f"{BLOCK_PREFIX}{module_path}" carries ONE
+# (F, B, D) array holding this module's pre-gathered rows for ALL of its
+# categorical in-batch features, F-ordered by the schema
+# (feature_map.input_features). Emitted by PackedEmbeddingTrainer when a
+# pack's features are exactly the batch's categorical set: per-feature
+# entries are then contiguous row blocks of the single packed gather, so
+# the block is a free reshape+slice of it, the module's per-feature reads
+# become slices XLA folds back into the block for feature-major consumers,
+# and the backward pass yields one (F, B, D) gradient that reshapes
+# directly into the (N, D) slot gradient (replacing a 26-way concat at
+# bench shapes — part of the measured fwd/bwd slack, tools/prof_fwdbwd.py).
+BLOCK_PREFIX = "__rows_block__"
+
 
 def rows_key_for(module_path, feature_name: str) -> str:
     return ROWS_PREFIX + "/".join(module_path) + ":" + feature_name
+
+
+def rows_block_key(module_path) -> str:
+    return BLOCK_PREFIX + "/".join(module_path)
 
 
 def emb_init(std: float = 1e-4):
@@ -154,6 +171,13 @@ class FeatureEmbedding(nn.Module):
         # one param per distinct table; shared features resolve to it
         tables: Dict[str, jnp.ndarray] = {}
         out: Dict[str, jnp.ndarray] = {}
+        # block protocol (see BLOCK_PREFIX): one (F, B, D) array covering
+        # every categorical in-batch feature, schema-ordered; cast ONCE so
+        # per-feature reads stay pure slices of one array
+        block = batch.get(rows_block_key(self.path))
+        if block is not None:
+            block = block.astype(self.dtype)
+        block_i = 0
 
         def get_table(spec: FeatureSpec, dim: int) -> jnp.ndarray:
             tname = spec.table_name
@@ -215,7 +239,10 @@ class FeatureEmbedding(nn.Module):
                              * jnp.asarray(w, self.dtype))
             elif spec.type == CATEGORICAL:
                 rows_key = rows_key_for(self.path, name)
-                if rows_key in batch:
+                if block is not None:
+                    emb = block[block_i]
+                    block_i += 1
+                elif rows_key in batch:
                     emb = batch[rows_key].astype(self.dtype)
                 else:
                     # gather in param dtype, cast the (small) result — casting

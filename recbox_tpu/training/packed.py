@@ -120,7 +120,7 @@ class PackedEmbeddingTrainer(Trainer):
                  direct_init: bool = None, table_initializer=None,
                  embedding_optimizer: str = "adagrad",
                  adam_b1: float = 0.9, adam_b2: float = 0.999,
-                 delta_kernel: str = "auto",
+                 delta_kernel: str = "auto", block_rows: bool = False,
                  **kwargs):
         super().__init__(*args, **kwargs)
         if embedding_optimizer not in ("adagrad", "adam"):
@@ -136,6 +136,16 @@ class PackedEmbeddingTrainer(Trainer):
         # computation, so a pre-scatter kernel only adds a (N, 128) f32
         # HBM round trip; envelope in packed_delta.py).
         self.delta_kernel = delta_kernel
+        # block_rows: emit each slot's rows as ONE schema-ordered (F, B, D)
+        # block (nn/embedding.py BLOCK_PREFIX) instead of per-feature
+        # entries. Measured LOSS at bench shapes (v5e 2026-08-18: 40.1-40.4
+        # vs 36.9 ms/step): XLA does NOT fold the module's stack-of-slices
+        # back into the block, so the block materializes IN ADDITION to the
+        # stacked (F, B, D) activation and its backward scatter. Kept
+        # opt-in with a bit-parity test
+        # (test_packed_block_rows_matches_per_feature_path) in case a
+        # future consumer reads the block directly without re-stacking.
+        self.block_rows = block_rows
         self.embedding_lr = embedding_lr
         self._emb_lr = None      # resolved at step build; plateau-decayed
         self.adagrad_init = adagrad_init
@@ -230,6 +240,33 @@ class PackedEmbeddingTrainer(Trainer):
             used = w_val + state_w if acc_in_row else w_val
             self._pack_store_width[pack_name] = -(-used // 128) * 128
             self._value_width[pack_name] = w_val
+        # block-rows eligibility (see nn/embedding.py BLOCK_PREFIX): emit
+        # each slot's rows as ONE (F, B, D) schema-ordered block when the
+        # single pack's routed features are exactly the batch's categorical
+        # set of 1-D columns (no sequences, no shape mixing) and slot
+        # module paths are unique. The per-feature reads become slices XLA
+        # folds back into the block; the bwd yields one reshapeable
+        # gradient instead of an F-way concat.
+        self._block_mode = {}
+        cat_in_batch = [f.name for f in fm.input_features
+                        if f.type == CATEGORICAL and f.name in sample_batch]
+        for pname, bundles in self._bundles.items():
+            routed = [f for b in bundles for f in b.features]
+            slots = self._slots[pname]
+            eligible = (
+                self.block_rows
+                and len(self._bundles) == 1
+                and sorted(routed) == sorted(cat_in_batch)
+                and all(np.ndim(sample_batch[f]) == 1 for f in routed)
+                and len({s.module_path for s in slots}) == len(slots)
+            )
+            self._block_mode[pname] = eligible
+            if eligible:
+                # gather in SCHEMA order so the block's F axis matches the
+                # module's iteration order (feature_map.input_features)
+                offs = {f: b.row_offset for b in bundles for f in b.features}
+                self._gather_order = {
+                    pname: [(f, offs[f]) for f in cat_in_batch]}
         orphans = [b.tname for bl in self._bundles.values() for b in bl
                    if not b.features]
         if orphans:
@@ -473,17 +510,28 @@ class PackedEmbeddingTrainer(Trainer):
 
     def _gather_rows(self, packs, accs, batch):
         """Returns (rows_dict for the batch, per-pack update context)."""
+        from recbox_tpu.nn.embedding import rows_block_key
         rows, ctx = {}, {}
         rdtype = self._rows_dtype
         for pname, bundles in self._bundles.items():
             slots = self._slots[pname]
+            block_mode = getattr(self, "_block_mode", {}).get(pname, False)
             segs = []     # (fname, bundle, flat_len, orig_shape)
             ids = []
-            for b in bundles:
-                for fname in b.features:
+            if block_mode:
+                for fname, row_offset in self._gather_order[pname]:
                     x = batch[fname]
-                    ids.append(x.reshape(-1).astype(jnp.int32) + b.row_offset)
-                    segs.append((fname, b, int(np.prod(x.shape)), x.shape))
+                    ids.append(x.reshape(-1).astype(jnp.int32) + row_offset)
+                    segs.append((fname, None, int(np.prod(x.shape)),
+                                 x.shape))
+            else:
+                for b in bundles:
+                    for fname in b.features:
+                        x = batch[fname]
+                        ids.append(x.reshape(-1).astype(jnp.int32)
+                                   + b.row_offset)
+                        segs.append((fname, b, int(np.prod(x.shape)),
+                                     x.shape))
             if not ids:
                 continue
             ids = jnp.concatenate(ids) if len(ids) > 1 else ids[0]
@@ -493,21 +541,39 @@ class PackedEmbeddingTrainer(Trainer):
                 v_pre = None                             # state sliced from G
             else:
                 v_pre = jnp.take(accs[pname], ids, axis=0)   # (N, S)
-            off = 0
-            for fname, b, n, shape in segs:
-                for si, s in enumerate(slots):
-                    rkey = rows_key_for(s.module_path, fname)
-                    rows[rkey] = G[off:off + n,
-                                   s.col_start:s.col_start + s.dim] \
-                        .astype(rdtype).reshape(shape + (s.dim,))
-                off += n
-            ctx[pname] = (ids, segs, G, v_pre)
+            if block_mode:
+                nf = len(segs)
+                bsz = segs[0][2]
+                G3 = G.reshape(nf, bsz, G.shape[1])
+                for s in slots:
+                    rows[rows_block_key(s.module_path)] = \
+                        G3[:, :, s.col_start:s.col_start + s.dim] \
+                        .astype(rdtype)
+                ctx[pname] = (ids, None, G, v_pre)
+            else:
+                off = 0
+                for fname, b, n, shape in segs:
+                    for si, s in enumerate(slots):
+                        rkey = rows_key_for(s.module_path, fname)
+                        rows[rkey] = G[off:off + n,
+                                       s.col_start:s.col_start + s.dim] \
+                            .astype(rdtype).reshape(shape + (s.dim,))
+                    off += n
+                ctx[pname] = (ids, segs, G, v_pre)
         return rows, ctx
 
     def _slot_grads(self, slots, segs, row_grads):
-        """Per slot: (N, D) grads concatenated in ids order."""
+        """Per slot: (N, D) grads concatenated in ids order.
+
+        segs=None marks block mode: the gradient arrived as one (F, B, D)
+        array whose flattening IS the ids-order concat."""
+        from recbox_tpu.nn.embedding import rows_block_key
         out = []
         for s in slots:
+            if segs is None:
+                g = row_grads[rows_block_key(s.module_path)]
+                out.append(g.reshape(-1, s.dim))
+                continue
             parts = []
             for fname, b, n, shape in segs:
                 rkey = rows_key_for(s.module_path, fname)

@@ -545,3 +545,37 @@ def test_packed_delta_kernel_rejects_bad_value(rng):
     fm, _ = _fixture(rng)
     with pytest.raises(NotImplementedError):
         _make(fm, delta_kernel="cuda")
+
+
+def test_packed_block_rows_matches_per_feature_path(rng):
+    """Block-rows mode (one (F,B,D) array per slot, schema-ordered) must
+    reproduce the per-feature __rows__ path exactly: same losses, same
+    packs. The block is a pure re-view of the same gathered rows, so
+    equality is bitwise up to f32 reassociation."""
+    from recbox_tpu.nn.embedding import BLOCK_PREFIX
+    import jax
+
+    fm, arrays = _fixture(rng)
+    batch = {k: v[:256] for k, v in arrays.items()}
+    t_blk = _make(fm, block_rows=True)          # opt-in: measured loss at
+    t_blk.init(batch)                           # bench shapes (packed.py)
+    assert any(t_blk._block_mode.values())
+    rows, _ = t_blk._gather_rows(t_blk.packs, t_blk.accs, batch)
+    blk_keys = [k for k in rows if k.startswith(BLOCK_PREFIX)]
+    assert len(blk_keys) == 2                   # embedding + linear slots
+    f, b = rows[blk_keys[0]].shape[:2]
+    assert (f, b) == (2, 256)
+
+    t_off = _make(fm)
+    t_off.init(batch)
+    assert not any(t_off._block_mode.values())  # default: per-feature path
+    t_off.packs = {k: v.copy() for k, v in t_blk.packs.items()}
+    t_off.params = jax.tree_util.tree_map(lambda a: a.copy(), t_blk.params)
+    for _ in range(3):
+        lb = t_blk.train_step(batch)
+        lo = t_off.train_step(batch)
+    assert abs(lb - lo) < 1e-5, (lb, lo)
+    for k in t_blk.packs:
+        np.testing.assert_allclose(np.asarray(t_blk.packs[k]),
+                                   np.asarray(t_off.packs[k]),
+                                   rtol=1e-6, atol=1e-7)
