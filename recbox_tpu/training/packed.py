@@ -138,13 +138,15 @@ class PackedEmbeddingTrainer(Trainer):
         self.delta_kernel = delta_kernel
         # block_rows: emit each slot's rows as ONE schema-ordered (F, B, D)
         # block (nn/embedding.py BLOCK_PREFIX) instead of per-feature
-        # entries. Measured LOSS at bench shapes (v5e 2026-08-18: 40.1-40.4
-        # vs 36.9 ms/step): XLA does NOT fold the module's stack-of-slices
-        # back into the block, so the block materializes IN ADDITION to the
-        # stacked (F, B, D) activation and its backward scatter. Kept
-        # opt-in with a bit-parity test
-        # (test_packed_block_rows_matches_per_feature_path) in case a
-        # future consumer reads the block directly without re-stacking.
+        # entries. Measured LOSS at bench shapes both ways it was tried
+        # (v5e 2026-08-18): (a) module re-slices the block per feature —
+        # 40.1-40.4 vs 36.9 ms/step (XLA does NOT fold the stack-of-slices
+        # back into the block, so both materialize); (b) DeepFM's
+        # stack-free fast path (`_feature_major_block_logit`, run-split
+        # FM/einsum, no (F, B, D) ever built) — still 38.96 vs 36.56
+        # ms/step. The per-feature slices XLA plans itself beat every
+        # hand-staged block formulation measured. Kept opt-in with parity
+        # tests (test_packed_block_rows_*) as the measured-negative record.
         self.block_rows = block_rows
         self.embedding_lr = embedding_lr
         self._emb_lr = None      # resolved at step build; plateau-decayed
@@ -253,12 +255,18 @@ class PackedEmbeddingTrainer(Trainer):
         for pname, bundles in self._bundles.items():
             routed = [f for b in bundles for f in b.features]
             slots = self._slots[pname]
+            routed_specs = [f for f in fm.input_features if f.name in routed]
             eligible = (
                 self.block_rows
                 and len(self._bundles) == 1
                 and sorted(routed) == sorted(cat_in_batch)
                 and all(np.ndim(sample_batch[f]) == 1 for f in routed)
                 and len({s.module_path for s in slots}) == len(slots)
+                # the model's block fast path reads raw rows — padding
+                # masks and freeze stop_gradients live in the module's
+                # per-feature path, so gate them out here
+                and all(f.padding_idx is None and not f.freeze_emb
+                        for f in routed_specs)
             )
             self._block_mode[pname] = eligible
             if eligible:

@@ -579,3 +579,71 @@ def test_packed_block_rows_matches_per_feature_path(rng):
         np.testing.assert_allclose(np.asarray(t_blk.packs[k]),
                                    np.asarray(t_off.packs[k]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_packed_block_rows_feature_major_fast_path(rng):
+    """feature_major DeepFM + block_rows: the model consumes the (F,B,D)
+    blocks directly (run-split FM/einsum, no stack) — must track the
+    per-feature path's training trajectory. FM/einsum split over feature
+    runs reassociates f32 accumulations, so equality is allclose, not
+    bitwise."""
+    import jax
+
+    # numeric feature INTERLEAVED between categoricals: exercises the
+    # run-split (cat run, numeric run, cat run) of the block fast path
+    n, vocab = 512, 64
+    a = rng.integers(1, vocab, n).astype(np.int32)
+    b = rng.integers(1, vocab, n).astype(np.int32)
+    z = rng.normal(size=n).astype(np.float32)
+    y = (((a % 2) == (b % 2))).astype(np.float32)
+    fm = FeatureMap("pkblk", (
+        FeatureSpec("cat_a", "categorical", vocab_size=vocab,
+                    embedding_dim=8),
+        FeatureSpec("num_z", "numeric", embedding_dim=8),
+        FeatureSpec("cat_b", "categorical", vocab_size=vocab,
+                    embedding_dim=8),
+    ), labels=("click",))
+    arrays = {"cat_a": a, "num_z": z, "cat_b": b, "click": y}
+    batch = {k: v[:256] for k, v in arrays.items()}
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(16,),
+                   feature_major_compute=True)
+    cfg = TrainerConfig(learning_rate=1e-2, monitor="AUC")
+
+    def mk(**kw):
+        return PackedEmbeddingTrainer(
+            model, lambda o, b: binary_crossentropy(o, b["click"]), cfg,
+            **kw)
+
+    t_blk = mk(block_rows=True)
+    t_off = mk()
+    t_blk.init(batch)
+    assert any(t_blk._block_mode.values())
+    t_off.init(batch)
+    t_off.packs = {k: v.copy() for k, v in t_blk.packs.items()}
+    t_off.params = jax.tree_util.tree_map(lambda a: a.copy(), t_blk.params)
+    for _ in range(3):
+        lb = t_blk.train_step(batch)
+        lo = t_off.train_step(batch)
+    assert abs(lb - lo) < 1e-4, (lb, lo)
+    for k in t_blk.packs:
+        np.testing.assert_allclose(np.asarray(t_blk.packs[k]),
+                                   np.asarray(t_off.packs[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_packed_block_rows_gated_off_by_padding(rng):
+    """padding_idx on a routed feature must disable block emission (the
+    model's fast path reads raw rows without the pad mask)."""
+    vocab = 64
+    fm = FeatureMap("pkpad", (
+        FeatureSpec("cat_a", "categorical", vocab_size=vocab,
+                    embedding_dim=8, padding_idx=0),
+        FeatureSpec("cat_b", "categorical", vocab_size=vocab,
+                    embedding_dim=8),
+    ), labels=("click",))
+    t = _make(fm, block_rows=True)
+    batch = {"cat_a": np.array([1, 2], np.int32),
+             "cat_b": np.array([3, 4], np.int32),
+             "click": np.array([1, 0], np.float32)}
+    t.init(batch)
+    assert not any(t._block_mode.values())
