@@ -233,7 +233,10 @@ def main():
     # dominated by host/tunnel overhead, and block_until_ready through this
     # sandbox's TPU tunnel acks early, so float() is the only honest sync
     # (see .claude/skills/verify/SKILL.md "micro-benchmark trap").
-    steps = 60
+    # 150 steps/rep: the one dispatch+sync round trip per rep costs ~40 ms
+    # of tunnel latency; at 60 steps that was a ~1.8% haircut on the
+    # steady-state step time, at 150 it is ~0.7%.
+    steps = 150
     losses = trainer.train_steps_repeat(batch, steps)   # compile + warmup
     _ = float(losses[-1])
 

@@ -26,26 +26,37 @@ double-buffers automatically), so the kernel runs at
 max(matmul, corpus-bandwidth) — amortize the corpus stream by scoring
 128-1024 queries per sweep.
 
-MEASURED ENVELOPE (v5e, 1M x 128 bf16 corpus, 8192 queries in 1024-query
-chunks — `tools/prof_retrieval_topk.py`, honest scan-chained timing):
+MEASURED ENVELOPE (v5e, 1M x 128 bf16 corpus, Q=8192, honest scan-chained
+timing; every variant consumes BOTH scores and ids — a real serving call
+returns both. Round-2's score-only sweeps let XLA DCE approx_max_k's
+index-tracking plumbing, which turns out to DOMINATE the XLA paths:
+segmented drops 316k -> 84k qps the moment ids are consumed.
+`tools/prof_mips_batched.py`, 2026-08-19):
 
-    matmul-only ceiling          490k qps
-    xla approx_max_k k=100       457k qps   <- at the ceiling; unbeatable
-    xla approx_max_k k=500       221k qps
-    xla segmented merge k=500    325k qps
-    THIS KERNEL k=500            262k qps   (1.18x over approx_max_k)
-    THIS KERNEL k=100            306k qps
+    xla segmented k=500 (score-only, the round-2 metric)   316k qps
+    xla segmented k=500 (scores+ids)                        84k qps
+    THIS KERNEL, per-chunk merges, unpacked (round-2 shape) 84k qps
+    THIS KERNEL, ONE merge, unpacked                        72k qps
+    THIS KERNEL, ONE merge, PACKED-MANTISSA (the default)  144-146k qps
+    xla segmented k=100 (scores+ids)                       299k qps
+    THIS KERNEL k=100 PACKED                               305k qps
+    recall@500: packed 0.969, segmented 0.985 (both above the 0.95
+    serving spec; the packed loss is the structural k^2*64/N segment
+    collision rate)
 
-Conclusion (honest): the kernel beats the naive approx path at large k
-but NOT the segmented XLA formulation — XLA's approx_max_k fuses its
-reduction into the matmul consumer and its hardware-tuned partial-sort
-outruns a VPU max/argmax sweep. `BruteForceMIPS(method='segmented')`
-remains the default serving path; `method='pallas'` is available where
-its profile fits. The structurally expensive parts were measured one by
-one: grid-step overhead ~15 us (fixed by 16K-row blocks), lane-axis
-reductions (fixed by strided segmentation), and a ~2.6 ms fixed cost per
-top-k/approx_max_k call on ANY shape — which is also why one merge per
-big query sweep beats per-chunk merges.
+Why the packed kernel wins 1.72-1.74x at k=500: the in-segment winner
+index rides the low 7 mantissa bits of the score (`_make_packed_kernel`),
+so ids cost NOTHING at merge time — no int32 candidate array (half the
+candidate HBM traffic), no take_along_axis gather, and no index tracking
+inside the final approx_max_k (it reduces packed scores only). The XLA
+formulations cannot replicate this without materializing the (Q, N)
+score matrix in HBM, which is exactly what the kernel exists to avoid.
+`BruteForceMIPS(method='auto')` (the default) uses this kernel on TPU
+for large corpora; 'segmented' remains the best XLA formulation and the
+CPU fallback. Structurally expensive parts measured one by one: grid-step
+overhead ~15 us (fixed by 16K-row blocks), lane-axis reductions (fixed by
+strided segmentation), per-chunk top-k/approx_max_k calls (fixed by the
+single post-sweep merge).
 """
 
 from __future__ import annotations
@@ -61,6 +72,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["mips_segment_candidates", "pallas_mips_topk", "SEGMENT"]
 
 SEGMENT = 128          # items per candidate segment (one winner each)
+
+# Finite stand-in for -inf in the PACKED kernel: packing the in-segment
+# index into an infinity's mantissa would produce NaN (0xFF800000 | idx),
+# which poisons every max it touches. Any score at or below -PACK_FLOOR
+# is a masked pad row.
+PACK_FLOOR = 3.0e38
+_PACK_BITS = 7                      # log2(SEGMENT): index bits packed
+_PACK_MASK = (1 << _PACK_BITS) - 1
 
 
 def _block_plan(corpus_dtype, qt: int, d: int):
@@ -78,6 +97,54 @@ def _block_plan(corpus_dtype, qt: int, d: int):
     sub_rows = max(SEGMENT, (sub_rows // SEGMENT) * SEGMENT)
     spb = max(1, block_budget // (row_bytes * sub_rows))
     return sub_rows, spb
+
+
+def _make_packed_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
+    """PACKED variant: one output, one reduce.
+
+    Instead of a max + argmax pair (two VPU sweeps over the score buffer)
+    and a separate int32 candidate-id array (double the candidate HBM
+    traffic and a take_along_axis gather at merge time), the in-segment
+    row index (7 bits, SEGMENT=128) is OR-ed into the low mantissa bits of
+    the f32 score. One `max` reduce then yields winner score AND identity;
+    the caller reconstructs global ids arithmetically from the candidate
+    position plus the packed bits. Score fidelity: low-7-mantissa
+    truncation is a 2^-17 (~7.6e-6) relative perturbation — orders below
+    any retrieval metric's sensitivity; ties within that band may resolve
+    differently than exact argmax. ±inf inputs are clamped to ±PACK_FLOOR
+    so the OR can never fabricate a NaN.
+    """
+    c_block = sub_rows * subs_per_block
+
+    def _kernel(q_ref, c_ref, out_s_ref):
+        b = pl.program_id(0)
+        q = q_ref[:]                                   # (Qt, D)
+
+        def sub(j, _):
+            c = c_ref[pl.ds(j * sub_rows, sub_rows), :]   # (SUB, D)
+            s = jax.lax.dot_general(
+                c, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (SUB, Qt)
+            qt = s.shape[1]
+            s = jnp.clip(s, -PACK_FLOOR, PACK_FLOOR)
+            if valid_rows is not None:
+                row_g = (b * c_block + j * sub_rows
+                         + jax.lax.broadcasted_iota(
+                             jnp.int32, (sub_rows, qt), 0))
+                s = jnp.where(row_g < valid_rows, s, -PACK_FLOOR)
+            n_seg = sub_rows // SEGMENT
+            seg = s.reshape(SEGMENT, n_seg, qt)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (SEGMENT, n_seg, qt),
+                                           0)
+            bits = jax.lax.bitcast_convert_type(seg, jnp.int32)
+            packed = jax.lax.bitcast_convert_type(
+                (bits & ~_PACK_MASK) | idx, jnp.float32)
+            out_s_ref[pl.ds(j * n_seg, n_seg), :] = jnp.max(packed, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, subs_per_block, sub, 0)
+
+    return _kernel
 
 
 def _make_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
@@ -134,9 +201,10 @@ def _make_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("valid_items", "interpret"))
+@functools.partial(jax.jit, static_argnames=("valid_items", "interpret",
+                                              "packed"))
 def mips_segment_candidates(queries, corpus, valid_items: int = None,
-                            interpret: bool = False):
+                            interpret: bool = False, packed: bool = False):
     """(n_segments, Qt) candidate scores + global item ids
     (candidate-major layout; `pallas_mips_topk` transposes back).
 
@@ -146,6 +214,13 @@ def mips_segment_candidates(queries, corpus, valid_items: int = None,
     the segment reduce, so a zero-scored pad row can never win a segment
     whose valid rows all score negative. dtypes are used as given — pass
     bf16 for MXU-rate scoring with f32 accumulation.
+
+    ``packed=True`` returns ONE (n_segments, Qt) f32 array whose low 7
+    mantissa bits carry the winner's in-segment row index (see
+    `_make_packed_kernel`); pads sit at ~-PACK_FLOOR instead of -inf.
+    Global id reconstruction from candidate row r and packed idx:
+    ``(r // n_seg) * sub_rows + r % n_seg + idx * n_seg`` with
+    (sub_rows, n_seg) from `_block_plan` — `pallas_mips_topk` does this.
     """
     qt, d = queries.shape
     n, d2 = corpus.shape
@@ -159,38 +234,54 @@ def mips_segment_candidates(queries, corpus, valid_items: int = None,
     grid = (n_blocks,)
     mask_from = None if (valid_items is None or valid_items >= n) \
         else int(valid_items)
-    out_shape = (
-        jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.int32),
-    )
+    score_shape = jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.float32)
+    cand_spec = pl.BlockSpec((n_seg, qt), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((qt, d), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_block, d), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if packed:
+        return pl.pallas_call(
+            _make_packed_kernel(spb, sub_rows, mask_from),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=cand_spec,
+            out_shape=score_shape,
+            interpret=interpret,
+        )(queries, corpus)
     return pl.pallas_call(
         _make_kernel(spb, sub_rows, mask_from),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((qt, d), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_block, d), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((n_seg, qt), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, qt), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=(cand_spec, cand_spec),
+        out_shape=(score_shape,
+                   jax.ShapeDtypeStruct((n_blocks * n_seg, qt), jnp.int32)),
         interpret=interpret,
     )(queries, corpus)
 
 
 def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
                      exact_merge: bool = False, interpret: bool = False,
-                     merge: str = None):
+                     merge: str = None, packed: bool = None,
+                     query_tile: int = 1024):
     """Top-k (scores, ids) over the corpus via the fused candidate kernel.
 
     Pads corpus rows/dims as needed; `valid_items` (default = corpus rows
-    before padding) masks padded rows out of the result. Queries are swept
-    in tiles that amortize the corpus stream.
+    before padding) masks padded rows out of the result. Queries beyond
+    ``query_tile`` are swept tile-by-tile through the kernel and merged in
+    ONE final top-k call — never one merge per tile: lax.top_k/
+    approx_max_k carry a multi-ms per-call cost at serving shapes (round-2
+    measurement, `bitonic_topk.py` docstring), so per-chunk merging was
+    the round-2 envelope's dominant loss.
+
+    ``packed`` (default: on, except under merge='bitonic' which needs the
+    explicit id array) selects the packed-mantissa kernel: the in-segment
+    winner index rides the low 7 mantissa bits of the score, so the kernel
+    runs ONE max reduce (no argmax sweep), writes HALF the candidate
+    bytes, and the merge needs no id gather. Returned scores are truncated
+    to 2^-17 relative (see `_make_packed_kernel`).
 
     ``merge`` selects the final candidate reduction: None = the measured
     default (exact `lax.top_k` when candidates are few, else
@@ -205,9 +296,16 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     """
     queries = jnp.asarray(queries)
     corpus = jnp.asarray(corpus)
+    if packed is None:
+        packed = merge != "bitonic"
+    if packed and merge == "bitonic":
+        raise ValueError("merge='bitonic' consumes the explicit-id "
+                         "candidate layout; pass packed=False")
     n_items = corpus.shape[0] if valid_items is None else valid_items
+    nq = queries.shape[0]
+    qt = int(min(query_tile, max(nq, 1)))
     # pad corpus rows to the block multiple, dims to the lane multiple
-    sub_rows0, spb0 = _block_plan(corpus.dtype, queries.shape[0],
+    sub_rows0, spb0 = _block_plan(corpus.dtype, qt,
                                   corpus.shape[1] + (-corpus.shape[1]) % 128)
     n_pad = (-corpus.shape[0]) % (sub_rows0 * spb0)
     d_pad = (-corpus.shape[1]) % 128
@@ -215,9 +313,50 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
         corpus = jnp.pad(corpus, ((0, n_pad), (0, d_pad)))
     if d_pad:
         queries = jnp.pad(queries, ((0, 0), (0, d_pad)))
-    cs, ci = mips_segment_candidates(queries, corpus,
+    q_pad = (-nq) % qt
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    n_seg_sub = sub_rows0 // SEGMENT   # segments per sub-chunk (id layout)
+
+    tile_starts = range(0, queries.shape[0], qt)
+
+    if packed:
+        parts = [mips_segment_candidates(queries[s:s + qt], corpus,
+                                         valid_items=int(n_items),
+                                         interpret=interpret, packed=True)
+                 for s in tile_starts]
+        cs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        cs = cs.T[:nq]                       # (nq, n_candidates)
+        if k > cs.shape[1]:
+            raise ValueError(
+                f"pallas_mips_topk: k={k} exceeds the {cs.shape[1]} segment "
+                f"candidates for a {corpus.shape[0]}-row corpus; use the "
+                "'segmented'/'approx' XLA paths for k this large")
+        if exact_merge or cs.shape[1] <= 2 * k:
+            vals, pos = jax.lax.top_k(cs, k)
+        else:
+            vals, pos = jax.lax.approx_max_k(cs, k, recall_target=0.95)
+        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        idx = bits & _PACK_MASK
+        clean = jax.lax.bitcast_convert_type(bits & ~_PACK_MASK,
+                                             jnp.float32)
+        ids = ((pos // n_seg_sub) * sub_rows0 + pos % n_seg_sub
+               + idx * n_seg_sub)
+        # pads sit at ~-PACK_FLOOR (finite): restore the engines' shared
+        # pad convention (score=-inf, id=-1)
+        alive = clean > -PACK_FLOOR / 2
+        return (jnp.where(alive, clean, -jnp.inf),
+                jnp.where(alive, ids, -1).astype(jnp.int32))
+
+    parts = [mips_segment_candidates(queries[s:s + qt], corpus,
                                      valid_items=int(n_items),
                                      interpret=interpret)
+             for s in tile_starts]
+    if len(parts) == 1:
+        cs, ci = parts[0]
+    else:
+        cs = jnp.concatenate([p[0] for p in parts], axis=1)
+        ci = jnp.concatenate([p[1] for p in parts], axis=1)
     if merge == "bitonic":
         from recbox_tpu.ops.pallas.bitonic_topk import (
             pallas_bitonic_topk_cmajor,
@@ -230,9 +369,9 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
         # pad rows were already scored -inf in-kernel; all-pad segment
         # winners still carry pad ids — normalize to -1 like below.
         ts, ti = pallas_bitonic_topk_cmajor(cs, ci, k=k, interpret=interpret)
-        ts, ti = ts.T, ti.T
+        ts, ti = ts.T[:nq], ti.T[:nq]
         return ts, jnp.where(jnp.isfinite(ts), ti, -1)
-    cs, ci = cs.T, ci.T                       # back to (Qt, n_candidates)
+    cs, ci = cs.T[:nq], ci.T[:nq]             # back to (nq, n_candidates)
     # pad rows were scored -inf inside the kernel; this where only
     # normalizes the all-pad segments' winners (score already -inf)
     cs = jnp.where(ci < n_items, cs, -jnp.inf)

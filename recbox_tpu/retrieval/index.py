@@ -154,6 +154,14 @@ def segmented_mips_topk(queries: jnp.ndarray, items: jnp.ndarray, topk: int,
     `tools/check_segment_recall.py`); matmul-only ceiling 476k qps. Recall
     is bounded by the per-segment budget: raise `seg_k` (or lower
     `n_segments`) for more headroom.
+
+    CAVEAT (round 3, `tools/prof_mips_batched.py`): the 318k figure is a
+    SCORE-ONLY sweep — when the returned ids are actually consumed (every
+    real serving call), approx_max_k's index-tracking plumbing can no
+    longer be DCE'd and this path measures ~84k qps at k=500. It remains
+    the best XLA formulation and the CPU fallback; on TPU the
+    packed-mantissa Pallas kernel (`ops/pallas/mips_topk.py`) is 1.72x
+    faster for (scores, ids) calls and is the 'auto' default.
     """
     Q, D = queries.shape
     N = items.shape[0]
@@ -251,13 +259,16 @@ class BruteForceMIPS:
 
     Args:
       metric: 'ip' | 'cosine' (L2-normalized at build, faiss normalize flag).
-      method: 'approx' (default) | 'segmented' (fastest at large k — see
-        `segmented_mips_topk`) | 'pallas' (fused Pallas scorer,
-        `ops/pallas/mips_topk.py` — beats 'approx' at k>=500, loses to
-        'segmented'; measured envelope in the kernel docstring) |
-        'refined' (two-phase, near-exact) | 'exact'/'exact_sort' (scan
-        merge, truly exact). Pad convention (all engines): slots beyond
-        the candidate pool return score=-inf, id=-1.
+      method: 'auto' (default) — the packed-mantissa Pallas scorer on TPU
+        for large corpora (`ops/pallas/mips_topk.py`: 1.72-1.74x the best
+        XLA formulation for real (scores, ids) serving calls at k=500,
+        1M x 128, v5e 2026-08-19), falling back to 'segmented' (k>=256)
+        or 'approx' off-TPU / at small corpus:k ratios. Explicit:
+        'approx' | 'segmented' (best XLA formulation at large k — see
+        `segmented_mips_topk`) | 'pallas' | 'refined' (two-phase,
+        near-exact) | 'exact'/'exact_sort' (scan merge, truly exact).
+        Pad convention (all engines): slots beyond the candidate pool
+        return score=-inf, id=-1.
       recall_target: approx_max_k knob for method='approx'.
       quantize: None | 'int8' — per-row symmetric int8 corpus (s8×s8→s32
         MXU scoring, ~2× bf16 rate, 4× less HBM than f32; see
@@ -275,7 +286,7 @@ class BruteForceMIPS:
     """
 
     def __init__(self, item_embs: np.ndarray, metric: str = "ip",
-                 mesh: Optional[Mesh] = None, method: str = "approx",
+                 mesh: Optional[Mesh] = None, method: str = "auto",
                  recall_target: float = 0.95, chunk_size: int = 8192,
                  query_chunk: int = 1024, bf16: bool = True,
                  quantize: Optional[str] = None,
@@ -296,6 +307,10 @@ class BruteForceMIPS:
         self.bf16 = bf16
         if quantize not in (None, "int8"):
             raise NotImplementedError(f"quantize={quantize!r}")
+        if quantize and self.method == "auto":
+            # int8 rows have dedicated engines; 'auto' resolves to the
+            # pure-int8 sweep (same default as before 'auto' existed)
+            self.method = "approx"
         if quantize and mesh is not None:
             raise NotImplementedError(
                 "quantize='int8' is unsharded-only for now")
@@ -371,6 +386,20 @@ class BruteForceMIPS:
             check_vma=False)
         return jax.jit(fn)
 
+    def _pallas_recall_ok(self, topk: int) -> bool:
+        """The packed segment kernel keeps <=1 winner per 128-item segment,
+        so its recall loss is STRUCTURAL: expected fraction of the true
+        top-k lost to segment collisions ~= k*SEGMENT/(2N). Route to it
+        only when that predicted loss fits the index's recall_target —
+        verified on-chip at N=300k, k=500: measured recall 0.902 vs the
+        0.894 this formula predicts (2026-08-19), below the 0.95 default
+        spec, while N=1M measures 0.969. Applies to method='pallas' too:
+        recall_target is the stronger contract, so infeasible shapes fall
+        through to the XLA engines rather than silently under-recalling.
+        """
+        return (self.num_items * 2.0 * (1.0 - self.recall_target)
+                >= topk * 128.0)
+
     def search(self, queries: np.ndarray, topk: int = 500) -> Tuple[np.ndarray, np.ndarray]:
         queries = jnp.asarray(queries, jnp.float32)
         if self.metric == "cosine":
@@ -393,26 +422,29 @@ class BruteForceMIPS:
                                else self.recall_target),
                 oversample=4 if refine else 0,
                 items_f32=self.items if refine else None)
-        elif self.method == "pallas" and self.num_items > 16 * topk \
+        elif self.method in ("pallas", "auto") and self.num_items > 16 * topk \
+                and self._pallas_recall_ok(topk) \
                 and jax.default_backend() not in ("cpu",):
             # Mosaic kernels need a real TPU; CPU runs fall through to the
-            # XLA paths below (interpret mode is test-only)
+            # XLA paths below (interpret mode is test-only). ONE call for
+            # ALL queries: pallas_mips_topk sweeps query tiles internally
+            # and merges once — per-chunk merges were the round-2 loss
+            # (measured envelope in `ops/pallas/mips_topk.py`).
             from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
-            parts = []
             it = (self.items.astype(jnp.bfloat16) if self.bf16
                   else self.items)
-            for s0 in range(0, queries.shape[0], self.query_chunk):
-                q = queries[s0:s0 + self.query_chunk]
-                q = q.astype(jnp.bfloat16) if self.bf16 else q
-                parts.append(pallas_mips_topk(q, it, topk,
-                                              valid_items=self.num_items))
-            s = jnp.concatenate([p[0] for p in parts], axis=0)
-            i = jnp.concatenate([p[1] for p in parts], axis=0)
-        elif self.method == "segmented" and self.num_items > 16 * topk:
+            q = queries.astype(jnp.bfloat16) if self.bf16 else queries
+            s, i = pallas_mips_topk(q, it, topk,
+                                    valid_items=self.num_items,
+                                    query_tile=self.query_chunk)
+        elif (self.method == "segmented"
+              or (self.method == "auto" and topk >= 256)) \
+                and self.num_items > 16 * topk:
+            # CPU 'auto' fallback for large k (and the explicit method)
             s, i = segmented_mips_topk(queries, self.items, topk,
                                        query_chunk=self.query_chunk,
                                        bf16=self.bf16)
-        elif self.method in ("approx", "segmented", "pallas") \
+        elif self.method in ("approx", "segmented", "pallas", "auto") \
                 and self.num_items > 4 * topk:
             s, i = approx_mips_topk(queries, self.items, topk,
                                     query_chunk=self.query_chunk,

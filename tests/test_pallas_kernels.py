@@ -57,9 +57,10 @@ class TestPallasMIPS:
                           for i in range(16)])
         assert recall >= 0.95, recall
         # returned scores are the true dot products of the returned ids
+        # (rtol covers the default packed path's 2^-17 mantissa truncation)
         np.testing.assert_allclose(
             np.asarray(s),
-            np.take_along_axis(exact, np.asarray(ids), axis=1), rtol=1e-5)
+            np.take_along_axis(exact, np.asarray(ids), axis=1), rtol=2e-5)
 
     def test_padding_masked(self):
         from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
@@ -100,10 +101,76 @@ class TestPallasMIPS:
         rng = np.random.default_rng(4)
         q = rng.normal(size=(8, 64)).astype(np.float32)
         c = rng.normal(size=(4000, 64)).astype(np.float32)
-        s0, i0 = pallas_mips_topk(q, c, 9, interpret=True, exact_merge=True)
+        s0, i0 = pallas_mips_topk(q, c, 9, interpret=True, exact_merge=True,
+                                  packed=False)
         s1, i1 = pallas_mips_topk(q, c, 9, interpret=True, merge="bitonic")
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+    def test_packed_matches_unpacked(self):
+        """packed=True (winner index in the low 7 mantissa bits, one max
+        reduce, no id array) must return the same ids as the explicit
+        max+argmax kernel up to mantissa-truncation ties, and scores true
+        to the real dot products within the documented 2^-17 envelope."""
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(16, 64)).astype(np.float32)
+        c = rng.normal(size=(50_000, 64)).astype(np.float32)
+        s, ids = pallas_mips_topk(q, c, 10, interpret=True,
+                                  exact_merge=True, packed=True)
+        s, ids = np.asarray(s), np.asarray(ids)
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :10]
+        recall = np.mean([len(set(ids[i].tolist()) & set(eids[i].tolist()))
+                          / 10 for i in range(16)])
+        assert recall >= 0.95, recall
+        np.testing.assert_allclose(
+            s, np.take_along_axis(exact, ids, axis=1), rtol=2e-5)
+
+    def test_packed_negative_scores_with_padding(self):
+        """Packed pads sit at ~-PACK_FLOOR (finite, so the index OR can't
+        fabricate NaN) — they must still never win over all-negative valid
+        rows, and the result must restore the -inf/-1 pad convention."""
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(6)
+        q = np.abs(rng.normal(size=(8, 64))).astype(np.float32)
+        c = -np.abs(rng.normal(size=(3000, 64))).astype(np.float32)
+        s, ids = pallas_mips_topk(q, c, 5, interpret=True,
+                                  exact_merge=True, packed=True)
+        ids = np.asarray(ids)
+        assert (ids >= 0).all() and (ids < 3000).all(), ids
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :5]
+        recall = np.mean([len(set(ids[i].tolist()) & set(eids[i].tolist()))
+                          / 5 for i in range(8)])
+        assert recall >= 0.95, recall
+
+    def test_query_tiling_single_merge_matches_single_tile(self):
+        """query_tile smaller than Q sweeps tiles through the kernel but
+        merges ONCE; results must equal the single-tile call (both packed
+        and unpacked), including when Q is not a tile multiple."""
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(20, 64)).astype(np.float32)
+        c = rng.normal(size=(4000, 64)).astype(np.float32)
+        for packed in (False, True):
+            s0, i0 = pallas_mips_topk(q, c, 7, interpret=True,
+                                      exact_merge=True, packed=packed)
+            s1, i1 = pallas_mips_topk(q, c, 7, interpret=True,
+                                      exact_merge=True, packed=packed,
+                                      query_tile=8)
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                       rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+    def test_packed_bitonic_is_rejected(self):
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(8)
+        q = rng.normal(size=(4, 64)).astype(np.float32)
+        c = rng.normal(size=(3000, 64)).astype(np.float32)
+        with pytest.raises(ValueError, match="bitonic"):
+            pallas_mips_topk(q, c, 5, interpret=True, merge="bitonic",
+                             packed=True)
 
     def test_index_method_dispatch(self):
         """BruteForceMIPS(method='pallas') falls back to approx for small

@@ -1,0 +1,120 @@
+"""Round-3 MIPS shootout: single-merge + packed-mantissa Pallas kernel
+vs the segmented XLA champion, at serving shapes (1M x 128, Q=8192).
+
+Round-2 envelope (tools/prof_retrieval_topk.py): pallas per-chunk 262k qps
+< segmented XLA 325k. Hypothesis: the loss is the PER-CHUNK merge (8x a
+multi-ms lax.top_k/approx_max_k call), not the kernel. Round-3 variants:
+  segmented_500     library segmented_mips_topk (the XLA-formulation champ)
+  pallas_old_500    round-2 shape: one merge per 1024-query chunk
+  pallas_batch_500  ONE merge for all 8192 queries (packed=False)
+  pallas_pack_500   packed-mantissa kernel + one merge (half the candidate
+                    bytes, max-only reduce, no id gather)
+  *_100             k=100 points
+All variants consume BOTH scores and ids (a real serving call returns
+both; consuming only scores lets XLA DCE the id plumbing).
+Honest-timing shell per .claude/skills/verify/SKILL.md: ITERS-scan inside
+one jit, iteration-dependent queries, float() sync, best-of-3 with
+content-varied inputs.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N, D, Q = 1_000_000, 128, 8192
+ITERS = 5
+CHUNK = 1024
+
+
+def timed(name, fn, *args):
+    out = fn(*args)
+    _ = float(jnp.sum(out))
+    best = float("inf")
+    for rep in range(1, 4):
+        a0 = args[0] * (1.0 + 1e-7 * rep)
+        t0 = time.perf_counter()
+        out = fn(a0, *args[1:])
+        _ = float(jnp.sum(out))
+        best = min(best, time.perf_counter() - t0)
+    per = best / ITERS
+    print(f"{name:18s} {per*1e3:8.1f} ms/sweep  {Q/per:10,.0f} qps",
+          flush=True)
+    return Q / per
+
+
+def sweep(per_call):
+    @jax.jit
+    def run(queries, items):
+        def body(c, i):
+            q = (queries * (1.0 + 1e-6 * i)).astype(jnp.bfloat16)
+            s, ids = per_call(q, items)
+            return (c + jnp.sum(s.astype(jnp.float32))
+                    + jnp.sum(ids.astype(jnp.float32)), ())
+        c, _ = jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        return c
+    return run
+
+
+def main():
+    from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+    from recbox_tpu.retrieval.index import segmented_mips_topk
+
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(N, D)), jnp.bfloat16)
+    queries = jnp.asarray(rng.normal(size=(Q, D)), jnp.float32)
+    print(f"devices: {jax.devices()}", flush=True)
+
+    def seg(k):
+        return lambda q, it: segmented_mips_topk(q, it, k)
+
+    def pallas_old(k):
+        def f(q, it):
+            parts = [pallas_mips_topk(q[s:s + CHUNK], it, k, valid_items=N,
+                                      packed=False)
+                     for s in range(0, Q, CHUNK)]
+            return (jnp.concatenate([p[0] for p in parts]),
+                    jnp.concatenate([p[1] for p in parts]))
+        return f
+
+    def pallas_new(k, packed):
+        return lambda q, it: pallas_mips_topk(q, it, k, valid_items=N,
+                                              packed=packed)
+
+    results = {}
+    results["segmented_500"] = timed("segmented_500", sweep(seg(500)),
+                                     queries, items)
+    results["pallas_old_500"] = timed("pallas_old_500",
+                                      sweep(pallas_old(500)), queries, items)
+    results["pallas_batch_500"] = timed(
+        "pallas_batch_500", sweep(pallas_new(500, False)), queries, items)
+    results["pallas_pack_500"] = timed(
+        "pallas_pack_500", sweep(pallas_new(500, True)), queries, items)
+    results["segmented_100"] = timed("segmented_100", sweep(seg(100)),
+                                     queries, items)
+    results["pallas_pack_100"] = timed(
+        "pallas_pack_100", sweep(pallas_new(100, True)), queries, items)
+    r = results["pallas_pack_500"] / results["segmented_500"]
+    print(f"\npacked/segmented @500: {r:.3f}x", flush=True)
+
+    # ---- recall (untimed): 512 queries vs exact top-500 ----
+    qs = queries[:512]
+    s_ex = jnp.dot(qs.astype(jnp.bfloat16), items.T,
+                   preferred_element_type=jnp.float32)
+    _, i_ex = jax.lax.top_k(s_ex, 500)
+    i_ex = np.asarray(i_ex)
+    for name, fn in [("segmented", seg(500)),
+                     ("pallas_pack", pallas_new(500, True))]:
+        _, ids = jax.jit(fn)(qs.astype(jnp.bfloat16), items)
+        ids = np.asarray(ids)
+        rec = np.mean([len(set(ids[i].tolist()) & set(i_ex[i].tolist()))
+                       / 500 for i in range(512)])
+        print(f"recall@500 {name:12s} {rec:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
