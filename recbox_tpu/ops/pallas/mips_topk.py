@@ -48,7 +48,20 @@ Why the packed kernel wins 1.72-1.74x at k=500: the in-segment winner
 index rides the low 7 mantissa bits of the score (`_make_packed_kernel`),
 so ids cost NOTHING at merge time — no int32 candidate array (half the
 candidate HBM traffic), no take_along_axis gather, and no index tracking
-inside the final approx_max_k (it reduces packed scores only). The XLA
+inside the final approx_max_k (it reduces packed scores only).
+
+Merge decomposition at k=500 (2026-08-19, /tmp-harness now folded into
+`tools/prof_mips_batched.py` numbers): kernel alone runs at 472k qps —
+essentially the matmul ceiling; the FINAL merge is ~70% of end-to-end
+time (approx_max_k scores ~21 ms/sweep + ~17 ms more when its positions
+are consumed for id reconstruction). Measured merge alternatives, all
+losers: lax.top_k 61.5 ms/sweep end-to-end (vs 55.4 approx),
+aggregate_to_topk=False + exact top_k 113.4, and the in-VMEM bitonic
+network over packed candidates + iota ids 89.0 (its 2.84 ms/tile
+merge-only microbench does not extrapolate to the (8192, 8192)
+recursion). approx_max_k(rt=0.95) stays the merge; the remaining
+headroom (~2x) is a fused in-kernel running top-k, not a better
+post-hoc merge. The XLA
 formulations cannot replicate this without materializing the (Q, N)
 score matrix in HBM, which is exactly what the kernel exists to avoid.
 `BruteForceMIPS(method='auto')` (the default) uses this kernel on TPU
@@ -147,6 +160,54 @@ def _make_packed_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
     return _kernel
 
 
+def _make_packed_kernel_q8(subs_per_block: int, sub_rows: int,
+                           valid_rows=None):
+    """Packed-mantissa variant over an int8-quantized corpus.
+
+    s8 x s8 -> s32 scoring runs ~2x the bf16 MXU rate (v5e: 394 vs 197
+    TOPS) and the corpus block stream is half the bf16 bytes. The s32
+    scores are rescaled to f32 by the per-row corpus scale INSIDE the
+    kernel (`quantize_int8` semantics, `retrieval/index.py:48-56`); the
+    per-QUERY scale is deliberately NOT applied here — a positive
+    per-query factor cannot change that query's ranking, so the caller
+    multiplies it into the k winners after the merge (k ops instead of
+    N). Index packing identical to `_make_packed_kernel`.
+    """
+    c_block = sub_rows * subs_per_block
+
+    def _kernel(q_ref, c_ref, scale_ref, out_s_ref):
+        b = pl.program_id(0)
+        q = q_ref[:]                                   # (Qt, D) int8
+
+        def sub(j, _):
+            c = c_ref[pl.ds(j * sub_rows, sub_rows), :]   # (SUB, D) int8
+            s32 = jax.lax.dot_general(
+                c, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)      # (SUB, Qt)
+            scale = scale_ref[pl.ds(j * sub_rows, sub_rows), :]  # (SUB, 1)
+            s = s32.astype(jnp.float32) * scale
+            qt = s.shape[1]
+            s = jnp.clip(s, -PACK_FLOOR, PACK_FLOOR)
+            if valid_rows is not None:
+                row_g = (b * c_block + j * sub_rows
+                         + jax.lax.broadcasted_iota(
+                             jnp.int32, (sub_rows, qt), 0))
+                s = jnp.where(row_g < valid_rows, s, -PACK_FLOOR)
+            n_seg = sub_rows // SEGMENT
+            seg = s.reshape(SEGMENT, n_seg, qt)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (SEGMENT, n_seg, qt),
+                                           0)
+            bits = jax.lax.bitcast_convert_type(seg, jnp.int32)
+            packed = jax.lax.bitcast_convert_type(
+                (bits & ~_PACK_MASK) | idx, jnp.float32)
+            out_s_ref[pl.ds(j * n_seg, n_seg), :] = jnp.max(packed, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, subs_per_block, sub, 0)
+
+    return _kernel
+
+
 def _make_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
     c_block = sub_rows * subs_per_block
 
@@ -204,7 +265,8 @@ def _make_kernel(subs_per_block: int, sub_rows: int, valid_rows=None):
 @functools.partial(jax.jit, static_argnames=("valid_items", "interpret",
                                               "packed"))
 def mips_segment_candidates(queries, corpus, valid_items: int = None,
-                            interpret: bool = False, packed: bool = False):
+                            interpret: bool = False, packed: bool = False,
+                            row_scale=None):
     """(n_segments, Qt) candidate scores + global item ids
     (candidate-major layout; `pallas_mips_topk` transposes back).
 
@@ -242,6 +304,28 @@ def mips_segment_candidates(queries, corpus, valid_items: int = None,
         pl.BlockSpec((c_block, d), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if row_scale is not None:
+        # int8 corpus + (N, 1) f32 per-row scales -> packed kernel only
+        assert packed, "row_scale (int8 corpus) implies the packed kernel"
+        assert corpus.dtype == jnp.int8 and queries.dtype == jnp.int8, \
+            (queries.dtype, corpus.dtype)
+        assert row_scale.shape == (n, 1), row_scale.shape
+        return pl.pallas_call(
+            _make_packed_kernel_q8(spb, sub_rows, mask_from),
+            grid=grid,
+            in_specs=in_specs + [
+                pl.BlockSpec((c_block, 1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=cand_spec,
+            out_shape=score_shape,
+            # the s32->f32 dequant chain keeps ~10 (SUB, Qt) temporaries
+            # live (measured on-chip: 40M scoped-vmem request vs the 16M
+            # default that the bf16 kernel fits under)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
+            interpret=interpret,
+        )(queries, corpus, row_scale)
     if packed:
         return pl.pallas_call(
             _make_packed_kernel(spb, sub_rows, mask_from),
@@ -265,7 +349,7 @@ def mips_segment_candidates(queries, corpus, valid_items: int = None,
 def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
                      exact_merge: bool = False, interpret: bool = False,
                      merge: str = None, packed: bool = None,
-                     query_tile: int = 1024):
+                     query_tile: int = 1024, row_scale=None):
     """Top-k (scores, ids) over the corpus via the fused candidate kernel.
 
     Pads corpus rows/dims as needed; `valid_items` (default = corpus rows
@@ -296,6 +380,20 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     """
     queries = jnp.asarray(queries)
     corpus = jnp.asarray(corpus)
+    int8_corpus = corpus.dtype == jnp.int8
+    if int8_corpus:
+        # s8 corpus (quantize_int8 rows + per-row scales): packed kernel
+        # only; queries are quantized per row below and the per-query
+        # scale is applied to the k winners post-merge (ranking-invariant)
+        if row_scale is None:
+            raise ValueError("int8 corpus requires row_scale (the "
+                             "quantize_int8 per-row scales)")
+        if packed is False or merge == "bitonic":
+            raise ValueError("the int8 corpus path is packed-only")
+        packed = True
+        row_scale = jnp.asarray(row_scale, jnp.float32).reshape(-1, 1)
+    elif row_scale is not None:
+        raise ValueError("row_scale is only meaningful for an int8 corpus")
     if packed is None:
         packed = merge != "bitonic"
     if packed and merge == "bitonic":
@@ -311,11 +409,22 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     d_pad = (-corpus.shape[1]) % 128
     if n_pad or d_pad:
         corpus = jnp.pad(corpus, ((0, n_pad), (0, d_pad)))
+        if int8_corpus and n_pad:
+            row_scale = jnp.pad(row_scale, ((0, n_pad), (0, 0)),
+                                constant_values=1.0)
     if d_pad:
         queries = jnp.pad(queries, ((0, 0), (0, d_pad)))
     q_pad = (-nq) % qt
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    q_scale = None
+    if int8_corpus:
+        # per-row symmetric query quantization (quantize_int8 semantics);
+        # pad-row amax is 0 -> tiny scale, all-zero rows, masked anyway
+        q_amax = jnp.max(jnp.abs(queries), axis=1)
+        q_scale = jnp.maximum(q_amax, 1e-12) / 127.0
+        queries = jnp.clip(jnp.round(queries / q_scale[:, None]),
+                           -127, 127).astype(jnp.int8)
     n_seg_sub = sub_rows0 // SEGMENT   # segments per sub-chunk (id layout)
 
     tile_starts = range(0, queries.shape[0], qt)
@@ -323,7 +432,8 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
     if packed:
         parts = [mips_segment_candidates(queries[s:s + qt], corpus,
                                          valid_items=int(n_items),
-                                         interpret=interpret, packed=True)
+                                         interpret=interpret, packed=True,
+                                         row_scale=row_scale)
                  for s in tile_starts]
         cs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         cs = cs.T[:nq]                       # (nq, n_candidates)
@@ -345,6 +455,10 @@ def pallas_mips_topk(queries, corpus, k: int, valid_items: int = None,
         # pads sit at ~-PACK_FLOOR (finite): restore the engines' shared
         # pad convention (score=-inf, id=-1)
         alive = clean > -PACK_FLOOR / 2
+        if q_scale is not None:
+            # per-query dequant scale, deferred from the kernel to the k
+            # winners (positive factor: ranking-invariant)
+            clean = clean * q_scale[:nq, None]
         return (jnp.where(alive, clean, -jnp.inf),
                 jnp.where(alive, ids, -1).astype(jnp.int32))
 

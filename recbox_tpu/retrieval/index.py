@@ -272,11 +272,13 @@ class BruteForceMIPS:
       recall_target: approx_max_k knob for method='approx'.
       quantize: None | 'int8' — per-row symmetric int8 corpus (s8×s8→s32
         MXU scoring, ~2× bf16 rate, 4× less HBM than f32; see
-        `int8_mips_topk`). Only honored by method='approx' (pure-int8
-        sweep, quantized approximate scores) and method='refined' (int8
-        over-retrieve + exact f32 rescore — returned scores exact); any
-        other method raises rather than silently ignoring the quantized
-        rows. Unsharded paths only.
+        `int8_mips_topk`). method='auto'/'pallas' route to the
+        packed-mantissa kernel over the int8 rows on TPU (2.03× the XLA
+        int8 sweep for (scores, ids) calls; quantized approximate
+        scores), method='approx' is the XLA pure-int8 sweep, and
+        method='refined' over-retrieves int8 + rescores exact f32
+        (returned scores exact); any other method raises rather than
+        silently ignoring the quantized rows. Unsharded paths only.
       keep_f32: keep the f32 corpus alongside int8 rows. Default (None)
         resolves to True only when the method actually reads it
         (method='refined' rescore); method='approx' drops the f32 corpus
@@ -307,19 +309,16 @@ class BruteForceMIPS:
         self.bf16 = bf16
         if quantize not in (None, "int8"):
             raise NotImplementedError(f"quantize={quantize!r}")
-        if quantize and self.method == "auto":
-            # int8 rows have dedicated engines; 'auto' resolves to the
-            # pure-int8 sweep (same default as before 'auto' existed)
-            self.method = "approx"
         if quantize and mesh is not None:
             raise NotImplementedError(
                 "quantize='int8' is unsharded-only for now")
-        if quantize and self.method not in ("approx", "refined"):
+        if quantize and self.method not in ("approx", "refined", "auto",
+                                            "pallas"):
             # silently answering an 'exact' request with quantized
             # approximate scores would violate the method contract
             raise NotImplementedError(
-                f"quantize='int8' supports method='approx'/'refined', "
-                f"got method={method!r}")
+                f"quantize='int8' supports method='auto'/'approx'/"
+                f"'refined'/'pallas', got method={method!r}")
         if quantize and self.method == "refined" and keep_f32 is False:
             raise ValueError(
                 "method='refined' needs the f32 corpus for the exact "
@@ -356,7 +355,13 @@ class BruteForceMIPS:
         def local_search(queries, items_shard):
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
             k = min(topk, shard_size)
-            if method == "approx" and shard_size > 4 * k:
+            # 'auto' rides the approx branch here: the packed Pallas
+            # kernel is per-chip and would need a Mosaic-capable backend
+            # inside shard_map (CPU dryruns compile this path too), and
+            # per-shard candidate counts are small enough that
+            # approx_max_k's index plumbing is not the bottleneck the
+            # unsharded serving path measured.
+            if method in ("approx", "auto") and shard_size > 4 * k:
                 qq = queries.astype(jnp.bfloat16) if bf16 else queries
                 it = items_shard.astype(jnp.bfloat16) if bf16 else items_shard
                 s = jnp.dot(qq, it.T, preferred_element_type=jnp.float32)
@@ -413,15 +418,30 @@ class BruteForceMIPS:
             s, i = self._search_sharded(queries, self.padded_items)
         elif self.quantize == "int8":
             refine = self.method == "refined"
-            # refined candidate sweeps run at >=0.99 like _two_phase_exact:
-            # the over-retrieve exists to make tail loss negligible
-            s, i = int8_mips_topk(
-                queries, self.q_items, self.item_scale, topk,
-                query_chunk=self.query_chunk,
-                recall_target=(max(self.recall_target, 0.99) if refine
-                               else self.recall_target),
-                oversample=4 if refine else 0,
-                items_f32=self.items if refine else None)
+            if (not refine and self.method in ("auto", "pallas")
+                    and self.num_items > 16 * topk
+                    and self._pallas_recall_ok(topk)
+                    and jax.default_backend() not in ("cpu",)):
+                # packed-mantissa kernel over the int8 rows: 2.03x the XLA
+                # int8 sweep for (scores, ids) calls (140k vs 69k qps at
+                # k=500, 1M x 128, v5e 2026-08-19; recall .966) — same
+                # quantized-approximate score contract
+                from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+                s, i = pallas_mips_topk(queries, self.q_items, topk,
+                                        valid_items=self.num_items,
+                                        row_scale=self.item_scale,
+                                        query_tile=self.query_chunk)
+            else:
+                # refined candidate sweeps run at >=0.99 like
+                # _two_phase_exact: the over-retrieve exists to make tail
+                # loss negligible
+                s, i = int8_mips_topk(
+                    queries, self.q_items, self.item_scale, topk,
+                    query_chunk=self.query_chunk,
+                    recall_target=(max(self.recall_target, 0.99) if refine
+                                   else self.recall_target),
+                    oversample=4 if refine else 0,
+                    items_f32=self.items if refine else None)
         elif self.method in ("pallas", "auto") and self.num_items > 16 * topk \
                 and self._pallas_recall_ok(topk) \
                 and jax.default_backend() not in ("cpu",):

@@ -163,6 +163,47 @@ class TestPallasMIPS:
                                        rtol=1e-6)
             np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
 
+    def test_int8_corpus_packed(self):
+        """int8 corpus (quantize_int8 rows + per-row scales): s8 scoring
+        in-kernel, per-corpus-row scale applied inside, per-QUERY scale
+        deferred to the k winners (ranking-invariant). Returned scores are
+        quantized-approximate (same contract as int8_mips_topk pure mode:
+        error ~1% relative)."""
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        from recbox_tpu.retrieval.index import quantize_int8
+        rng = np.random.default_rng(9)
+        q = rng.normal(size=(12, 64)).astype(np.float32)
+        c = rng.normal(size=(50_000, 64)).astype(np.float32)
+        qc, sc = quantize_int8(jnp.asarray(c))
+        s, ids = pallas_mips_topk(q, qc, 10, valid_items=50_000,
+                                  interpret=True, exact_merge=True,
+                                  row_scale=np.asarray(sc))
+        s, ids = np.asarray(s), np.asarray(ids)
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :10]
+        recall = np.mean([len(set(ids[i].tolist()) & set(eids[i].tolist()))
+                          / 10 for i in range(12)])
+        assert recall >= 0.9, recall
+        true = np.take_along_axis(exact, ids, axis=1)
+        relerr = np.abs(s - true) / np.maximum(np.abs(true), 1e-3)
+        assert np.median(relerr) < 0.02, np.median(relerr)
+
+    def test_int8_requires_scale_and_packed(self):
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        from recbox_tpu.retrieval.index import quantize_int8
+        rng = np.random.default_rng(10)
+        q = rng.normal(size=(4, 64)).astype(np.float32)
+        c = rng.normal(size=(3000, 64)).astype(np.float32)
+        qc, sc = quantize_int8(jnp.asarray(c))
+        with pytest.raises(ValueError, match="row_scale"):
+            pallas_mips_topk(q, qc, 5, interpret=True)
+        with pytest.raises(ValueError, match="packed-only"):
+            pallas_mips_topk(q, qc, 5, interpret=True,
+                             row_scale=np.asarray(sc), packed=False)
+        with pytest.raises(ValueError, match="only meaningful"):
+            pallas_mips_topk(q, c, 5, interpret=True,
+                             row_scale=np.asarray(sc))
+
     def test_packed_bitonic_is_rejected(self):
         from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
         rng = np.random.default_rng(8)

@@ -85,6 +85,34 @@ def main():
         return lambda q, it: pallas_mips_topk(q, it, k, valid_items=N,
                                               packed=packed)
 
+    def sweep_int8(k):
+        """int8 sweep with (q_items, iscale) as jit ARGUMENTS (a closure
+        capture would ship the 128 MB corpus as a compile-request
+        constant — the HTTP 413 trap in the verify skill)."""
+        @jax.jit
+        def run(queries, q_items, iscale):
+            def body(c, i):
+                q = queries * (1.0 + 1e-6 * i)
+                s, ids = pallas_mips_topk(q, q_items, k, valid_items=N,
+                                          row_scale=iscale)
+                return (c + jnp.sum(s.astype(jnp.float32))
+                        + jnp.sum(ids.astype(jnp.float32)), ())
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+            return c
+        return run
+
+    def kernel_only(q, it):
+        """Packed kernel WITHOUT the merge: the candidate-generation
+        floor (measured 472k qps 2026-08-19 — at the matmul ceiling; the
+        merge is ~70% of end-to-end time). `it` must be pre-padded to the
+        kernel block multiple."""
+        from recbox_tpu.ops.pallas.mips_topk import mips_segment_candidates
+        parts = [mips_segment_candidates(q[s:s + CHUNK], it, valid_items=N,
+                                         packed=True)
+                 for s in range(0, Q, CHUNK)]
+        cs = jnp.concatenate(parts, axis=1)
+        return cs, jnp.zeros((), jnp.int32)
+
     results = {}
     results["segmented_500"] = timed("segmented_500", sweep(seg(500)),
                                      queries, items)
@@ -98,6 +126,17 @@ def main():
                                      queries, items)
     results["pallas_pack_100"] = timed(
         "pallas_pack_100", sweep(pallas_new(100, True)), queries, items)
+    # decomposition + int8 corpus points
+    from recbox_tpu.ops.pallas.mips_topk import _block_plan
+    from recbox_tpu.retrieval.index import quantize_int8
+    sub_rows, spb = _block_plan(jnp.bfloat16, CHUNK, D)
+    pad = (-N) % (sub_rows * spb)
+    items_p = jnp.pad(items, ((0, pad), (0, 0)))
+    results["kernel_only_bf16"] = timed(
+        "kernel_only_bf16", sweep(kernel_only), queries, items_p)
+    q_items, iscale = quantize_int8(items.astype(jnp.float32))
+    results["pallas_int8_500"] = timed(
+        "pallas_int8_500", sweep_int8(500), queries, q_items, iscale)
     r = results["pallas_pack_500"] / results["segmented_500"]
     print(f"\npacked/segmented @500: {r:.3f}x", flush=True)
 
