@@ -61,7 +61,9 @@ network over packed candidates + iota ids 89.0 (its 2.84 ms/tile
 merge-only microbench does not extrapolate to the (8192, 8192)
 recursion). approx_max_k(rt=0.95) stays the merge; the remaining
 headroom (~2x) is a fused in-kernel running top-k, not a better
-post-hoc merge. The XLA
+post-hoc merge — BUILT as `ops/pallas/mips_fused_topk.py` (285k qps,
+1.97x this path, now the serving default); this module remains the
+candidate-generator form for callers that consume raw candidates. The XLA
 formulations cannot replicate this without materializing the (Q, N)
 score matrix in HBM, which is exactly what the kernel exists to avoid.
 `BruteForceMIPS(method='auto')` (the default) uses this kernel on TPU

@@ -259,10 +259,11 @@ class BruteForceMIPS:
 
     Args:
       metric: 'ip' | 'cosine' (L2-normalized at build, faiss normalize flag).
-      method: 'auto' (default) — the packed-mantissa Pallas scorer on TPU
-        for large corpora (`ops/pallas/mips_topk.py`: 1.72-1.74x the best
-        XLA formulation for real (scores, ids) serving calls at k=500,
-        1M x 128, v5e 2026-08-19), falling back to 'segmented' (k>=256)
+      method: 'auto' (default) — the fused running-top-k Pallas kernel
+        on TPU for large corpora (`ops/pallas/mips_fused_topk.py`: 285k
+        qps bf16 / 291k int8 at k=500 over 1M x 128 = 3.40x the best XLA
+        formulation for real (scores, ids) serving calls, v5e
+        2026-08-19), falling back to 'segmented' (k>=256)
         or 'approx' off-TPU / at small corpus:k ratios. Explicit:
         'approx' | 'segmented' (best XLA formulation at large k — see
         `segmented_mips_topk`) | 'pallas' | 'refined' (two-phase,
@@ -272,9 +273,9 @@ class BruteForceMIPS:
       recall_target: approx_max_k knob for method='approx'.
       quantize: None | 'int8' — per-row symmetric int8 corpus (s8×s8→s32
         MXU scoring, ~2× bf16 rate, 4× less HBM than f32; see
-        `int8_mips_topk`). method='auto'/'pallas' route to the
-        packed-mantissa kernel over the int8 rows on TPU (2.03× the XLA
-        int8 sweep for (scores, ids) calls; quantized approximate
+        `int8_mips_topk`). method='auto'/'pallas' route to the fused
+        running-top-k kernel over the int8 rows on TPU (291k vs 69k qps
+        for the XLA int8 sweep at k=500/1M — 4.2×; quantized approximate
         scores), method='approx' is the XLA pure-int8 sweep, and
         method='refined' over-retrieves int8 + rescores exact f32
         (returned scores exact); any other method raises rather than
@@ -422,15 +423,16 @@ class BruteForceMIPS:
                     and self.num_items > 16 * topk
                     and self._pallas_recall_ok(topk)
                     and jax.default_backend() not in ("cpu",)):
-                # packed-mantissa kernel over the int8 rows: 2.03x the XLA
-                # int8 sweep for (scores, ids) calls (140k vs 69k qps at
-                # k=500, 1M x 128, v5e 2026-08-19; recall .966) — same
-                # quantized-approximate score contract
-                from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
-                s, i = pallas_mips_topk(queries, self.q_items, topk,
-                                        valid_items=self.num_items,
-                                        row_scale=self.item_scale,
-                                        query_tile=self.query_chunk)
+                # fused running-top-k kernel over the int8 rows — same
+                # quantized-approximate score contract as int8_mips_topk,
+                # measured envelope in `ops/pallas/mips_fused_topk.py`
+                from recbox_tpu.ops.pallas.mips_fused_topk import (
+                    mips_fused_topk,
+                )
+                s, i = mips_fused_topk(queries, self.q_items, topk,
+                                       valid_items=self.num_items,
+                                       row_scale=self.item_scale,
+                                       query_tile=self.query_chunk)
             else:
                 # refined candidate sweeps run at >=0.99 like
                 # _two_phase_exact: the over-retrieve exists to make tail
@@ -446,17 +448,20 @@ class BruteForceMIPS:
                 and self._pallas_recall_ok(topk) \
                 and jax.default_backend() not in ("cpu",):
             # Mosaic kernels need a real TPU; CPU runs fall through to the
-            # XLA paths below (interpret mode is test-only). ONE call for
-            # ALL queries: pallas_mips_topk sweeps query tiles internally
-            # and merges once — per-chunk merges were the round-2 loss
-            # (measured envelope in `ops/pallas/mips_topk.py`).
-            from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+            # XLA paths below (interpret mode is test-only). The fused
+            # kernel keeps the running top-k in VMEM across the corpus
+            # sweep — no XLA merge call at all (measured envelope in
+            # `ops/pallas/mips_fused_topk.py`; the candidate+merge
+            # variant remains as `ops/pallas/mips_topk.py`).
+            from recbox_tpu.ops.pallas.mips_fused_topk import (
+                mips_fused_topk,
+            )
             it = (self.items.astype(jnp.bfloat16) if self.bf16
                   else self.items)
             q = queries.astype(jnp.bfloat16) if self.bf16 else queries
-            s, i = pallas_mips_topk(q, it, topk,
-                                    valid_items=self.num_items,
-                                    query_tile=self.query_chunk)
+            s, i = mips_fused_topk(q, it, topk,
+                                   valid_items=self.num_items,
+                                   query_tile=self.query_chunk)
         elif (self.method == "segmented"
               or (self.method == "auto" and topk >= 256)) \
                 and self.num_items > 16 * topk:

@@ -13,11 +13,12 @@ object over the framework's own engines:
     svc = RetrievalService.load("serving/v42", model)   # no re-encode
 
 Towers come from any MatchingModel (encode_user/encode_item); the index is
-`BruteForceMIPS` (method: auto (default — packed-mantissa Pallas kernel on
-TPU when its structural recall fits recall_target, 1.72x the best XLA
-formulation at k=500 over 1M items; XLA engines otherwise) | approx |
-segmented | pallas | refined | exact, optionally mesh-sharded over the
-item axis) — the TPU-native replacement for the external ANN services. Extra index options pass through, e.g.
+`BruteForceMIPS` (method: auto (default — the fused running-top-k Pallas
+kernel on TPU when its structural recall fits recall_target, 3.40x the
+best XLA formulation at k=500 over 1M items; XLA engines otherwise) |
+approx | segmented | pallas | refined | exact, optionally mesh-sharded
+over the item axis) — the TPU-native replacement for the external ANN
+services. Extra index options pass through, e.g.
 ``RetrievalService(..., quantize="int8")`` serves from an int8-quantized
 corpus (2× MXU rate, 4× less HBM; pair with method='refined' for exact
 returned scores). Multi-interest models (MIND/ComiRec) work

@@ -229,6 +229,93 @@ class TestPallasMIPS:
                                       np.sort(exact_ids, axis=1))
 
 
+class TestFusedMIPS:
+    """In-kernel running top-k (`ops/pallas/mips_fused_topk.py`) —
+    interpret mode. The fused merge must reproduce the packed candidate
+    kernel's exact-merge results (identical candidate sets)."""
+
+    def test_matches_packed_exact_merge(self):
+        from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+        from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
+        rng = np.random.default_rng(11)
+        q = rng.normal(size=(20, 64)).astype(np.float32)
+        c = rng.normal(size=(50_000, 64)).astype(np.float32)
+        s, ids = mips_fused_topk(q, c, 10, interpret=True)
+        s, ids = np.asarray(s), np.asarray(ids)
+        s4, i4 = pallas_mips_topk(q, c, 10, interpret=True,
+                                  exact_merge=True, packed=True)
+        np.testing.assert_array_equal(np.sort(np.asarray(i4), axis=1),
+                                      np.sort(ids, axis=1))
+        # descending, recall vs exact, scores true to the returned ids
+        assert (np.diff(s, axis=1) <= 1e-7).all()
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :10]
+        rec = np.mean([len(set(ids[i].tolist()) & set(eids[i].tolist()))
+                       / 10 for i in range(20)])
+        assert rec >= 0.95, rec
+        np.testing.assert_allclose(
+            s, np.take_along_axis(exact, ids, axis=1), rtol=2e-5)
+
+    def test_query_tiling_matches_single_tile(self):
+        from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+        rng = np.random.default_rng(12)
+        q = rng.normal(size=(20, 64)).astype(np.float32)
+        c = rng.normal(size=(4000, 64)).astype(np.float32)
+        s0, i0 = mips_fused_topk(q, c, 7, interpret=True)
+        s1, i1 = mips_fused_topk(q, c, 7, interpret=True, query_tile=8)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+    def test_negative_scores_with_padding(self):
+        from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+        rng = np.random.default_rng(13)
+        q = np.abs(rng.normal(size=(8, 64))).astype(np.float32)
+        c = -np.abs(rng.normal(size=(3000, 64))).astype(np.float32)
+        s, ids = mips_fused_topk(q, c, 5, interpret=True)
+        ids = np.asarray(ids)
+        assert (ids >= 0).all() and (ids < 3000).all(), ids
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :5]
+        rec = np.mean([len(set(ids[i].tolist()) & set(eids[i].tolist()))
+                       / 5 for i in range(8)])
+        assert rec >= 0.95, rec
+
+    def test_k_beyond_candidates_raises(self):
+        from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+        rng = np.random.default_rng(14)
+        q = rng.normal(size=(4, 64)).astype(np.float32)
+        c = rng.normal(size=(3000, 64)).astype(np.float32)
+        with pytest.raises(ValueError, match="segment candidates"):
+            mips_fused_topk(q, c, 2000, interpret=True)
+
+    def test_int8_corpus(self):
+        """Fused kernel over quantize_int8 rows: s8 scoring + in-kernel
+        per-row rescale, per-query scale deferred to the winners."""
+        from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+        from recbox_tpu.retrieval.index import quantize_int8
+        rng = np.random.default_rng(15)
+        q = rng.normal(size=(12, 64)).astype(np.float32)
+        c = rng.normal(size=(50_000, 64)).astype(np.float32)
+        qc, sc = quantize_int8(jnp.asarray(c))
+        s, ids = mips_fused_topk(q, qc, 10, valid_items=50_000,
+                                 interpret=True, row_scale=np.asarray(sc))
+        s, ids = np.asarray(s), np.asarray(ids)
+        exact = q @ c.T
+        eids = np.argsort(-exact, axis=1)[:, :10]
+        rec = np.mean([len(set(ids[i].tolist()) & set(eids[i].tolist()))
+                       / 10 for i in range(12)])
+        assert rec >= 0.9, rec
+        true = np.take_along_axis(exact, ids, axis=1)
+        relerr = np.abs(s - true) / np.maximum(np.abs(true), 1e-3)
+        assert np.median(relerr) < 0.02, np.median(relerr)
+        with pytest.raises(ValueError, match="row_scale"):
+            mips_fused_topk(q, qc, 10, interpret=True)
+        with pytest.raises(ValueError, match="only meaningful"):
+            mips_fused_topk(q, c, 10, interpret=True,
+                            row_scale=np.asarray(sc))
+
+
 class TestBitonicTopK:
     """In-VMEM bitonic top-k (`ops/pallas/bitonic_topk.py`) — exactness
     against lax.top_k in interpret mode, row-major and candidate-major."""

@@ -137,8 +137,34 @@ def main():
     q_items, iscale = quantize_int8(items.astype(jnp.float32))
     results["pallas_int8_500"] = timed(
         "pallas_int8_500", sweep_int8(500), queries, q_items, iscale)
-    r = results["pallas_pack_500"] / results["segmented_500"]
-    print(f"\npacked/segmented @500: {r:.3f}x", flush=True)
+    # fused running-top-k kernel (the serving default on TPU)
+    from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+    results["fused_500"] = timed(
+        "fused_500",
+        sweep(lambda q, it: mips_fused_topk(q, it, 500, valid_items=N)),
+        queries, items)
+    results["fused_100"] = timed(
+        "fused_100",
+        sweep(lambda q, it: mips_fused_topk(q, it, 100, valid_items=N)),
+        queries, items)
+
+    def sweep_fused_int8(k):
+        @jax.jit
+        def run(queries, q_items, iscale):
+            def body(c, i):
+                q = queries * (1.0 + 1e-6 * i)
+                s, ids = mips_fused_topk(q, q_items, k, valid_items=N,
+                                         row_scale=iscale)
+                return (c + jnp.sum(s.astype(jnp.float32))
+                        + jnp.sum(ids.astype(jnp.float32)), ())
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+            return c
+        return run
+
+    results["fused_int8_500"] = timed(
+        "fused_int8_500", sweep_fused_int8(500), queries, q_items, iscale)
+    r = results["fused_500"] / results["segmented_500"]
+    print(f"\nfused/segmented @500: {r:.3f}x", flush=True)
 
     # ---- recall (untimed): 512 queries vs exact top-500 ----
     qs = queries[:512]
@@ -147,7 +173,9 @@ def main():
     _, i_ex = jax.lax.top_k(s_ex, 500)
     i_ex = np.asarray(i_ex)
     for name, fn in [("segmented", seg(500)),
-                     ("pallas_pack", pallas_new(500, True))]:
+                     ("pallas_pack", pallas_new(500, True)),
+                     ("fused", lambda q, it: mips_fused_topk(
+                         q, it, 500, valid_items=N))]:
         _, ids = jax.jit(fn)(qs.astype(jnp.bfloat16), items)
         ids = np.asarray(ids)
         rec = np.mean([len(set(ids[i].tolist()) & set(i_ex[i].tolist()))
