@@ -15,6 +15,22 @@ both; consuming only scores lets XLA DCE the id plumbing).
 Honest-timing shell per .claude/skills/verify/SKILL.md: ITERS-scan inside
 one jit, iteration-dependent queries, float() sync, best-of-3 with
 content-varied inputs.
+
+FULL RUN RECORD (v5e via axon, 2026-08-19, this exact tool):
+
+    segmented_500          97.7 ms/sweep      83,844 qps
+    pallas_old_500         97.5 ms/sweep      84,030 qps
+    pallas_batch_500      113.2 ms/sweep      72,373 qps
+    pallas_pack_500        56.1 ms/sweep     145,960 qps
+    segmented_100          27.8 ms/sweep     294,339 qps
+    pallas_pack_100        27.1 ms/sweep     302,144 qps
+    kernel_only_bf16       17.0 ms/sweep     481,608 qps
+    pallas_int8_500        57.2 ms/sweep     143,231 qps
+    fused_500              28.6 ms/sweep     286,008 qps
+    fused_100              23.0 ms/sweep     356,589 qps
+    fused_int8_500         27.3 ms/sweep     300,128 qps
+    fused/segmented @500: 3.411x
+    recall@500: segmented .9849, pallas_pack .9689, fused .9689
 """
 
 import sys
