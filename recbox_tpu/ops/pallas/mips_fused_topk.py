@@ -37,8 +37,10 @@ MEASURED ENVELOPE (v5e, 1M x 128 corpus, Q=8192, scores AND ids
 consumed, honest scan-chained timing — `tools/prof_mips_batched.py`,
 2026-08-19):
 
-    THIS KERNEL bf16 k=500      285k qps @ recall .969   28.7 ms/sweep
-    THIS KERNEL int8 k=500      291k qps @ recall .966   (corpus 4x
+    THIS KERNEL bf16 k=500      285-314k qps @ recall .969
+                                (block_mult=2 auto-default at large k:
+                                +13% same-run, 314k vs 278k)
+    THIS KERNEL int8 k=500      287-300k qps @ recall .966   (corpus 4x
                                 less HBM than f32)
     packed candidates + approx_max_k merge (mips_topk.py)  144k
     best XLA formulation (segmented)                        84k
@@ -190,10 +192,11 @@ def _make_fused_kernel(spb: int, sub_rows: int, kp: int, qt: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "valid_items",
-                                             "interpret", "query_tile"))
+                                             "interpret", "query_tile",
+                                             "block_mult"))
 def mips_fused_topk(queries, corpus, k: int, valid_items: int = None,
                     interpret: bool = False, query_tile: int = 1024,
-                    row_scale=None):
+                    row_scale=None, block_mult: int = None):
     """Top-k (scores, ids) over `corpus`, merge fused into the kernel.
 
     queries (Q, D) f32/bf16, corpus (N, D) — bf16 recommended (MXU-rate
@@ -223,6 +226,18 @@ def mips_fused_topk(queries, corpus, k: int, valid_items: int = None,
     qt = int(min(query_tile, max(nq, 1)))
     d_pad = (-corpus.shape[1]) % 128
     sub_rows, spb = _block_plan(corpus.dtype, qt, corpus.shape[1] + d_pad)
+    # block_mult > 1 doubles/quadruples the corpus rows per grid step:
+    # fewer running-top-k merges (one per grid step) at the cost of a
+    # bigger per-step winner sort and corpus block VMEM. Measured (v5e
+    # 2026-08-19, k=500/1M): x2 is +13% (314k vs 278k qps same-run), x4
+    # regresses. Default: x2 only when kp >= the doubled winner count —
+    # at small k, x2 would FORCE kp up (w_len <= kp invariant), inflating
+    # every merge (measured regression at k=100).
+    if block_mult is None:
+        kp_natural = 1 << int(np.ceil(np.log2(max(k, 2))))
+        block_mult = 2 if kp_natural >= 2 * spb * sub_rows // SEGMENT \
+            else 1
+    spb *= int(block_mult)
     c_block = sub_rows * spb
     n_pad = (-corpus.shape[0]) % c_block
     if n_pad or d_pad:
