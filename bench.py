@@ -45,8 +45,15 @@ dead ends, each with its profiler: dedup-before-scatter (argsort alone
 fused Pallas delta kernel (39.5 vs 37.8 ms — XLA already fuses the delta
 chain into the scatter; a kernel adds an HBM round trip), per-row Pallas
 DMA gather (~800 ns/row), bf16/int8 rows (per-row cost is width/dtype
-FLAT). Scaling past the wall is the multi-chip row-budget split (R/M
-rows per chip, docs/ARCHITECTURE.md cost model), not single-chip work.
+FLAT). ROUND-4 ADDITIONS (tools/prof_first_layer.py, 2026-08-19): every
+alternative fwd/bwd formulation also loses — one-slab rows protocol
+7.53 ms, K=128 field-pairing 14.21, K=256 quads 14.62, transpose+flat
+K=2496 first layer 7.53, batch-major id order 8.30, vs 6.56 for the
+current per-feature feature-major path; so even a PERFECT 4.3 ms
+MXU-floor fwd/bwd could not reach 1.0M (27.15 skeleton + 1.85 assembly
++ 4.3 = 33.3 ms > 32.77). Scaling past the wall is the multi-chip
+row-budget split (R/M rows per chip, docs/ARCHITECTURE.md cost model),
+not single-chip work.
 RENEGOTIATED TARGET (same evidentiary standard VERDICT.md round 2 set):
 0.90M examples/s = 97% of the composed 924k floor-ceiling;
 vs_baseline stays ratioed to the original 1.0e6 for cross-round
