@@ -396,6 +396,10 @@ class xDeepFM(_FieldModel):
     cin_layer_sizes: Sequence[int] = (16, 16)
     hidden_units: Sequence[int] = (400, 400)
     dropout: float = 0.0
+    # 'identity' = recbox/fuxictr CIN; 'relu' = recbole's per-layer CIN
+    # activation (see CompressedInteractionNet.activation for the measured
+    # head-to-head)
+    cin_activation: str = "identity"
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -403,7 +407,8 @@ class xDeepFM(_FieldModel):
         embs = self._embedding()(batch)
         field = stack_embeddings(embs, self.feature_map.input_features)
         flat = field.reshape(field.shape[0], -1)
-        cin = CompressedInteractionNet(tuple(self.cin_layer_sizes))(field)
+        cin = CompressedInteractionNet(tuple(self.cin_layer_sizes),
+                                       activation=self.cin_activation)(field)
         deep = MLP(self.hidden_units, dtype=self._dtype, output_dim=1,
                    dropout=self.dropout)(flat, train=train)
         return (self._first_order(lin) + cin + deep).reshape(-1)

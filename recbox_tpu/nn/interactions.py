@@ -104,8 +104,17 @@ class CompressedInteractionNet(nn.Module):
     X^k = W^k · (X^{k−1} ⊗ X^0) along fields; output = Dense(concat of
     Σ_D X^k). Reference: `compressed_interaction_net.py:22-48` — the Conv1d
     there is re-expressed as a single einsum per layer (MXU-friendly).
+
+    ``activation``: the recbox/fuxictr CIN is linear per layer (the
+    default, 'identity'); recbole's applies ReLU to each layer's feature
+    maps (`third_party/recbole/.../xdeepfm.py:152-161`, hard-coded
+    activation="ReLU" with direct=True forwarding when configured) — pass
+    'relu' for recbole-parity runs (measured on the synthctr protocol:
+    identity 0.710 test AUC vs recbole 0.737; relu closes the gap —
+    tools/parity_run_ours_ctrx.py, docs/QUALITY_PARITY.md).
     """
     layer_sizes: Sequence[int] = (16, 16)
+    activation: str = "identity"
 
     @nn.compact
     def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +129,8 @@ class CompressedInteractionNet(nn.Module):
             # outer product over fields, contracted with the filter:
             # (B,m,D),(B,F,D),(h,m,F) -> (B,h,D)
             xk = jnp.einsum("bmd,bfd,hmf->bhd", xk, x0, w)
+            if self.activation == "relu":
+                xk = jax.nn.relu(xk)
             pooled.append(jnp.sum(xk, axis=-1))  # (B, h)
         out = jnp.concatenate(pooled, axis=-1)
         return nn.Dense(1, kernel_init=nn.initializers.xavier_normal())(out)

@@ -66,6 +66,24 @@ class TestInteractions:
         out = mod.apply(_init(mod, self.x), self.x)
         assert out.shape == (2, 1)
 
+    def test_cin_relu_variant_gates_negative_maps(self):
+        """activation='relu' (recbole's per-layer CIN nonlinearity,
+        `xdeepfm.py:152-161`) must change the output whenever a feature
+        map goes negative, while identical params + identity activation
+        reproduce the default path exactly."""
+        mod_id = CompressedInteractionNet((8, 4))
+        mod_relu = CompressedInteractionNet((8, 4), activation="relu")
+        params = _init(mod_id, self.x)
+        out_id = mod_id.apply(params, self.x)
+        out_relu = mod_relu.apply(params, self.x)   # same param shapes
+        assert np.isfinite(np.asarray(out_relu)).all()
+        # gaussian inputs guarantee negative map entries, so the gate bites
+        assert not np.allclose(np.asarray(out_id), np.asarray(out_relu))
+        # and the default stays the identity-CIN (recbox/fuxictr) path
+        out_default = CompressedInteractionNet((8, 4)).apply(params, self.x)
+        np.testing.assert_allclose(np.asarray(out_id),
+                                   np.asarray(out_default), rtol=1e-6)
+
     def test_senet_preserves_shape(self):
         mod = SENET()
         out = mod.apply(_init(mod, self.x), self.x)

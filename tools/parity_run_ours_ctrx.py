@@ -56,12 +56,32 @@ if name == "FiGNN":
 elif name == "EulerNet":
     model = EulerNet(feature_map=fm, embedding_dim=16, order_layers=(16,),
                      dropout=0.1, apply_norm=False, emb_init_scheme=init)
+elif name == "DCNV2":
+    # recbole DCNV2 'stacked', mixed=False (`dcnv2.py:201-247`): CrossNetV2
+    # then MLP, no first-order linear — structurally EXACT match to ours
+    from recbox_tpu.models.ranking.ctr import DCNv2
+    model = DCNv2(feature_map=fm, embedding_dim=16, num_cross_layers=2,
+                  hidden_units=(64, 32), dropout=0.1,
+                  model_structure="stacked", emb_init_scheme=init)
+elif name == "xDeepFM":
+    # recbole xDeepFM with direct=True (`xdeepfm.py:120-199`) matches our
+    # CIN topology (full map forwarded + all layers pooled). One documented
+    # variant difference remains: recbole applies ReLU per CIN layer; ours
+    # keeps the recbox/fuxictr identity CIN
+    # (`recbox/ranking/pytorch/layers/interactions/compressed_interaction_net.py`)
+    from recbox_tpu.models.ranking.ctr import xDeepFM
+    model = xDeepFM(feature_map=fm, embedding_dim=16,
+                    cin_layer_sizes=(16, 16), hidden_units=(64, 32),
+                    dropout=0.1, emb_init_scheme=init,
+                    cin_activation=os.environ.get("OURS_CIN_ACT",
+                                                  "identity"))
 else:
     raise SystemExit(f"unknown OURS_MODEL={name}")
 
 cfg = TrainerConfig(learning_rate=1e-3, epochs=30, patience=10,
                     monitor="AUC", lr_decay_factor=1.0,
-                    reload_best_on_plateau=False)
+                    reload_best_on_plateau=False,
+                    seed=int(os.environ.get("OURS_SEED", 2024)))
 ev = CTREvaluator(valid, label="label", metrics=["AUC", "logloss"])
 trainer = Trainer(model, lambda o, b: binary_crossentropy(o, b["label"]),
                   cfg, eval_fn=ev)

@@ -95,7 +95,7 @@ if model_name == "SASRec":
         "layer_norm_eps": 1e-12, "initializer_range": 0.02,
         "loss_type": "CE",
     })
-if model_name in ("FM", "DeepFM", "FiGNN", "EulerNet"):
+if model_name in ("FM", "DeepFM", "FiGNN", "EulerNet", "DCNV2", "xDeepFM"):
     extra = []
     if os.environ.get("REF_DATASET") == "ctr_scale":
         extra = [f"c{i}" for i in range(2, 8)]
@@ -119,6 +119,18 @@ if model_name == "FiGNN":
 if model_name == "EulerNet":
     config.update({"order_list": [16], "drop_ex": 0.1, "drop_im": 0.1,
                    "apply_norm": False, "reg_weight": 0.0})
+if model_name == "DCNV2":
+    # matched-knob head-to-head vs ours (tools/parity_run_ours_ctrx.py):
+    # stacked, non-mixed, 2 cross layers, MLP [64,32] — structurally exact
+    config.update({"mixed": False, "structure": "stacked",
+                   "cross_layer_num": 2, "reg_weight": 0.0,
+                   "expert_num": 4, "low_rank": 16})
+if model_name == "xDeepFM":
+    # direct=True matches our CIN topology (full map forwarded, all
+    # layers pooled); recbole's per-layer CIN ReLU is the one documented
+    # variant difference vs our identity CIN
+    config.update({"direct": True, "cin_layer_size": [16, 16],
+                   "reg_weight": 0.0})
 dataset_name = os.environ.get("REF_DATASET", "synth")
 result = run_recbole(model=model_name, dataset=dataset_name, config_dict=config)
 print("REFERENCE RESULT:", result)
