@@ -26,8 +26,16 @@ fm = FeatureMap("sseq", (FeatureSpec("item_id", "categorical", source="item",
                                      vocab_size=n_items, embedding_dim=32),),
                 query_index="user_id", corpus_index="item_id",
                 num_items=n_items)
-model = SASRec(feature_map=fm, embedding_dim=32, max_seq_len=20,
-               n_layers=1, n_heads=2, dropout=0.2)
+_MODEL = os.environ.get("OURS_MODEL", "SASRec")
+if _MODEL == "GRU4Rec":
+    # matched-knob head-to-head vs recbole GRU4Rec (`gru4rec.py`):
+    # embedding 32, one GRU layer hidden 64, dropout 0.2, CE over catalog
+    from recbox_tpu.models.sequential.models import GRU4Rec
+    model = GRU4Rec(feature_map=fm, embedding_dim=32, max_seq_len=20,
+                    hidden_size=64, n_layers=1, dropout=0.2)
+else:
+    model = SASRec(feature_map=fm, embedding_dim=32, max_seq_len=20,
+                   n_layers=1, n_heads=2, dropout=0.2)
 cfg = TrainerConfig(learning_rate=1e-3,
                     epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="NDCG10", lr_decay_factor=1.0,
@@ -50,5 +58,5 @@ trainer = Trainer(model, lambda o, b: full_softmax_loss(o, b["item_id"]),
                   train_method="full_scores")
 loader = ArrayLoader(train, batch_size=512, drop_last=True, seed=2024)
 valid_metrics = trainer.fit(loader)
-print("OURS SASRec valid:", valid_metrics)
-print("OURS SASRec test:", eval_split(trainer, test))
+print(f"OURS {_MODEL} valid:", valid_metrics)
+print(f"OURS {_MODEL} test:", eval_split(trainer, test))

@@ -119,6 +119,20 @@ if model_name == "FiGNN":
 if model_name == "EulerNet":
     config.update({"order_list": [16], "drop_ex": 0.1, "drop_im": 0.1,
                    "apply_norm": False, "reg_weight": 0.0})
+if model_name == "GRU4Rec":
+    # matched-knob head-to-head (tools/parity_run_ours_sasrec.py
+    # OURS_MODEL=GRU4Rec): emb 32, one GRU layer hidden 64, dropout 0.2,
+    # CE over the catalog, LOO split by time
+    config.update({
+        "eval_args": {"split": {"LS": "valid_and_test"}, "order": "TO",
+                      "group_by": "user", "mode": "full"},
+        "metrics": ["Recall", "NDCG"], "topk": [10],
+        "valid_metric": "NDCG@10",
+        "train_neg_sample_args": None,
+        "MAX_ITEM_LIST_LENGTH": 20,
+        "embedding_size": 32, "hidden_size": 64, "num_layers": 1,
+        "dropout_prob": 0.2, "loss_type": "CE",
+    })
 if model_name == "DCNV2":
     # matched-knob head-to-head vs ours (tools/parity_run_ours_ctrx.py):
     # stacked, non-mixed, 2 cross layers, MLP [64,32] — structurally exact
