@@ -1,0 +1,360 @@
+"""Mechanism tests batch 18 — field locality, session structure, field
+groups, and pretrained-table initialization.
+
+* FIELD-ADJACENCY vs a position-blind provable ceiling: all 8 fields
+  SHARE one table; every row contains exactly one equal-valued pair —
+  ADJACENT in positives, NON-adjacent in negatives, all other values
+  distinct. A shared-table FM sees only Σ_{i<j} <v(x_i), v(x_j)>, which is
+  position-blind: both classes have identical pair-match counts, so FM's
+  score distribution is class-independent (measured ~0.54). CCPM's conv
+  over the field axis (`deepctr/models/ccpm.py`) has exactly the missing
+  inductive bias — a width-3 kernel sees adjacent fields — and its weight
+  SHARING must also TRANSFER: training positives only ever place the
+  adjacent pair at positions 0-4 while eval places it at the held-out
+  positions 5-7 (the p-max pooling keeps detection position-agnostic).
+  FGCNN's field-axis conv + recombination (`deepctr/models/fgcnn.py`) is
+  asserted on the in-distribution construction.
+
+* SESSION RECENCY (DSIN vs DIN): every history contains the target
+  exactly once; the label says whether it sits in the RECENT session
+  (last 3 slots) or the OLD one (first 3). DIN's target attention pools
+  the history position-invariantly — the item multisets of the two
+  classes are identically distributed, so DIN is structurally blind
+  (measured ~0.53, `deepctr/models/sequence/din.py` semantics). DSIN's
+  session division + Bi-GRU interest evolution
+  (`deepctr/models/sequence/dsin.py`) carries session ORDER and cracks it.
+
+* FLEN's two interaction streams (`deepctr/models/flen.py`), isolated by
+  disabling the deep tower (hidden_units=()): a CROSS-group match signal
+  (user-field == item-field) can only flow through the inter-group MF
+  stream (the per-group bi-interactions never mix groups), and a
+  WITHIN-group match only through that group's bi-interaction stream
+  (the MF stream sees group SUMS, which mix the within-group pair with
+  noise fields). Additive ceiling (LR) measured ~0.48.
+
+* FNN's FM-pretrained embedding initialization (`deepctr/models/fnn.py`;
+  reference init strategy, carried by FeatureSpec.pretrain_path): with
+  tables FROZEN, a 2-epoch FNN reaches AUC 1.0 iff the tables carry the
+  structure a pretrained FM learned on the match task; frozen tables from
+  the UNtrained reference init (normal sigma=1e-4,
+  `match_model.py:91-114`) are information-free at the same budget
+  (measured ~0.49). The knowledge demonstrably lives in the pretrained
+  tables, not the head.
+
+* DeepFM's FM channel (`deepctr/models/deepfm.py`): with the deep tower
+  disabled (hidden_units=()), XOR of two fair bits — invisible to any
+  linear/first-order model (LR ceiling measured in
+  test_mechanisms_batch13.py's sign-agreement/region analysis and
+  provable: additive logits rank XOR at 0.5) — must flow through the
+  second-order FM term alone.
+
+Chance level is 0.5 for every test (balanced binary labels).
+"""
+
+import numpy as np
+import pytest
+
+from recbox_tpu.data import ArrayLoader
+from recbox_tpu.evaluation import CTREvaluator
+from recbox_tpu.features import FeatureMap, FeatureSpec
+from recbox_tpu.ops import binary_crossentropy
+from recbox_tpu.training import Trainer, TrainerConfig
+
+
+def _fit(model, train, valid, epochs=8, lr=1e-2, seed=3):
+    loader = ArrayLoader(train, batch_size=256, drop_last=True, seed=seed)
+    ev = CTREvaluator(valid, label="click", metrics=["AUC"])
+    cfg = TrainerConfig(learning_rate=lr, epochs=epochs, patience=50,
+                        monitor="AUC", lr_decay_factor=1.0,
+                        reload_best_on_plateau=False)
+    tr = Trainer(model, lambda o, b: binary_crossentropy(o, b["click"]),
+                 cfg, eval_fn=ev)
+    return tr.fit(loader), tr
+
+
+def _split(arrays, frac=0.85):
+    n = len(arrays["click"])
+    k = int(n * frac)
+    return ({a: v[:k] for a, v in arrays.items()},
+            {a: v[k:] for a, v in arrays.items()})
+
+
+# ---------------------------------------------------------------------------
+# field adjacency (shared table, one equal pair per row)
+# ---------------------------------------------------------------------------
+
+F_ADJ, V_ADJ = 8, 12
+
+
+def _adjacency_rows(rng, n, pos_positions):
+    rows = np.zeros((n, F_ADJ), np.int32)
+    labels = rng.integers(0, 2, n)
+    for r in range(n):
+        vals = rng.permutation(V_ADJ)[:F_ADJ - 1]
+        if labels[r] == 1:
+            i = rng.choice(pos_positions)
+            j = i + 1
+        else:
+            while True:
+                i, j = sorted(rng.choice(F_ADJ, 2, replace=False))
+                if j - i >= 2:
+                    break
+        row = np.empty(F_ADJ, np.int32)
+        others = [k for k in range(F_ADJ) if k not in (i, j)]
+        row[i] = row[j] = vals[0]
+        for t, k in enumerate(others):
+            row[k] = vals[1 + t]
+        rows[r] = row
+    return rows, labels.astype(np.float32)
+
+
+def _adjacency_arrays(rows, labels):
+    d = {f"f{k}": rows[:, k].astype(np.int32) for k in range(F_ADJ)}
+    d["click"] = labels
+    return d
+
+
+@pytest.fixture(scope="module")
+def adjacency_data():
+    rng = np.random.default_rng(20)
+    specs = [FeatureSpec("f0", "categorical", vocab_size=V_ADJ,
+                         embedding_dim=8)]
+    specs += [FeatureSpec(f"f{k}", "categorical", vocab_size=V_ADJ,
+                          embedding_dim=8, share_embedding="f0")
+              for k in range(1, F_ADJ)]
+    fm = FeatureMap("adj18", tuple(specs), labels=("click",))
+    train = _adjacency_arrays(*_adjacency_rows(rng, 6000, [0, 1, 2, 3]))
+    iid = _adjacency_arrays(*_adjacency_rows(rng, 1200, [0, 1, 2, 3]))
+    transfer = _adjacency_arrays(*_adjacency_rows(rng, 1200, [5, 6]))
+    return fm, train, iid, transfer
+
+
+def test_fm_is_provably_position_blind_on_adjacency(adjacency_data):
+    from recbox_tpu.models.ranking.ctr import FM
+    fm, train, iid, _ = adjacency_data
+    # both classes contain exactly one equal pair; the shared-table pair
+    # sum counts matches position-blindly -> class-independent scores.
+    metrics, _ = _fit(FM(feature_map=fm, embedding_dim=8,
+                         emb_init_scheme="xavier_normal"),
+                      train, iid, epochs=6, lr=5e-2)
+    assert metrics["AUC"] < 0.62, metrics
+
+
+def test_ccpm_field_conv_detects_and_TRANSFERS_adjacency(adjacency_data):
+    from recbox_tpu.models.ranking.ctr_extended import CCPM
+    fm, train, _, transfer = adjacency_data
+    # eval rows place the adjacent pair ONLY at positions the training
+    # data never used (5,6)/(6,7) — only the conv's shared kernel
+    # explains success there. Measured: 1.0 (FM ceiling ~0.54).
+    model = CCPM(feature_map=fm, embedding_dim=8,
+                 conv_kernel_widths=(3, 3), conv_filters=(6, 6),
+                 hidden_units=(64,), emb_init_scheme="xavier_normal")
+    metrics, _ = _fit(model, train, transfer, epochs=12, lr=2e-2)
+    assert metrics["AUC"] > 0.85, metrics
+
+
+def test_fgcnn_generated_field_features_crack_adjacency(adjacency_data):
+    from recbox_tpu.models.ranking.ctr_extended import FGCNN
+    fm, train, iid, _ = adjacency_data
+    model = FGCNN(feature_map=fm, embedding_dim=8,
+                  conv_filters=(6,), conv_kernel_widths=(3,),
+                  new_maps=(3,), pooling_widths=(2,),
+                  hidden_units=(64, 32), emb_init_scheme="xavier_normal")
+    metrics, _ = _fit(model, train, iid, epochs=12, lr=2e-2)
+    assert metrics["AUC"] > 0.85, metrics
+
+
+# ---------------------------------------------------------------------------
+# session recency: DSIN vs DIN
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def session_data():
+    rng = np.random.default_rng(21)
+    V, L, n = 30, 6, 5000
+    target = rng.integers(0, V, n).astype(np.int32)
+    hist = rng.integers(0, V, (n, L)).astype(np.int32)
+    clash = hist == target[:, None]
+    hist[clash] = (hist[clash] + 1 + rng.integers(0, V - 2, clash.sum())) % V
+    recent = rng.integers(0, 2, n)
+    slot = np.where(recent == 1, rng.integers(3, 6, n),
+                    rng.integers(0, 3, n))
+    hist[np.arange(n), slot] = target
+    arrays = {"hist": hist, "item_id": target,
+              "click": recent.astype(np.float32)}
+    fm = FeatureMap("sess18", (
+        FeatureSpec("item_id", "categorical", vocab_size=V + 1,
+                    embedding_dim=16),
+        FeatureSpec("hist", "sequence", vocab_size=V + 1, embedding_dim=16,
+                    max_len=L, padding_idx=V, share_embedding="item_id"),
+    ), labels=("click",))
+    return fm, *_split(arrays)
+
+
+def test_din_attention_pooling_is_session_blind(session_data):
+    from recbox_tpu.models.ranking.sequence_ctr import DIN
+    fm, train, valid = session_data
+    # per-item attention weights ignore position; the item multisets of
+    # the two classes are identically distributed -> structural ceiling.
+    model = DIN(feature_map=fm, embedding_dim=16,
+                attention_hidden_units=(32,), attention_activation="relu",
+                hidden_units=(64, 32))
+    metrics, _ = _fit(model, train, valid, epochs=6, lr=1e-2)
+    assert metrics["AUC"] < 0.62, metrics
+
+
+def test_dsin_session_division_reads_recency(session_data):
+    from recbox_tpu.models.ranking.sequence_ctr import DSIN
+    fm, train, valid = session_data
+    # session split (2 sessions of 3) + Bi-GRU over session interests
+    # carries which SESSION matched the target. Measured ~0.95 vs the
+    # DIN ceiling ~0.53 above; chance 0.5.
+    model = DSIN(feature_map=fm, embedding_dim=16, session_count=2,
+                 hidden_units=(64, 32))
+    metrics, _ = _fit(model, train, valid, epochs=12, lr=5e-3)
+    assert metrics["AUC"] > 0.8, metrics
+
+
+# ---------------------------------------------------------------------------
+# FLEN's two interaction streams
+# ---------------------------------------------------------------------------
+
+V_FLEN = 8
+
+
+def _flen_fm():
+    return FeatureMap("flen18", (
+        FeatureSpec("u1", "categorical", vocab_size=V_FLEN, embedding_dim=16,
+                    source="user"),
+        FeatureSpec("u2", "categorical", vocab_size=V_FLEN, embedding_dim=16,
+                    source="user"),
+        FeatureSpec("i1", "categorical", vocab_size=V_FLEN, embedding_dim=16,
+                    source="item"),
+        FeatureSpec("i2", "categorical", vocab_size=V_FLEN, embedding_dim=16,
+                    source="item"),
+    ), labels=("click",))
+
+
+def _match_arrays(rng, n, kind):
+    def pair(match):
+        x = rng.integers(0, V_FLEN, n)
+        off = rng.integers(1, V_FLEN, n)
+        y = np.where(match == 1, x, (x + off) % V_FLEN)
+        return x.astype(np.int32), y.astype(np.int32)
+
+    m = rng.integers(0, 2, n)
+    noise = lambda: rng.integers(0, V_FLEN, n).astype(np.int32)
+    if kind == "within":
+        u1, u2 = pair(m)
+        i1, i2 = noise(), noise()
+    else:
+        u1, i1 = pair(m)
+        u2, i2 = noise(), noise()
+    return {"u1": u1, "u2": u2, "i1": i1, "i2": i2,
+            "click": m.astype(np.float32)}
+
+
+def test_additive_ceiling_on_match_signal():
+    from recbox_tpu.models.ranking.ctr import LR
+    rng = np.random.default_rng(22)
+    train, valid = _split(_match_arrays(rng, 6000, "cross"))
+    metrics, _ = _fit(LR(feature_map=_flen_fm()), train, valid,
+                      epochs=5, lr=5e-2)
+    # first-order ceiling for both FLEN tests below (measured ~0.48)
+    assert metrics["AUC"] < 0.62, metrics
+
+
+def test_flen_inter_group_mf_stream_carries_cross_group_match():
+    from recbox_tpu.models.ranking.ctr_extended import FLEN
+    rng = np.random.default_rng(22)
+    train, valid = _split(_match_arrays(rng, 6000, "cross"))
+    # hidden_units=() disables the deep tower; the per-group
+    # bi-interactions never mix groups, so u1==i1 can only flow through
+    # the inter-group MF products of group sums. Measured 1.0.
+    model = FLEN(feature_map=_flen_fm(), embedding_dim=16, hidden_units=(),
+                 emb_init_scheme="xavier_normal")
+    metrics, _ = _fit(model, train, valid, epochs=14, lr=2e-2)
+    assert metrics["AUC"] > 0.85, metrics
+
+
+def test_flen_intra_group_bi_interaction_carries_within_group_match():
+    from recbox_tpu.models.ranking.ctr_extended import FLEN
+    rng = np.random.default_rng(22)
+    train, valid = _split(_match_arrays(rng, 6000, "within"))
+    model = FLEN(feature_map=_flen_fm(), embedding_dim=16, hidden_units=(),
+                 emb_init_scheme="xavier_normal")
+    metrics, _ = _fit(model, train, valid, epochs=14, lr=2e-2)
+    assert metrics["AUC"] > 0.85, metrics
+
+
+# ---------------------------------------------------------------------------
+# FNN: FM-pretrained tables are the knowledge carrier
+# ---------------------------------------------------------------------------
+
+def test_fnn_fm_pretrained_tables_carry_the_signal(tmp_path):
+    from recbox_tpu.models.ranking.ctr import FM
+    from recbox_tpu.models.ranking.ctr_extended import FNN
+    rng = np.random.default_rng(24)
+    n, V = 6000, 8
+
+    x = rng.integers(0, V, n)
+    off = rng.integers(1, V, n)
+    m = rng.integers(0, 2, n)
+    y = np.where(m == 1, x, (x + off) % V)
+    arrays = {"fa": x.astype(np.int32), "fb": y.astype(np.int32),
+              "click": m.astype(np.float32)}
+    train, valid = _split(arrays)
+
+    def fmap(pa=None, pb=None, freeze=False):
+        return FeatureMap("fnn18", (
+            FeatureSpec("fa", "categorical", vocab_size=V, embedding_dim=8,
+                        pretrain_path=pa, freeze_emb=freeze),
+            FeatureSpec("fb", "categorical", vocab_size=V, embedding_dim=8,
+                        pretrain_path=pb, freeze_emb=freeze),
+        ), labels=("click",))
+
+    fm_metrics, tr = _fit(FM(feature_map=fmap(), embedding_dim=8,
+                             emb_init_scheme="xavier_normal"),
+                          train, valid, epochs=10, lr=5e-2)
+    assert fm_metrics["AUC"] > 0.95, fm_metrics
+    pa = str(tmp_path / "fa.npz")
+    pb = str(tmp_path / "fb.npz")
+    np.savez(pa, embeddings=np.asarray(tr.params["embedding"]["emb_fa"]))
+    np.savez(pb, embeddings=np.asarray(tr.params["embedding"]["emb_fb"]))
+
+    budget = dict(epochs=2, lr=1e-2)
+    pre, _ = _fit(FNN(feature_map=fmap(pa, pb, freeze=True),
+                      embedding_dim=8, hidden_units=(32, 16)),
+                  train, valid, **budget)
+    # frozen pretrained tables: the head reads FM's structure (meas. 1.0)
+    assert pre["AUC"] > 0.9, pre
+    scratch, _ = _fit(FNN(feature_map=fmap(freeze=True), embedding_dim=8,
+                          hidden_units=(32, 16)),
+                      train, valid, **budget)
+    # frozen UNtrained tables (reference init normal 1e-4): same budget,
+    # no signal (measured ~0.49) — the pretrain is the mechanism.
+    assert scratch["AUC"] < 0.62, scratch
+
+
+# ---------------------------------------------------------------------------
+# DeepFM: the FM channel alone
+# ---------------------------------------------------------------------------
+
+def test_deepfm_fm_channel_cracks_xor_without_deep_tower():
+    from recbox_tpu.models.ranking.ctr import DeepFM
+    rng = np.random.default_rng(25)
+    n = 5000
+    a, b = rng.integers(0, 2, n), rng.integers(0, 2, n)
+    arrays = {"fa": a.astype(np.int32), "fb": b.astype(np.int32),
+              "click": (a ^ b).astype(np.float32)}
+    fm = FeatureMap("deepfm18", (
+        FeatureSpec("fa", "categorical", vocab_size=2, embedding_dim=8),
+        FeatureSpec("fb", "categorical", vocab_size=2, embedding_dim=8),
+    ), labels=("click",))
+    train, valid = _split(arrays)
+    # hidden_units=() leaves linear + FM only; XOR is provably invisible
+    # to the linear term, so success flows through the FM channel.
+    model = DeepFM(feature_map=fm, embedding_dim=8, hidden_units=(),
+                   emb_init_scheme="xavier_normal")
+    metrics, _ = _fit(model, train, valid, epochs=10, lr=5e-2)
+    assert metrics["AUC"] > 0.9, metrics
