@@ -63,10 +63,23 @@ def infonce_all(a: jnp.ndarray, b: jnp.ndarray, b_all: jnp.ndarray,
 def kmeans_prototypes(emb: np.ndarray, k: int, n_iters: int = 20,
                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side k-means (NCL's periodic E-step, `ncl.py` e_step): returns
-    (centers (k, D), assignments (N,))."""
+    (centers (k, D), assignments (N,)).
+
+    Seeding is k-means++ (next center drawn ∝ squared distance to the
+    nearest chosen one) rather than the reference's uniform-random faiss
+    init — uniform seeding can drop two centers into one true cluster and
+    Lloyd never recovers (measured: 2/6 seeds mis-partition three planted
+    well-separated clusters; ++ seeding recovers all 6 —
+    tests/test_mechanisms_batch19.py)."""
     rng = np.random.default_rng(seed)
-    centers = emb[rng.choice(len(emb), size=k, replace=False)].copy()
     e2 = (emb ** 2).sum(-1, keepdims=True)                  # (N, 1)
+    centers = np.empty((k, emb.shape[1]), dtype=emb.dtype)
+    centers[0] = emb[rng.integers(len(emb))]
+    d2 = ((emb - centers[0]) ** 2).sum(-1)
+    for j in range(1, k):
+        p = d2 / max(float(d2.sum()), 1e-12)
+        centers[j] = emb[rng.choice(len(emb), p=p)]
+        d2 = np.minimum(d2, ((emb - centers[j]) ** 2).sum(-1))
     for _ in range(n_iters):
         # ||e - c||² = ||e||² − 2e·c + ||c||² via one (N, k) matmul — the
         # broadcast form materializes an (N, k, D) tensor and OOMs at NCL
