@@ -77,7 +77,11 @@ def kmeans_prototypes(emb: np.ndarray, k: int, n_iters: int = 20,
     centers[0] = emb[rng.integers(len(emb))]
     d2 = ((emb - centers[0]) ** 2).sum(-1)
     for j in range(1, k):
-        p = d2 / max(float(d2.sum()), 1e-12)
+        s = float(d2.sum())
+        # degenerate input (all remaining points coincide with chosen
+        # centers, e.g. constant table or k > distinct rows): d2 is all
+        # zeros and ∝-d² sampling is undefined — fall back to uniform
+        p = d2 / s if s > 0 else np.full(len(emb), 1.0 / len(emb))
         centers[j] = emb[rng.choice(len(emb), p=p)]
         d2 = np.minimum(d2, ((emb - centers[j]) ** 2).sum(-1))
     for _ in range(n_iters):

@@ -147,3 +147,14 @@ def test_kmeans_prototypes_separates_clusters():
     centers, assign = kmeans_prototypes(emb, 2, n_iters=10)
     assert len(set(assign[:50])) == 1 and len(set(assign[50:])) == 1
     assert assign[0] != assign[50]
+
+
+def test_kmeans_prototypes_degenerate_constant_table():
+    """ADVICE round 4: a constant embedding table (or k > distinct rows)
+    makes every point coincide with the first center, so the ∝-d² seeding
+    distribution is all-zero; must fall back to uniform, not raise."""
+    emb = np.ones((20, 4), dtype=np.float32)
+    centers, assign = kmeans_prototypes(emb, 3, n_iters=2)
+    assert centers.shape == (3, 4)
+    assert assign.shape == (20,)
+    np.testing.assert_allclose(centers[assign], emb, atol=1e-6)
