@@ -69,6 +69,7 @@ the 1.0M target either — the step has a ~23 ms small-batch latency
 floor and a rows-proportional regime above ~16k batch.
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -78,6 +79,16 @@ import time
 import numpy as np
 
 SELF_BASELINE_EXAMPLES_PER_SEC = 1.0e6  # round-1 reference point
+
+# Round 5: the driver bench is MULTI-METRIC. Alongside the headline DeepFM
+# line it emits a "secondary" array covering every other driver-guarded
+# perf claim: fused-MIPS serving qps + measured recall (bf16 + int8 corpus)
+# and the SASRec / LightGCN training regimes — each with its measured
+# healthy band so a regression in the flagship kernel win or either
+# training path is visible round over round (VERDICT.md round-4 weak #1:
+# previously only tool-measured, unguarded). Everything lands in ONE JSON
+# line and is appended to bench_history.jsonl.
+SECONDARY_BUDGET_S = 900  # soft wall for all secondaries combined
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_history.jsonl")
@@ -204,8 +215,290 @@ def _backend_reachable(timeout_s: float = 300.0) -> bool:
         return False
 
 
+def _bench_serving(smoke: bool = False) -> list:
+    """Fused-MIPS serving qps @ measured recall, bf16 + int8 corpus.
+
+    The round-3 flagship win (`ops/pallas/mips_fused_topk.py:37-56`): on
+    TPU the fused running-top-k Pallas kernel serves (scores, ids) at
+    3.4x the best XLA formulation. Reference path replaced: faiss-style
+    top-k serving (`recbox/utils/ann/faiss.py:3-15`,
+    `recbox/core/metrics.py:28-68`). Honest scan-chained timing with
+    content-varied queries per `.claude/skills/verify/SKILL.md`; both
+    scores AND ids are consumed (score-only sweeps let XLA DCE the id
+    plumbing and overstate qps ~4x).
+
+    ``smoke=True`` shrinks shapes and routes through the XLA engines so
+    the JSON structure is CPU-checkable (roundcheck); it is NOT a
+    performance configuration.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from recbox_tpu.retrieval.index import (int8_mips_topk, quantize_int8,
+                                            segmented_mips_topk)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if smoke:
+        n, d, q, k, iters, reps = 2048, 32, 256, 16, 2, 1
+    else:
+        n, d, q, k, iters, reps = 1_000_000, 128, 8192, 500, 5, 3
+    rng = np.random.default_rng(0)
+    items_host = rng.normal(size=(n, d)).astype(np.float32)
+    items = jnp.asarray(items_host, jnp.bfloat16)
+    q_items, iscale = quantize_int8(jnp.asarray(items_host))
+    del items_host  # only bf16 + int8 forms go to HBM (f32 never needed)
+    queries = jnp.asarray(rng.normal(size=(q, d)), jnp.float32)
+
+    if on_tpu and not smoke:
+        from recbox_tpu.ops.pallas.mips_fused_topk import mips_fused_topk
+        eng_bf16 = lambda qq, it: mips_fused_topk(
+            qq.astype(jnp.bfloat16), it, k, valid_items=n)
+        eng_int8 = lambda qq, qi, sc: mips_fused_topk(
+            qq, qi, k, valid_items=n, row_scale=sc)
+        engine = "pallas_fused (in-kernel running top-k)"
+    else:
+        eng_bf16 = lambda qq, it: segmented_mips_topk(
+            qq.astype(jnp.bfloat16), it, k)
+        eng_int8 = lambda qq, qi, sc: int8_mips_topk(qq, qi, sc, k)
+        engine = "xla fallback (pallas_fused is the TPU path)"
+
+    def sweep(engine_fn, *ops_sig):
+        @jax.jit
+        def run(qs, *ops):
+            def body(c, i):
+                qq = qs * (1.0 + 1e-6 * i)
+                s, ids = engine_fn(qq, *ops)
+                return (c + jnp.sum(s.astype(jnp.float32))
+                        + jnp.sum(ids.astype(jnp.float32)), ())
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+            return c
+        return run
+
+    def measure(run, *ops):
+        _ = float(run(queries, *ops))                      # compile+warmup
+        best = float("inf")
+        for rep in range(1, reps + 1):
+            qv = queries * (1.0 + 1e-7 * rep)              # content-vary
+            t0 = time.perf_counter()
+            _ = float(run(qv, *ops))
+            best = min(best, time.perf_counter() - t0)
+        return q * iters / best                            # queries/s
+
+    # recall vs the exact bf16 oracle on a query subsample (untimed)
+    nrq = min(512, q)
+    qs_r = queries[:nrq]
+    s_ex = jnp.dot(qs_r.astype(jnp.bfloat16), items.T,
+                   preferred_element_type=jnp.float32)
+    i_ex = np.asarray(jax.lax.top_k(s_ex, k)[1])
+
+    def recall(engine_fn, *ops):
+        ids = np.asarray(jax.jit(engine_fn)(qs_r, *ops)[1])
+        return float(np.mean([
+            len(set(ids[i].tolist()) & set(i_ex[i].tolist())) / k
+            for i in range(nrq)]))
+
+    ceiling = {
+        "qps": 472_000.0,
+        "basis": "kernel-only candidate-generation floor (no merge), "
+                 "matmul-ceiling-bound; tools/prof_mips_batched.py "
+                 "2026-08-19",
+    }
+    entries = []
+    for name, band, rec_floor, run_args in (
+            ("mips_serving_qps_bf16_k500", [285_000, 318_100], 0.965,
+             (sweep(eng_bf16), items)),
+            ("mips_serving_qps_int8_k500", [287_000, 300_000], 0.960,
+             (sweep(eng_int8), q_items, iscale))):
+        qps = measure(*run_args)
+        rec = recall(eng_bf16 if "bf16" in name else eng_int8,
+                     *run_args[1:])
+        entry = {
+            "metric": name, "value": round(qps, 1), "unit": "queries/s",
+            "recall_at_k": round(rec, 4),
+            "workload": f"{n}x{d} corpus, Q={q}, k={k}, "
+                        "scores+ids consumed",
+            "engine": engine,
+        }
+        if not smoke:
+            entry.update({
+                "ceiling": ceiling,
+                "fraction_of_ceiling": round(qps / ceiling["qps"], 4),
+                "healthy_band_qps": band,
+                "recall_floor": rec_floor,
+                "in_band": bool(qps >= band[0] * 0.9
+                                and rec >= rec_floor),
+                "band_measured_on": "2026-08-19 (round 3/4, "
+                                    "tools/prof_mips_batched.py)",
+            })
+        entries.append(entry)
+    return entries
+
+
+def _bench_sasrec(smoke: bool = False) -> dict:
+    """SASRec training regime (the sequential-stage bench).
+
+    Amazon-Beauty-regime shapes: 60k-item vocab, L=50, d=64, 2-layer/
+    2-head transformer, full-softmax CE (recbole loss_type='CE',
+    `third_party/recbole/model/sequential_recommender/sasrec.py:144-150`),
+    batch 1024. Same honest K-step-scan + float() sync discipline as the
+    primary. Mirrors tools/prof_sasrec_train.py (the round-2 tool
+    measurement this guard now supersedes)."""
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.sequential.models import SASRec
+    from recbox_tpu.ops import full_softmax_loss
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    if smoke:
+        vocab, seq_len, b, d, k, reps = 500, 8, 64, 16, 3, 1
+    else:
+        vocab, seq_len, b, d, k, reps = 60_000, 50, 1024, 64, 30, 3
+    fm = FeatureMap(
+        "sasbench", (FeatureSpec("item_id", "categorical",
+                                 vocab_size=vocab, embedding_dim=d),),
+        corpus_index="item_id", num_items=vocab)
+    model = SASRec(feature_map=fm, embedding_dim=d, max_seq_len=seq_len,
+                   n_layers=2, n_heads=2, dropout=0.1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "item_seq": rng.integers(1, vocab, (b, seq_len)).astype(np.int32),
+        "seq_len": np.full(b, seq_len, np.int32),
+        "item_id": rng.integers(1, vocab, b).astype(np.int32),
+    }
+    t = Trainer(model, lambda o, bb: full_softmax_loss(o, bb["item_id"]),
+                TrainerConfig(learning_rate=1e-3, monitor="AUC"),
+                train_method="full_scores")
+    _ = float(t.train_steps_repeat(batch, k)[-1])          # compile+warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(t.train_steps_repeat(batch, k)[-1])
+        best = min(best, time.perf_counter() - t0)
+    per_step = best / k
+    entry = {
+        "metric": "sasrec_train_throughput_per_chip",
+        "value": round(b / per_step, 1), "unit": "examples/s",
+        "ms_per_step": round(per_step * 1e3, 2),
+        "tokens_per_sec": round(b * seq_len / per_step, 1),
+        "workload": f"V={vocab}, L={seq_len}, d={d}, B={b}, "
+                    "2L/2H transformer, full-softmax CE",
+    }
+    if not smoke:
+        entry.update({
+            "healthy_band_ms_per_step": [10.5, 14.0],
+            "in_band": bool(per_step * 1e3 <= 14.0 * 1.15),
+            "band_measured_on": "2026-08-16 (round 2, "
+                                "tools/prof_sasrec_train.py: 11.45 ms)",
+            "interpretation": "dominated by the (B, L, V) full-softmax "
+                              "logits matmul + the 60k-row table "
+                              "gather/scatter; no proven op-floor "
+                              "decomposition yet (unlike the primary)",
+        })
+    return entry
+
+
+def _bench_lightgcn(smoke: bool = False) -> dict:
+    """LightGCN training regime (the graph-matching bench).
+
+    Gowalla-regime shapes: 30k users x 41k items, 1M edges, d=64, 3
+    propagation layers, BPR (1 neg), batch 2048. Propagation is the
+    padded-edge-list segment-sum design (SURVEY hard-part 6; reference:
+    `third_party/recbole/model/general_recommender/lightgcn.py:32-120`
+    scipy-based sym-norm adjacency). Mirrors
+    tools/prof_lightgcn_train.py."""
+    from recbox_tpu.features import FeatureMap, FeatureSpec
+    from recbox_tpu.models.matching.graph import LightGCN, build_norm_edges
+    from recbox_tpu.ops import get_matching_loss
+    from recbox_tpu.training import Trainer, TrainerConfig
+
+    if smoke:
+        users, items_n, edges, d, b, k, reps = 100, 150, 2000, 16, 64, 3, 1
+    else:
+        users, items_n, edges, d, b, k, reps = (30_000, 41_000, 1_000_000,
+                                                64, 2048, 20, 3)
+    rng = np.random.default_rng(0)
+    eu, ei, coefs = build_norm_edges(
+        rng.integers(0, users, edges).astype(np.int64),
+        rng.integers(0, items_n, edges).astype(np.int64), users, items_n)
+    fm = FeatureMap(
+        "lgcnbench", (FeatureSpec("user_id", "categorical", source="user",
+                                  vocab_size=users, embedding_dim=d),
+                      FeatureSpec("item_id", "categorical", source="item",
+                                  vocab_size=items_n, embedding_dim=d)),
+        query_index="user_id", corpus_index="item_id", num_items=items_n)
+    model = LightGCN(feature_map=fm, embedding_dim=d, n_layers=3,
+                     num_users=users, num_items=items_n,
+                     edge_users=tuple(eu), edge_items=tuple(ei),
+                     edge_coefs=tuple(coefs))
+    loss = get_matching_loss("PairwiseLogisticLoss")
+    t = Trainer(model, lambda o, bb: loss(o),
+                TrainerConfig(learning_rate=1e-3, monitor="Recall(k=20)"))
+    ids = rng.integers(0, items_n, (b, 2)).astype(np.int32)
+    batch = {"user_id": rng.integers(0, users, b).astype(np.int32),
+             "__item_ids__": ids, "item::item_id": ids}
+    _ = float(t.train_steps_repeat(batch, k)[-1])          # compile+warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(t.train_steps_repeat(batch, k)[-1])
+        best = min(best, time.perf_counter() - t0)
+    per_step = best / k
+    entry = {
+        "metric": "lightgcn_train_throughput_per_chip",
+        "value": round(b / per_step, 1), "unit": "examples/s",
+        "ms_per_step": round(per_step * 1e3, 2),
+        "edge_messages_per_sec": round(edges * 2 * 3 / per_step, 1),
+        "workload": f"U={users}, I={items_n}, E={edges}, d={d}, "
+                    f"3 hops, B={b}, BPR",
+    }
+    if not smoke:
+        entry.update({
+            "healthy_band_ms_per_step": [160.0, 200.0],
+            "in_band": bool(per_step * 1e3 <= 200.0 * 1.15),
+            "band_measured_on": "2026-08-16 (round 2, "
+                                "tools/prof_lightgcn_train.py: 176.7 ms)",
+            "interpretation": "propagation is 6M edge messages/step — the "
+                              "same per-row gather/scatter HBM wall as "
+                              "the primary's embedding step (31 ns/row "
+                              "floor), so the ceiling scales with edge "
+                              "count, not FLOPs",
+        })
+    return entry
+
+
+def _run_secondaries(smoke: bool = False) -> list:
+    """Run every secondary bench, individually guarded: one failing
+    regime degrades to an error entry instead of killing the primary
+    metric, and a soft time budget stops the tail rather than hang the
+    driver."""
+    t_start = time.time()
+    entries = []
+    for name, fn in (("serving", _bench_serving),
+                     ("sasrec", _bench_sasrec),
+                     ("lightgcn", _bench_lightgcn)):
+        if time.time() - t_start > SECONDARY_BUDGET_S:
+            entries.append({"metric": name,
+                            "skipped": "secondary time budget exhausted"})
+            continue
+        try:
+            res = fn(smoke)
+            entries.extend(res if isinstance(res, list) else [res])
+        except Exception as e:                   # noqa: BLE001 — guard all
+            entries.append({"metric": name,
+                            "error": f"{type(e).__name__}: {e}"})
+    return entries
+
+
 def main():
-    if not _backend_reachable():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes, XLA engines, no history append — "
+                         "CPU structure check for roundcheck, NOT a "
+                         "performance run")
+    ap.add_argument("--skip-secondary", action="store_true",
+                    help="primary DeepFM metric only (round<=4 behavior)")
+    args = ap.parse_args()
+
+    if not args.smoke and not _backend_reachable():
         last = _last_healthy()
         out = {
             "metric": "deepfm_criteo_train_throughput_per_chip",
@@ -228,8 +521,8 @@ def main():
     from recbox_tpu.training import TrainerConfig
     from recbox_tpu.training.packed import PackedEmbeddingTrainer
 
-    batch_size = BATCH_SIZE
-    model, batch = criteo_workload(batch_size)
+    batch_size = 256 if args.smoke else BATCH_SIZE
+    model, batch = criteo_workload(batch_size, smoke=args.smoke)
     cfg = TrainerConfig(learning_rate=1e-3, grad_clip_norm=10.0, epochs=1,
                         monitor="AUC")
     trainer = PackedEmbeddingTrainer(
@@ -243,14 +536,15 @@ def main():
     # 150 steps/rep: the one dispatch+sync round trip per rep costs ~40 ms
     # of tunnel latency; at 60 steps that was a ~1.8% haircut on the
     # steady-state step time, at 150 it is ~0.7%.
-    steps = 150
+    steps = 5 if args.smoke else 150
+    n_reps = 1 if args.smoke else 5
     losses = trainer.train_steps_repeat(batch, steps)   # compile + warmup
     _ = float(losses[-1])
 
     # best-of-5: the tunnel adds run-to-run variance (observed up to ~35%);
     # the minimum is the least-contended measurement of the same program
     best = float("inf")
-    for _ in range(5):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         losses = trainer.train_steps_repeat(batch, steps)
         _ = float(losses[-1])                      # host sync
@@ -264,11 +558,16 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / SELF_BASELINE_EXAMPLES_PER_SEC, 4),
         "platform": platform,
-        "roofline": _roofline(best / steps * 1e3, batch_size),
     }
-    # the history is CHIP evidence for outage fallbacks — a CPU-forced run
-    # (reachable backend, wrong platform) must not poison last_healthy
-    if platform not in ("cpu",):
+    if args.smoke:
+        record["smoke"] = True        # tiny-shape structure check, NOT perf
+    else:
+        record["roofline"] = _roofline(best / steps * 1e3, batch_size)
+    if not args.skip_secondary:
+        record["secondary"] = _run_secondaries(args.smoke)
+    # the history is CHIP evidence for outage fallbacks — a CPU-forced or
+    # smoke run (reachable backend, wrong shapes) must not poison it
+    if platform not in ("cpu",) and not args.smoke:
         _append_history({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                              time.gmtime()), **record})
     print(json.dumps(record))

@@ -96,6 +96,30 @@ def main():
                         [sys.executable, "-c", probe], timeout=900,
                         expect="BENCH_GUARD_OK")
 
+    # multi-metric structure: the smoke run must carry the primary metric
+    # AND the full secondary array (serving bf16+int8, sasrec, lightgcn)
+    # with no per-entry errors — a broken secondary would silently drop a
+    # driver-guarded perf claim (VERDICT round-4 weak #1)
+    smoke = (
+        "import json, subprocess, sys\n"
+        "p = subprocess.run([sys.executable, 'bench.py', '--smoke'],\n"
+        "                   capture_output=True, text=True, timeout=800)\n"
+        "rec = json.loads(p.stdout.strip().splitlines()[-1])\n"
+        "assert rec['metric'] == 'deepfm_criteo_train_throughput_per_chip'\n"
+        "sec = rec['secondary']\n"
+        "names = [e.get('metric') for e in sec]\n"
+        "want = ['mips_serving_qps_bf16_k500', 'mips_serving_qps_int8_k500',\n"
+        "        'sasrec_train_throughput_per_chip',\n"
+        "        'lightgcn_train_throughput_per_chip']\n"
+        "assert names == want, names\n"
+        "bad = [e for e in sec if 'error' in e or 'skipped' in e]\n"
+        "assert not bad, bad\n"
+        "assert all(e['value'] > 0 for e in sec)\n"
+        "print('BENCH_SMOKE_OK')")
+    failures += not run("bench.py --smoke full multi-metric structure",
+                        [sys.executable, "-c", smoke], timeout=900,
+                        expect="BENCH_SMOKE_OK")
+
     print(f"\n{'ROUND-READY' if failures == 0 else f'{failures} FAILURES'}")
     return failures
 
