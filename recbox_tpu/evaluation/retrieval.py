@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["evaluate_retrieval", "retrieval_metrics_from_topk", "parse_metric"]
+__all__ = ["evaluate_retrieval", "retrieval_metrics_from_topk", "parse_metric",
+           "std_gauc"]
 
 NEG_INF = -1e9
 _METRIC_RE = re.compile(r"^(\w+)\(k=(\d+)\)$")
@@ -191,6 +192,45 @@ def evaluate_retrieval(
         for key, v in vals.items():
             sums[key] += float(jnp.sum(v[:n_real]))
     return {m: sums[f"{n}(k={k})"] / num_users for m, (n, k) in zip(metrics, parsed)}
+
+
+def std_gauc(scores: np.ndarray, pos_matrix: np.ndarray) -> float:
+    """Full-sort GAUC with recbole's exact semantics
+    (`third_party/recbole/evaluator/metrics.py:233-318` +
+    `evaluator/collector.py:169-185`): per-user AUC over the user's
+    *rankable* items (entries scored ``-inf`` are masked history/PAD —
+    recbole's full-sort protocol scores them −inf and its
+    ``desc_scores.argmin`` user-length excludes them), tie values share
+    their average rank (collector `_average_rank`), users with zero
+    positives or zero negatives among rankable items are EXCLUDED, and
+    the per-user AUCs are weighted by the user's positive count.
+
+    This is distinct from the CTR-stage ``grouped_auc`` (fuxictr/DIN
+    semantics: weight = group sample count — `ranking/metrics.py:60-87`);
+    both semantics ship, like the MRR/StdMRR split.
+
+    Args:
+        scores: (U, I) float matrix; −inf marks non-rankable entries.
+        pos_matrix: (U, I) 0/1 ground-truth matrix (positives must be
+            finite-scored).
+    Verified per-metric against the runnable reference evaluator in
+    tools/parity_eval_metrics.py / tests/test_evaluator_equivalence.py.
+    """
+    from recbox_tpu.evaluation.ctr import auc_score
+
+    scores = np.asarray(scores, dtype=np.float64)
+    pos_matrix = np.asarray(pos_matrix)
+    num, den = 0.0, 0.0
+    for u in range(scores.shape[0]):
+        rankable = np.isfinite(scores[u])
+        t = pos_matrix[u][rankable]
+        p = scores[u][rankable]
+        n_pos = float(t.sum())
+        if n_pos == 0 or n_pos == len(t):
+            continue  # degenerate user: no positives or no negatives
+        num += auc_score(t, p) * n_pos
+        den += n_pos
+    return num / den if den > 0 else 0.0
 
 
 def retrieval_metrics_from_topk(topk_items, true_items, metrics) -> Dict[str, float]:
