@@ -34,7 +34,8 @@ logger = logging.getLogger("recbox_tpu")
 
 __all__ = ["build_model", "build_trainer_config", "run_ranking_experiment",
            "run_matching_experiment", "run_sequential_experiment",
-           "run_rerank_experiment", "run_kg_experiment", "run_experiment"]
+           "run_rerank_experiment", "run_kg_experiment", "run_experiment",
+           "run_cascade_experiment"]
 
 
 def build_model(config: Mapping[str, Any], feature_map: FeatureMap):
@@ -547,6 +548,43 @@ def _user2items(split) -> Dict[int, list]:
     return out
 
 
+def _acquire_interactions(dataset: str, cfg: Mapping[str, Any],
+                          data_dir: Optional[str]):
+    """Acquire-by-name + atomic load + Interactions — shared by
+    `run_experiment` and `run_cascade_experiment`."""
+    from recbox_tpu.data.acquire import acquire_dataset
+    from recbox_tpu.data.atomic import load_atomic_dataset
+
+    # `dataset_dir` is the acquisition cache root (NOT run.py's `data_dir`,
+    # which means a pre-encoded npz directory)
+    folder = acquire_dataset(dataset,
+                             data_dir or cfg.get("dataset_dir", "datasets"),
+                             url=cfg.get("dataset_url"),
+                             checksum=cfg.get("dataset_sha256"))
+    uf = cfg.get("user_field", "user_id")
+    itf = cfg.get("item_field", "item_id")
+    ds = load_atomic_dataset(folder, dataset, user_field=uf, item_field=itf)
+    rf = cfg.get("rating_field",
+                 "rating" if "rating" in ds.inter else None)
+    tf = cfg.get("time_field",
+                 "timestamp" if "timestamp" in ds.inter else None)
+    inter = ds.to_interactions(user_field=uf, item_field=itf,
+                               rating_field=rf, time_field=tf)
+    return ds, inter, rf, tf
+
+
+def _filter_and_remap(inter, cfg: Mapping[str, Any]):
+    """min_rating / k-core filters + contiguous remap (ids start at 1; 0
+    stays the PAD/OOV row everywhere downstream)."""
+    if cfg.get("min_rating") is not None:
+        inter = inter.filter_by_rating(float(cfg["min_rating"]))
+    if cfg.get("min_user_inter") or cfg.get("min_item_inter"):
+        inter = inter.filter_by_count(
+            int(cfg.get("min_user_inter", 0) or 0),
+            int(cfg.get("min_item_inter", 0) or 0))
+    return inter.remap_ids(start=1)
+
+
 def run_experiment(
     model: str,
     dataset: str,
@@ -590,8 +628,6 @@ def run_experiment(
     .inter file cannot express (multiple labels; slates) — use their
     explicit `run_*_experiment` entry points.
     """
-    from recbox_tpu.data.acquire import acquire_dataset
-    from recbox_tpu.data.atomic import load_atomic_dataset
     from recbox_tpu.features.schema import FeatureSpec
 
     cfg = dict(config or {})
@@ -606,21 +642,7 @@ def run_experiment(
             f"use quick_start.run_{'ranking' if stage == 'multitask' else 'rerank'}"
             "_experiment with explicit arrays.")
 
-    # `dataset_dir` is the acquisition cache root (NOT run.py's `data_dir`,
-    # which means a pre-encoded npz directory)
-    folder = acquire_dataset(dataset,
-                             data_dir or cfg.get("dataset_dir", "datasets"),
-                             url=cfg.get("dataset_url"),
-                             checksum=cfg.get("dataset_sha256"))
-    uf = cfg.get("user_field", "user_id")
-    itf = cfg.get("item_field", "item_id")
-    ds = load_atomic_dataset(folder, dataset, user_field=uf, item_field=itf)
-    rf = cfg.get("rating_field",
-                 "rating" if "rating" in ds.inter else None)
-    tf = cfg.get("time_field",
-                 "timestamp" if "timestamp" in ds.inter else None)
-    inter = ds.to_interactions(user_field=uf, item_field=itf,
-                               rating_field=rf, time_field=tf)
+    ds, inter, rf, tf = _acquire_interactions(dataset, cfg, data_dir)
 
     if stage == "knowledge":
         # KG entity ids are already aligned with the loader's item remap
@@ -634,14 +656,7 @@ def run_experiment(
                     " filtering would desynchronize the item <-> KG-entity id"
                     " space joined at load time")
     else:
-        if cfg.get("min_rating") is not None:
-            inter = inter.filter_by_rating(float(cfg["min_rating"]))
-        if cfg.get("min_user_inter") or cfg.get("min_item_inter"):
-            inter = inter.filter_by_count(
-                int(cfg.get("min_user_inter", 0) or 0),
-                int(cfg.get("min_item_inter", 0) or 0))
-        # ids start at 1; 0 stays the PAD/OOV row everywhere downstream
-        inter = inter.remap_ids(start=1)
+        inter = _filter_and_remap(inter, cfg)
     n_users, n_items = inter.num_users, inter.num_items
     seed = cfg.get("seed", 2024)
     emb_dim = cfg.get("embedding_dim", 64)
@@ -798,3 +813,333 @@ def run_experiment(
         cfg, fm, train_arrays, corpus_arrays, eval_user_arrays, vu,
         train_u2i, valid_u2i, mesh=mesh,
         test_user2items=test_u2i or None)
+
+
+def run_cascade_experiment(
+    dataset: str,
+    matcher: str = "MF",
+    ranker: str = "DCN",
+    reranker: str = "PRM",
+    config: Optional[Mapping[str, Any]] = None,
+    data_dir: Optional[str] = None,
+    mesh=None,
+    **overrides,
+) -> Dict[str, float]:
+    """The full three-stage cascade — matching → ranking → reranking —
+    as ONE call from a dataset name, with a leakage-clean candidate/label
+    protocol.
+
+    This is the capability the reference cannot run as one program: its
+    cascade spans three frameworks with file handoffs
+    (`recbox/matching/pytorch/models/match_model.py:162-225` →
+    `recbox/ranking/pytorch/models/ranking_model.py:136-217` →
+    `third_party/librerank/reranker.py:331`). Protocol (from the measured
+    ML-1M-scale run, `tools/cascade_ml1m_scale.py`):
+
+      split   0.8/0.1/0.1 per-user (RO, or TO when timestamps exist).
+      stage 1 `matcher` (any matching-stage model with user/item towers)
+              trained with sampled negatives, full-sort valid eval;
+              candidate lists: top-`candidates` unseen items per user —
+              *valid* lists mask train history only, *test* lists mask
+              train ∪ valid (recbole full-sort test masking).
+      stage 2 `ranker` (any ranking-stage CTR model) on train positives +
+              mixed negatives (half uniform-unseen, half hard = matcher
+              candidates that are not known positives — impression-style)
+              with the matcher score as a numeric feature (the production
+              "retrieval score feeds the ranker" contract); ranker
+              re-scores and prunes the lists to `list_len`.
+      stage 3 `reranker` (any reranking-stage listwise model) trained on
+              valid-labeled lists (the "logged feedback" a production
+              reranker trains on), evaluated on test-labeled lists —
+              features per slot: [user emb ‖ item emb ‖ matcher score ‖
+              ranker score].
+
+    Returns stage1 valid/test retrieval metrics + candidate recall,
+    stage2 AUC/logloss, and NDCG/MAP@k on the held-out test lists under
+    matcher order, ranker order, and reranker order (`stage3_*`).
+
+    Config knobs (beyond run_experiment's data knobs): matcher_epochs=5,
+    ranker_epochs=3, reranker_epochs=5, candidates=100, list_len=20,
+    neg_per_pos=3, embedding_dim=32, topk_eval=(10, 20); per-stage model
+    hyperparameters pass through by dataclass-field name.
+    """
+    from recbox_tpu.evaluation.ctr import auc_score, log_loss
+    from recbox_tpu.evaluation.rerank import evaluate_rerank
+    from recbox_tpu.features.schema import FeatureSpec
+
+    cfg = dict(config or {})
+    cfg.update(overrides)
+    seed = cfg.get("seed", 2024)
+    emb_dim = cfg.get("embedding_dim", 32)
+    n_cand = int(cfg.get("candidates", 100))
+    list_len = int(cfg.get("list_len", 20))
+    neg_per_pos = int(cfg.get("neg_per_pos", 3))
+    ks = tuple(cfg.get("topk_eval", (10, 20)))
+    rng = np.random.default_rng(seed)
+
+    # --- data: acquire / filter / per-user split (leakage-clean) ---------
+    _, inter, rf, tf = _acquire_interactions(dataset, cfg, data_dir)
+    inter = _filter_and_remap(inter, cfg)
+    n_users, n_items = inter.num_users, inter.num_items
+    order = cfg.get("order", "TO" if inter.timestamps is not None else "RO")
+    train, valid, test = inter.split_ratio(
+        tuple(cfg.get("split_ratios", (0.8, 0.1, 0.1))), order=order,
+        group_by_user=True, seed=seed)
+    train_u2i, valid_u2i, test_u2i = map(_user2items, (train, valid, test))
+    if not valid_u2i or not test_u2i:
+        raise ValueError(
+            f"dataset {dataset!r}: cascade needs non-empty valid AND test "
+            "splits (per-user ratio split — users need >= 10 interactions "
+            "at the default 0.8/0.1/0.1)")
+
+    fm = FeatureMap(dataset, (
+        FeatureSpec("user_id", "categorical", source="user",
+                    vocab_size=n_users, embedding_dim=emb_dim),
+        FeatureSpec("item_id", "categorical", source="item",
+                    vocab_size=n_items, embedding_dim=emb_dim)),
+        labels=("click",), query_index="user_id", corpus_index="item_id",
+        num_items=n_items)
+    corpus = {"item_id": np.arange(n_items, dtype=np.int32)}
+    exclude = tuple(cfg.get("exclude_items", (0,)))
+
+    # --- stage 1: matcher ------------------------------------------------
+    _, m_stage = get_model(matcher)
+    if m_stage != "matching":
+        raise ValueError(f"matcher {matcher!r} is stage {m_stage!r}")
+    metrics = list(cfg.get("metrics", ["Recall(k=20)", "NDCG(k=10)"]))
+    cfg1 = {**cfg, "model": matcher,
+            "epochs": cfg.get("matcher_epochs", 5),
+            "monitor": cfg.get("monitor", metrics[0])}
+    m_model, _ = build_model(Config(cfg1), fm)
+    loader = MatchingLoader(
+        fm, {"user_id": train.user_ids.astype(np.int32),
+             "item_id": train.item_ids.astype(np.int32)},
+        corpus, batch_size=cfg.get("batch_size", 512),
+        num_negs=cfg.get("num_negs", 1), seed=seed, exclude_seen=True,
+        exclude_ids=exclude)
+    vu = np.asarray(sorted(valid_u2i), np.int64)
+    tu = np.asarray(sorted(test_u2i), np.int64)
+    evaluator = RetrievalEvaluator(
+        {"user_id": vu.astype(np.int32)}, corpus, vu, train_u2i, valid_u2i,
+        metrics=metrics, exclude_items=exclude)
+    match_loss = get_matching_loss(cfg.get("loss", "PairwiseLogisticLoss"))
+    t_match = Trainer(m_model, lambda o, b: match_loss(o),
+                      build_trainer_config(cfg1), eval_fn=evaluator,
+                      mesh=mesh)
+    stage1_valid = t_match.fit(loader)
+    merged_hist: Dict[int, list] = {}
+    for u2i in (train_u2i, valid_u2i):
+        for u, its in u2i.items():
+            merged_hist.setdefault(int(u), []).extend(its)
+    test_eval = RetrievalEvaluator(
+        {"user_id": tu.astype(np.int32)}, corpus, tu, merged_hist,
+        test_u2i, metrics=metrics, exclude_items=exclude)
+    stage1_test = test_eval(t_match)
+
+    # encode ALL users + the whole corpus once for downstream features
+    all_users = RetrievalEvaluator(
+        {"user_id": np.arange(n_users, dtype=np.int32)}, corpus,
+        np.arange(n_users), {}, {})
+    user_embs, item_embs = all_users.encode_all(t_match)
+
+    def pair_scores(u, i):
+        return np.einsum("nd,nd->n", user_embs[u], item_embs[i])
+
+    _tr_sc = pair_scores(train.user_ids, train.item_ids)
+    _mu, _sd = float(_tr_sc.mean()), float(_tr_sc.std() + 1e-8)
+
+    def match_feat(u, i):
+        return ((pair_scores(u, i) - _mu) / _sd).astype(np.float32)
+
+    def candidates(users, hist_maps, k):
+        """Top-k unseen candidates per user, best-first (chunked — never
+        materializes the full (U, I) matrix)."""
+        out = np.empty((len(users), k), np.int64)
+        for s in range(0, len(users), 1024):
+            us = users[s:s + 1024]
+            sc = user_embs[us] @ item_embs.T
+            for r, u in enumerate(us):
+                seen = list(exclude)
+                for h in hist_maps:
+                    seen.extend(h.get(int(u), ()))
+                sc[r, seen] = -np.inf
+            idx = np.argpartition(-sc, kth=min(k, sc.shape[1] - 1),
+                                  axis=1)[:, :k]
+            row_s = np.take_along_axis(sc, idx, axis=1)
+            ordr = np.argsort(-row_s, axis=1, kind="stable")
+            out[s:s + 1024] = np.take_along_axis(idx, ordr, axis=1)
+        return out
+
+    valid_cand = candidates(vu, (train_u2i,), n_cand)
+    test_cand = candidates(tu, (train_u2i, valid_u2i), n_cand)
+
+    def relevance(users, cand, u2i):
+        out = np.zeros(cand.shape, np.float32)
+        for r, u in enumerate(users):
+            pos = set(u2i[int(u)])
+            out[r] = [1.0 if i in pos else 0.0 for i in cand[r]]
+        return out
+
+    rel_valid = relevance(vu, valid_cand, valid_u2i)
+    rel_test = relevance(tu, test_cand, test_u2i)
+    cand_recall = float(np.mean(
+        rel_test.sum(1) / np.maximum([len(test_u2i[int(u)]) for u in tu],
+                                     1)))
+
+    # --- stage 2: ranker -------------------------------------------------
+    _, r_stage = get_model(ranker)
+    if r_stage != "ranking":
+        raise ValueError(f"ranker {ranker!r} is stage {r_stage!r}")
+    hard_pool = {}
+    for r, u in enumerate(vu):
+        vset = set(valid_u2i.get(int(u), ()))
+        pool = [i for i in valid_cand[r] if i not in vset]
+        if pool:
+            hard_pool[int(u)] = np.asarray(pool, np.int64)
+
+    def make_ctr(dset, hist_maps):
+        pos_u = dset.user_ids.astype(np.int64)
+        pos_i = dset.item_ids.astype(np.int64)
+        n_hard = neg_per_pos // 2
+        n_rand = neg_per_pos - n_hard
+        neg_u = np.repeat(pos_u, n_rand)
+        neg_i = rng.integers(0, n_items, len(neg_u))
+        seen: Dict[int, set] = {}
+        for h in hist_maps:
+            for u, its in h.items():
+                seen.setdefault(int(u), set()).update(its)
+        for _ in range(4):   # resample seen-collisions (few rounds suffice)
+            bad = np.array([i in seen.get(int(u), ()) or i in exclude
+                            for u, i in zip(neg_u, neg_i)])
+            if not bad.any():
+                break
+            neg_i[bad] = rng.integers(0, n_items, int(bad.sum()))
+        hu = np.repeat(pos_u, n_hard)
+        hi = np.empty(len(hu), np.int64)
+        for r, u in enumerate(hu):
+            pool = hard_pool.get(int(u))
+            hi[r] = pool[rng.integers(0, len(pool))] if pool is not None \
+                else rng.integers(0, n_items)
+        u = np.concatenate([pos_u, neg_u, hu])
+        i = np.concatenate([pos_i, neg_i, hi])
+        y = np.concatenate([np.ones(len(pos_u), np.float32),
+                            np.zeros(len(neg_u) + len(hu), np.float32)])
+        p = rng.permutation(len(u))
+        u, i, y = u[p], i[p], y[p]
+        return {"user_id": u.astype(np.int32), "item_id": i.astype(np.int32),
+                "match_score": match_feat(u, i), "click": y}
+
+    ctr_train = make_ctr(train, (train_u2i,))
+    ctr_valid = make_ctr(valid, (train_u2i, valid_u2i))
+    fm_rank = FeatureMap(f"{dataset}_rank", (
+        FeatureSpec("user_id", "categorical", source="user",
+                    vocab_size=n_users, embedding_dim=emb_dim),
+        FeatureSpec("item_id", "categorical", source="item",
+                    vocab_size=n_items, embedding_dim=emb_dim),
+        FeatureSpec("match_score", "numeric", embedding_dim=emb_dim)),
+        labels=("click",))
+    cfg2 = {**cfg, "model": ranker, "epochs": cfg.get("ranker_epochs", 3)}
+    r_model, _ = build_model(Config(cfg2), fm_rank)
+    t_rank = Trainer(r_model,
+                     lambda o, b: binary_crossentropy(o, b["click"]),
+                     build_trainer_config(cfg2), mesh=mesh)
+    # cap at the row count: drop_last would otherwise yield ZERO batches
+    # on small datasets and leave the trainer uninitialized
+    rank_loader = ArrayLoader(
+        ctr_train,
+        batch_size=min(cfg.get("ranker_batch_size", 8192),
+                       len(ctr_train["click"])),
+        drop_last=True, seed=seed)
+    for _ep in range(cfg.get("ranker_epochs", 3)):
+        for batch in rank_loader:
+            batch.pop("__mask__", None)
+            t_rank.train_step(batch)
+
+    def ranker_scores(u, i):
+        out = []
+        for s in range(0, len(u), 65536):
+            us, its = u[s:s + 65536], i[s:s + 65536]
+            out.append(np.asarray(t_rank.apply(
+                {"user_id": us.astype(np.int32),
+                 "item_id": its.astype(np.int32),
+                 "match_score": match_feat(us, its)})))
+        return np.concatenate(out)
+
+    vpred = ranker_scores(ctr_valid["user_id"], ctr_valid["item_id"])
+    stage2_auc = auc_score(ctr_valid["click"], vpred)
+    stage2_ll = log_loss(ctr_valid["click"], 1.0 / (1.0 + np.exp(-vpred)))
+
+    def score_lists(users, cand):
+        b, k = cand.shape
+        fu = np.repeat(users, k)
+        fi = cand.reshape(-1)
+        return ranker_scores(fu, fi).reshape(b, k)
+
+    rank_valid = score_lists(vu, valid_cand)
+    rank_test = score_lists(tu, test_cand)
+
+    def truncate(cand, scores, rel, k):
+        """Ranker prunes retrieval candidates to the listwise window —
+        the production contract."""
+        o = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(cand, o, axis=1),
+                np.take_along_axis(scores, o, axis=1),
+                np.take_along_axis(rel, o, axis=1))
+
+    vc, vs, vr = truncate(valid_cand, rank_valid, rel_valid, list_len)
+    tc, ts, tr_ = truncate(test_cand, rank_test, rel_test, list_len)
+
+    # ordering quality of the two upstream stages on the TEST lists —
+    # full candidate lists (candidate-ordering quality) AND the truncated
+    # list_len lists stage 3 is judged on (apples-to-apples: IDCG depends
+    # on the relevant count INSIDE the list, so full-list and
+    # truncated-list NDCG are not comparable to each other)
+    matcher_order = evaluate_rerank(
+        -np.arange(n_cand, dtype=np.float64)[None].repeat(len(tu), 0),
+        rel_test, ks=list(ks))
+    ranker_order = evaluate_rerank(rank_test, rel_test, ks=list(ks))
+    tc_match_scores = match_feat(np.repeat(tu, list_len),
+                                 tc.reshape(-1)).reshape(tc.shape)
+    list_matcher = evaluate_rerank(tc_match_scores, tr_, ks=list(ks))
+    list_ranker = evaluate_rerank(ts, tr_, ks=list(ks))
+
+    # --- stage 3: reranker (reuses the generic listwise pipeline) --------
+    def slot_feats(users, cand, scores):
+        b, k = cand.shape
+        fu = np.repeat(users, k)
+        fi = cand.reshape(-1)
+        return np.concatenate([
+            np.repeat(user_embs[users][:, None, :], k, axis=1),
+            item_embs[fi].reshape(b, k, -1),
+            match_feat(fu, fi).reshape(b, k, 1),
+            scores[..., None]], axis=-1).astype(np.float32)
+
+    cfg3 = {**cfg, "model": reranker,
+            "epochs": cfg.get("reranker_epochs", 5),
+            # never exceed the list count: the list loader drops ragged
+            # tails, so batch_size > n_lists would yield ZERO batches
+            "batch_size": min(cfg.get("reranker_batch_size", 256), len(vu)),
+            "monitor": f"NDCG@{ks[0]}"}
+    cfg3.setdefault("max_list_len", list_len)
+    train_lists = {"item_feats": slot_feats(vu, vc, vs),
+                   "labels": vr, "mask": np.ones(vr.shape, bool)}
+    test_lists = {"item_feats": slot_feats(tu, tc, ts),
+                  "labels": tr_, "mask": np.ones(tr_.shape, bool)}
+    stage3 = run_rerank_experiment(cfg3, train_lists, test_lists,
+                                   ks=list(ks), mesh=mesh)
+
+    result: Dict[str, float] = {}
+    result.update({f"stage1_{k}": v for k, v in stage1_valid.items()})
+    result.update({f"stage1_test_{k}": v for k, v in stage1_test.items()})
+    result["candidate_recall"] = cand_recall
+    result["stage2_AUC"] = stage2_auc
+    result["stage2_logloss"] = stage2_ll
+    for k in ks:
+        result[f"matcher_order_NDCG@{k}"] = matcher_order[f"NDCG@{k}"]
+        result[f"ranker_order_NDCG@{k}"] = ranker_order[f"NDCG@{k}"]
+        result[f"list_matcher_NDCG@{k}"] = list_matcher[f"NDCG@{k}"]
+        result[f"list_ranker_NDCG@{k}"] = list_ranker[f"NDCG@{k}"]
+    result.update({f"stage3_{k}": v for k, v in stage3.items()})
+    logger.info("cascade %s/%s/%s on %s: %s", matcher, ranker, reranker,
+                dataset, result)
+    return result

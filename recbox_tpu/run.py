@@ -55,6 +55,23 @@ def run_expid(config_dir: str, experiment_id: str,
     cfg = load_config(config_dir, experiment_id, cli=cli,
                       overrides=dict(overrides) if overrides else None)
     data_dir = cfg.get("data_dir")
+    if cfg.get("model") == "cascade":
+        # three-stage cascade route: `model: cascade` + `dataset: <name>`
+        # (+ optional matcher/ranker/reranker model names) runs
+        # matching -> ranking -> reranking as one program
+        # (`quick_start.run_cascade_experiment`) — the pipeline the
+        # reference needs three frameworks and file handoffs for
+        if not cfg.get("dataset"):
+            raise KeyError(
+                f"expid {experiment_id!r}: model 'cascade' needs a "
+                "`dataset` name (the cascade derives all three stages' "
+                "supervision from one interaction file)")
+        metrics = quick_start.run_cascade_experiment(
+            cfg["dataset"], matcher=cfg.get("matcher", "MF"),
+            ranker=cfg.get("ranker", "DCN"),
+            reranker=cfg.get("reranker", "PRM"), config=dict(cfg))
+        return _finish(cfg, experiment_id, metrics,
+                       dataset_id=cfg["dataset"])
     if not data_dir and cfg.get("dataset"):
         # raw-dataset route (recbole `run_recbole(model, dataset)` surface):
         # a dataset NAME instead of a pre-encoded npz dir — acquire/load/

@@ -23,6 +23,11 @@ Protocol (leakage-clean):
 
 Run on TPU:  OURS_PLATFORM= python tools/cascade_ml1m_scale.py
 Knobs: MF_EPOCHS (8) DCN_EPOCHS (3) PRM_STEPS (300) LIST (50) CAND (200)
+
+Round 5: this protocol is now a first-class API —
+`quick_start.run_cascade_experiment(dataset, matcher=, ranker=,
+reranker=)` (tests/test_cascade_api.py, examples/cascade_three_stage.py);
+this tool remains the at-scale measured record.
 """
 import sys; sys.path.insert(0, "/root/repo")
 import os
