@@ -156,6 +156,111 @@ class AtomicDataset:
         return InteractionDataset(self.inter[user_field],
                                   self.inter[item_field], **kw)
 
+    def filter_interactions(self, min_rating: Optional[float] = None,
+                            min_user_inter: int = 0,
+                            min_item_inter: int = 0,
+                            rating_field: str = "rating",
+                            user_field: str = "user_id",
+                            item_field: str = "item_id"
+                            ) -> "AtomicDataset":
+        """Filter interactions, then JOINTLY remap users, items, and KG
+        entities so the item↔entity id spaces stay aligned.
+
+        recbole semantics (`third_party/recbole/data/dataset/dataset.py:868`
+        `_filter_by_inter_num` + `:1165` `_remap_ID_all` + kg_dataset.py):
+        filtering happens BEFORE the remap, so after min_rating /
+        iterative k-core pruning, surviving items are renumbered
+        contiguously, linked KG entities inherit the surviving item's new
+        id, and entities of DROPPED items become plain (non-item)
+        entities numbered after the new item id space — exactly what a
+        post-load remap of the union {remaining item tokens} ∪ {entity
+        tokens} produces there. Returns a NEW AtomicDataset; `self` is
+        untouched.
+        """
+        inter = dict(self.inter)
+        n = len(inter[user_field])
+        keep = np.ones(n, dtype=bool)
+        if min_rating is not None:
+            if rating_field not in inter:
+                raise ValueError(f"min_rating needs a {rating_field!r} "
+                                 "column in .inter")
+            keep &= inter[rating_field].astype(np.float64) >= min_rating
+        rows = np.flatnonzero(keep)
+        u = inter[user_field][rows].astype(np.int64)
+        i = inter[item_field][rows].astype(np.int64)
+        # iterative k-core (recbole loops until stable)
+        while len(rows) and (min_user_inter or min_item_inter):
+            uc = np.bincount(u)
+            ic = np.bincount(i)
+            ok = (uc[u] >= min_user_inter) & (ic[i] >= min_item_inter)
+            if ok.all():
+                break
+            rows, u, i = rows[ok], u[ok], i[ok]
+        inter = {k: v[rows] for k, v in inter.items()}
+
+        def contiguous(ids: np.ndarray) -> Dict[int, int]:
+            # old ids were assigned in first-appearance order at load, so
+            # ascending old id == original relative order
+            return {int(o): r + 1 for r, o in enumerate(np.unique(ids))}
+
+        user_map = contiguous(u)
+        item_map = contiguous(i)
+        inter[user_field] = np.asarray([user_map[int(x)] for x in u],
+                                       np.int64)
+        inter[item_field] = np.asarray([item_map[int(x)] for x in i],
+                                       np.int64)
+
+        def remap_table(table, field, mapping):
+            if table is None:
+                return None
+            sel = np.asarray([int(x) in mapping for x in table[field]])
+            out = {k: v[sel] for k, v in table.items()}
+            out[field] = np.asarray([mapping[int(x)] for x in out[field]],
+                                    np.int64)
+            return out
+
+        user = remap_table(self.user, user_field, user_map)
+        item = remap_table(self.item, item_field, item_map)
+        user_vocab = {t: user_map[o] for t, o in self.user_vocab.items()
+                      if o in user_map}
+        item_vocab = {t: item_map[o] for t, o in self.item_vocab.items()
+                      if o in item_map}
+
+        kg, link = self.kg, self.link
+        entity_vocab: Dict[str, int] = {}
+        if kg is not None:
+            # entity remap: surviving linked items keep their (new) item
+            # id; everything else — dropped-item entities AND pure
+            # entities — is renumbered after the new item id space in
+            # first-appearance order over the kg triples
+            ent_map: Dict[int, int] = dict(item_map)
+            nxt = len(item_map)
+            kg = dict(kg)
+            for key in ("head_id", "tail_id"):
+                col = kg[key].astype(np.int64)
+                out = np.zeros(len(col), np.int64)
+                for r, e in enumerate(col):
+                    e = int(e)
+                    if e not in ent_map:
+                        nxt += 1
+                        ent_map[e] = nxt
+                    out[r] = ent_map[e]
+                kg[key] = out
+            if link is not None:
+                lid = link[item_field + "_id"].astype(np.int64) \
+                    if item_field + "_id" in link else None
+                if lid is not None:
+                    sel = np.asarray([int(x) in item_map for x in lid])
+                    link = {k: v[sel] for k, v in link.items()}
+                    link[item_field + "_id"] = np.asarray(
+                        [item_map[int(x)] for x in lid[sel]], np.int64)
+            entity_vocab = {t: ent_map[o]
+                            for t, o in self.entity_vocab.items()
+                            if o in ent_map}
+        return AtomicDataset(inter, user, item, kg, link,
+                             user_vocab, item_vocab, entity_vocab,
+                             dict(self.relation_vocab))
+
     def to_knowledge_graph(self):
         from recbox_tpu.data.knowledge import KnowledgeGraph
         if self.kg is None:

@@ -643,18 +643,27 @@ def run_experiment(
             "_experiment with explicit arrays.")
 
     ds, inter, rf, tf = _acquire_interactions(dataset, cfg, data_dir)
+    uf = cfg.get("user_field", "user_id")
+    itf = cfg.get("item_field", "item_id")
 
     if stage == "knowledge":
-        # KG entity ids are already aligned with the loader's item remap
-        # (items = linked entities); re-filtering + re-remapping here would
-        # break that alignment, so the knowledge path uses the loaded ids
-        # as-is (recbole likewise remaps kg jointly at load).
-        for k in ("min_rating", "min_user_inter", "min_item_inter"):
-            if cfg.get(k):
-                raise NotImplementedError(
-                    f"{k} is not supported for knowledge-stage one-call runs:"
-                    " filtering would desynchronize the item <-> KG-entity id"
-                    " space joined at load time")
+        # KG entity ids are aligned with the item remap (items = linked
+        # entities), so filtering must remap items and entities JOINTLY —
+        # AtomicDataset.filter_interactions implements recbole's
+        # filter-then-remap semantics (`dataset.py:868` + `:1165` +
+        # kg_dataset.py): surviving items keep aligned entity ids,
+        # dropped-item entities become plain entities after the new item
+        # id space.
+        if (cfg.get("min_rating") is not None or cfg.get("min_user_inter")
+                or cfg.get("min_item_inter")):
+            ds = ds.filter_interactions(
+                min_rating=(None if cfg.get("min_rating") is None
+                            else float(cfg["min_rating"])),
+                min_user_inter=int(cfg.get("min_user_inter", 0) or 0),
+                min_item_inter=int(cfg.get("min_item_inter", 0) or 0),
+                rating_field=rf or "rating", user_field=uf, item_field=itf)
+            inter = ds.to_interactions(user_field=uf, item_field=itf,
+                                       rating_field=rf, time_field=tf)
     else:
         inter = _filter_and_remap(inter, cfg)
     n_users, n_items = inter.num_users, inter.num_items

@@ -284,3 +284,54 @@ class TestAtomicEntityRemap:
         others = [ent_items[e] for e in ("e_x", "e_y", "e_z")]
         assert len(set(others)) == 3
         assert not (set(others) & item_ids)
+
+    def test_filter_interactions_joint_item_entity_remap(self, tmp_path):
+        """`AtomicDataset.filter_interactions` (round 5): after k-core /
+        min_rating filtering, items and KG entities are remapped JOINTLY
+        (recbole `dataset.py:868` + `:1165` + kg_dataset.py semantics) —
+        surviving linked items keep item==entity id alignment, dropped
+        items' entities become plain entities numbered after the new
+        item id space, and inter ids are contiguous from 1."""
+        from recbox_tpu.data.atomic import load_atomic_dataset
+        # i0/i1/i2 popular (4 inters each); i3 appears once -> dropped by
+        # min_item_inter=2; user u9 has one interaction -> dropped by
+        # min_user_inter=2
+        lines = ["user_id:token\titem_id:token\trating:float\n"]
+        for u in range(4):
+            for i in range(3):
+                lines.append(f"u{u}\ti{i}\t5.0\n")
+        lines.append("u0\ti3\t5.0\n")
+        lines.append("u9\ti0\t5.0\n")
+        (tmp_path / "t.inter").write_text("".join(lines))
+        (tmp_path / "t.link").write_text(
+            "item_id:token\tentity_id:token\n" +
+            "".join(f"i{i}\te{i}\n" for i in range(4)))
+        (tmp_path / "t.kg").write_text(
+            "head_id:token\trelation_id:token\ttail_id:token\n" +
+            "".join(f"e{i}\tr0\te{(i + 1) % 4}\n" for i in range(4)) +
+            "e0\tr1\te_x\n")
+        ds = load_atomic_dataset(str(tmp_path), "t")
+        f = ds.filter_interactions(min_user_inter=2, min_item_inter=2)
+        # u9 and i3 are gone; survivors contiguous from 1
+        assert set(f.user_vocab) == {f"u{u}" for u in range(4)}
+        assert set(f.item_vocab) == {"i0", "i1", "i2"}
+        assert sorted(f.user_vocab.values()) == [1, 2, 3, 4]
+        assert sorted(f.item_vocab.values()) == [1, 2, 3]
+        assert set(np.unique(f.inter["item_id"])) == {1, 2, 3}
+        # surviving linked entities keep item==entity alignment
+        for i in range(3):
+            assert f.entity_vocab[f"e{i}"] == f.item_vocab[f"i{i}"]
+        # dropped item i3's entity and the pure entity e_x live AFTER the
+        # new item space, distinct
+        assert f.entity_vocab["e3"] > 3 and f.entity_vocab["e_x"] > 3
+        assert f.entity_vocab["e3"] != f.entity_vocab["e_x"]
+        # kg triples rewritten to the new ids; link keeps survivors only
+        kg_ids = set(f.kg["head_id"]) | set(f.kg["tail_id"])
+        assert kg_ids == set(f.entity_vocab.values())
+        assert len(f.link["item_id_id"]) == 3
+        # the derived KnowledgeGraph is consistent
+        g = f.to_knowledge_graph()
+        assert g.n_items == 4                    # 3 survivors + PAD
+        assert g.n_entities >= max(kg_ids) + 1
+        # original dataset untouched (pure function)
+        assert set(ds.item_vocab) == {"i0", "i1", "i2", "i3"}

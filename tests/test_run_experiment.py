@@ -179,12 +179,41 @@ class TestKnowledgeStage:
         assert "Recall(k=20)" in out
         assert 0.0 <= out["Recall(k=20)"] <= 1.0
 
-    def test_kg_filtering_rejected(self, tmp_path, dataset):
-        """Filtering would desynchronize item <-> entity ids; the knowledge
-        path must refuse rather than silently misalign."""
-        name, data_dir = dataset
-        with pytest.raises(NotImplementedError, match="desynchronize"):
-            run_experiment("CKE", name, data_dir=data_dir, min_rating=4.0)
+    def test_kg_filtering_joint_remap(self, tmp_path):
+        """Round-5 closure of the knowledge-stage one-call restriction:
+        min_user_inter/min_rating now filter interactions and remap items
+        + KG entities JOINTLY (recbole `_filter_by_inter_num` +
+        `_remap_ID_all` semantics) — CKE trains end to end on the
+        filtered graph instead of raising NotImplementedError."""
+        rng = np.random.default_rng(3)
+        name = "kg-filter"
+        inter = ["user_id:token\titem_id:token\ttimestamp:float\n"]
+        # 40 active users x 12 interactions + 5 sparse users (1 each)
+        # that min_user_inter=4 must drop
+        for u in range(40):
+            for t in range(12):
+                inter.append(f"u{u}\ti{(u * 3 + t) % 30}\t{t}.0\n")
+        for u in range(40, 45):
+            inter.append(f"u{u}\ti{u - 40}\t0.0\n")
+        kg = ["head_id:token\trelation_id:token\ttail_id:token\n"]
+        for i in range(30):
+            kg.append(f"e{i}\tr0\te{(i + 1) % 30}\n")
+        link = ["item_id:token\tentity_id:token\n"]
+        for i in range(30):
+            link.append(f"i{i}\te{i}\n")
+        path = os.path.join(str(tmp_path), f"{name}.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr(f"{name}/{name}.inter", "".join(inter))
+            zf.writestr(f"{name}/{name}.kg", "".join(kg))
+            zf.writestr(f"{name}/{name}.link", "".join(link))
+        register_dataset_url(name, f"file://{path}")
+        out = run_experiment(
+            "CKE", name, data_dir=str(tmp_path / "data"),
+            min_user_inter=4, embedding_dim=16, learning_rate=0.05,
+            epochs=2, batch_size=128, kg_steps_per_epoch=4,
+            monitor="Recall(k=20)", seed=1)
+        assert "Recall(k=20)" in out
+        assert 0.0 <= out["Recall(k=20)"] <= 1.0
 
 
 class TestRunCliDatasetRoute:
