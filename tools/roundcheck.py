@@ -96,6 +96,11 @@ def main():
                         [sys.executable, "-c", probe], timeout=900,
                         expect="BENCH_GUARD_OK")
 
+    # mesh-parameterized bench harness correctness (CPU tiny shapes)
+    failures += not run(
+        "bench_multichip.py --smoke",
+        [sys.executable, "bench_multichip.py", "--smoke"], timeout=600)
+
     # multi-metric structure: the smoke run must carry the primary metric
     # AND the full secondary array (serving bf16+int8, sasrec, lightgcn)
     # with no per-entry errors — a broken secondary would silently drop a
