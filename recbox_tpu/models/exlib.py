@@ -35,14 +35,25 @@ class XGBoostRecommender:
         self.booster = None
 
     def fit(self, X: np.ndarray, y: np.ndarray, num_rounds: int = 100,
-            valid: Optional[tuple] = None):
+            valid: Optional[tuple] = None,
+            early_stopping_rounds: Optional[int] = None):
+        """`early_stopping_rounds` mirrors the reference DecisionTree
+        trainer's `xgb_early_stopping_rounds`
+        (`third_party/recbole/trainer/trainer.py:1082,1117`); it needs a
+        `valid` set to monitor."""
+        if early_stopping_rounds is not None and valid is None:
+            raise ValueError("early_stopping_rounds needs a valid set")
         dtrain = self._xgb.DMatrix(X, label=y)
         evals = [(dtrain, "train")]
         if valid is not None:
             evals.append((self._xgb.DMatrix(valid[0], label=valid[1]),
                           "valid"))
+        kw = {}
+        if early_stopping_rounds is not None:
+            kw["early_stopping_rounds"] = early_stopping_rounds
         self.booster = self._xgb.train(self.params, dtrain, num_rounds,
-                                       evals=evals, verbose_eval=False)
+                                       evals=evals, verbose_eval=False,
+                                       **kw)
         return self
 
     def predict(self, X: np.ndarray) -> np.ndarray:
@@ -62,13 +73,24 @@ class LightGBMRecommender:
         self.booster = None
 
     def fit(self, X: np.ndarray, y: np.ndarray, num_rounds: int = 100,
-            valid: Optional[tuple] = None):
+            valid: Optional[tuple] = None,
+            early_stopping_rounds: Optional[int] = None):
+        """`early_stopping_rounds` mirrors the reference's
+        `lgb_early_stopping_rounds`
+        (`third_party/recbole/trainer/trainer.py:1160,1194`); modern
+        lightgbm takes it as an early_stopping callback."""
+        if early_stopping_rounds is not None and valid is None:
+            raise ValueError("early_stopping_rounds needs a valid set")
         dtrain = self._lgb.Dataset(X, label=y)
         valid_sets = [dtrain]
         if valid is not None:
             valid_sets.append(self._lgb.Dataset(valid[0], label=valid[1]))
+        kw = {}
+        if early_stopping_rounds is not None:
+            kw["callbacks"] = [
+                self._lgb.early_stopping(early_stopping_rounds)]
         self.booster = self._lgb.train(self.params, dtrain, num_rounds,
-                                       valid_sets=valid_sets)
+                                       valid_sets=valid_sets, **kw)
         return self
 
     def predict(self, X: np.ndarray) -> np.ndarray:

@@ -48,9 +48,11 @@ def _fake_xgboost():
             return _sigmoid(dmat.data @ self.w)
 
     def train(params, dtrain, num_boost_round=10, evals=(),
-              verbose_eval=True):
+              verbose_eval=True, early_stopping_rounds=None):
         assert not verbose_eval, "wrapper must silence eval logging"
-        return Booster(params, dtrain, num_boost_round, list(evals))
+        b = Booster(params, dtrain, num_boost_round, list(evals))
+        b.early_stopping_rounds = early_stopping_rounds
+        return b
 
     mod.DMatrix, mod.Booster, mod.train = DMatrix, Booster, train
     return mod
@@ -75,11 +77,17 @@ def _fake_lightgbm():
         def predict(self, X):
             return _sigmoid(np.asarray(X) @ self.w)
 
-    def train(params, train_set, num_boost_round=10, valid_sets=None):
-        return Booster(params, train_set, num_boost_round,
-                       valid_sets or [])
+    def early_stopping(rounds):
+        return ("early_stopping", rounds)
 
-    mod.Dataset, mod.Booster, mod.train = Dataset, Booster, train
+    def train(params, train_set, num_boost_round=10, valid_sets=None,
+              callbacks=None):
+        b = Booster(params, train_set, num_boost_round, valid_sets or [])
+        b.callbacks = callbacks or []
+        return b
+
+    mod.Dataset, mod.Booster = Dataset, Booster
+    mod.train, mod.early_stopping = train, early_stopping
     return mod
 
 
@@ -115,6 +123,12 @@ class TestExlibSuccessPaths:
         assert p.shape == (100,) and (0 < p).all() and (p < 1).all()
         # the deterministic linear stub separates a linear concept
         assert np.mean((p > 0.5) == (yv == 1)) > 0.9
+        # early-stop plumbing (reference trainer.py:1117): propagated to
+        # xgb.train, and rejected without a valid set to monitor
+        m.fit(X, y, num_rounds=7, valid=(Xv, yv), early_stopping_rounds=3)
+        assert m.booster.early_stopping_rounds == 3
+        with pytest.raises(ValueError, match="valid"):
+            m.fit(X, y, early_stopping_rounds=3)
 
     def test_lightgbm_fit_predict_and_valid_sets(self, fake_boosters):
         from recbox_tpu.models.exlib import LightGBMRecommender
@@ -130,6 +144,10 @@ class TestExlibSuccessPaths:
         p = m.predict(Xv)
         assert p.shape == (100,)
         assert np.mean((p > 0.5) == (yv == 1)) > 0.9
+        # early-stop plumbing: modern lightgbm takes a callback
+        # (reference trainer.py:1194 used the legacy kwarg)
+        m.fit(X, y, num_rounds=5, valid=(Xv, yv), early_stopping_rounds=2)
+        assert ("early_stopping", 2) in m.booster.callbacks
 
     def test_import_error_path_unchanged(self, monkeypatch):
         """Without the package the wrapper still raises the actionable
