@@ -4,10 +4,12 @@ Runs (all CPU-safe; each step prints PASS/FAIL):
   1. driver entry points — __graft_entry__.entry() compile + one call, and
      dryrun_multichip(8) on a virtual 8-device CPU mesh;
   2. every example in examples/ end to end;
-  3. the full test suite (skip with --no-tests for a quick pass);
+  3. the QUICK test tier (`-m "not slow"`, <5 min warm: units + one e2e
+     per stage); `--full-tests` runs the whole suite (the round gate);
+     `--no-tests` skips;
   4. bench.py's tunnel guard path parses as one JSON line.
 
-Usage:  python tools/roundcheck.py [--no-tests] [--no-examples]
+Usage:  python tools/roundcheck.py [--no-tests|--full-tests] [--no-examples]
 Exit status: number of failed steps (0 = round-ready).
 
 Env handling: everything launches through subprocesses with the
@@ -61,6 +63,9 @@ def run(name, cmd, timeout, expect=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-tests", action="store_true")
+    ap.add_argument("--full-tests", action="store_true",
+                    help="run the FULL suite (round gate) instead of the "
+                         "default quick tier")
     ap.add_argument("--no-examples", action="store_true")
     args = ap.parse_args()
     failures = 0
@@ -77,10 +82,20 @@ def main():
                                 [sys.executable, path], timeout=900)
 
     if not args.no_tests:
-        failures += not run(
-            "pytest tests/",
-            [sys.executable, "-m", "pytest", "tests/", "-q", "-x"],
-            timeout=1800)
+        if args.full_tests:
+            # the round/pre-commit gate: every test
+            failures += not run(
+                "pytest tests/ (full)",
+                [sys.executable, "-m", "pytest", "tests/", "-q", "-x"],
+                timeout=2700)
+        else:
+            # default quick tier (<5 min warm): units + one e2e per stage;
+            # the training-loop bulk is marked slow (tests/conftest.py)
+            failures += not run(
+                "pytest -m 'not slow' (quick tier)",
+                [sys.executable, "-m", "pytest", "tests/", "-q", "-x",
+                 "-m", "not slow"],
+                timeout=900)
 
     # bench guard: must emit ONE parseable JSON line even with the tunnel
     # down (value 0 + error field) — never hang the driver. Probe quickly
