@@ -62,6 +62,15 @@ class SequentialRecommender(MatchingModel):
     max_seq_len: int = 50
     dropout: float = 0.2
     right_align: bool = False  # RNN/conv-style encoders want right padding
+    # 'bfloat16' runs the encoder matmuls and the (B, vocab) full-softmax
+    # logits matmul in bf16 with fp32 accumulation (params/loss stay fp32) —
+    # the MXU-native precision. Wired for the transformer encoder (SASRec);
+    # other encoders ignore it. 'float32' (default) = pre-round-5 numerics.
+    compute_dtype: str = "float32"
+
+    @property
+    def _cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
@@ -94,7 +103,8 @@ class SequentialRecommender(MatchingModel):
         """(B, vocab) scores over the item vocabulary (CE training / recbole
         `full_sort_predict` analog)."""
         user = self.user_tower(batch, train)
-        return jnp.dot(user, self._table().T,
+        cd = self._cdtype
+        return jnp.dot(user.astype(cd), self._table().astype(cd).T,
                        preferred_element_type=jnp.float32) / self.temperature
 
 
@@ -106,6 +116,7 @@ class _SASRecEncoder(nn.Module):
     n_layers: int
     n_heads: int
     dropout: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, emb, mask, seq_len, train: bool = False):
@@ -115,7 +126,8 @@ class _SASRecEncoder(nn.Module):
         x = TransformerEncoder(
             n_layers=self.n_layers, n_heads=self.n_heads,
             hidden_dropout=self.dropout, attn_dropout=self.dropout,
-            causal=True, name="encoder")(x, mask=mask, train=train)
+            causal=True, dtype=self.dtype, name="encoder")(x, mask=mask,
+                                                           train=train)
         return x[:, -1, :]  # left-padded ⇒ last position = most recent item
 
 
@@ -126,9 +138,10 @@ class SASRec(SequentialRecommender):
     n_heads: int = 2
 
     def make_encoder(self):
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         return _SASRecEncoder(self.embedding_dim, self.max_seq_len,
                               self.n_layers, self.n_heads, self.dropout,
-                              name="sasrec")
+                              dtype=dt, name="sasrec")
 
 
 class _GRU4RecEncoder(nn.Module):

@@ -17,7 +17,7 @@ MXU-bound — no flash kernel needed at these lengths.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -84,6 +84,12 @@ class TransformerEncoder(nn.Module):
     attn_dropout: float = 0.2
     inner_dim_multiple: int = 4
     causal: bool = False
+    # computation dtype for the projection/FFN matmuls and attention einsums
+    # (params stay fp32; layer-norms and residual adds promote back to fp32).
+    # bfloat16 is the MXU-native choice — measured on v5e: the SASRec bench
+    # regime's encoder fwd+bwd drops materially at equal learns-signal
+    # quality. None = inherit fp32.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -99,20 +105,23 @@ class TransformerEncoder(nn.Module):
         assert D % self.n_heads == 0, "hidden dim must divide num heads"
         head_dim = D // self.n_heads
         for i in range(self.n_layers):
-            q = nn.DenseGeneral((self.n_heads, head_dim), name=f"q{i}")(x)
-            k = nn.DenseGeneral((self.n_heads, head_dim), name=f"k{i}")(x)
-            v = nn.DenseGeneral((self.n_heads, head_dim), name=f"v{i}")(x)
+            q = nn.DenseGeneral((self.n_heads, head_dim), dtype=self.dtype,
+                                name=f"q{i}")(x)
+            k = nn.DenseGeneral((self.n_heads, head_dim), dtype=self.dtype,
+                                name=f"k{i}")(x)
+            v = nn.DenseGeneral((self.n_heads, head_dim), dtype=self.dtype,
+                                name=f"v{i}")(x)
             att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(head_dim, x.dtype))
-            att = jax.nn.softmax(att + attn_bias, axis=-1)
+                jnp.asarray(head_dim, q.dtype))
+            att = jax.nn.softmax(att + attn_bias.astype(q.dtype), axis=-1)
             att = nn.Dropout(self.attn_dropout, deterministic=not train)(att)
             h = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(x.shape)
-            h = nn.Dense(D, name=f"o{i}")(h)
+            h = nn.Dense(D, dtype=self.dtype, name=f"o{i}")(h)
             h = nn.Dropout(self.hidden_dropout, deterministic=not train)(h)
             x = nn.LayerNorm(epsilon=1e-12)(x + h)
-            f = nn.Dense(D * self.inner_dim_multiple)(x)
+            f = nn.Dense(D * self.inner_dim_multiple, dtype=self.dtype)(x)
             f = jax.nn.gelu(f)
-            f = nn.Dense(D)(f)
+            f = nn.Dense(D, dtype=self.dtype)(f)
             f = nn.Dropout(self.hidden_dropout, deterministic=not train)(f)
             x = nn.LayerNorm(epsilon=1e-12)(x + f)
         return x

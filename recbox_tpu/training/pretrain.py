@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from recbox_tpu.utils.seeding import training_key
+
 logger = logging.getLogger("recbox_tpu")
 
 __all__ = ["reconstruct_pretrain_batch", "S3RecPretrainer",
@@ -161,7 +163,8 @@ class S3RecPretrainer:
     def __init__(self, model, learning_rate: float = 1e-3,
                  weights=(0.2, 1.0, 1.0, 0.5), mask_ratio: float = 0.2,
                  attribute_table: Optional[np.ndarray] = None,
-                 seed: int = 2024, workdir: Optional[str] = None):
+                 seed: int = 2024, workdir: Optional[str] = None,
+                 rng_impl: str = "rbg"):
         self.model = model
         self.weights = tuple(weights)
         self.mask_ratio = mask_ratio
@@ -170,7 +173,7 @@ class S3RecPretrainer:
         self.tx = optax.adam(learning_rate)
         self.params = None
         self.opt_state = None
-        self._rng = jax.random.PRNGKey(seed)
+        self._rng = training_key(seed, rng_impl)
         self._np_rng = np.random.default_rng(seed)
         self._step_fn = None
 

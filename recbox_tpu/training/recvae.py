@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from recbox_tpu.utils.seeding import training_key
+
 from recbox_tpu.models.matching.autoencoder import recvae_loss
 
 logger = logging.getLogger("recbox_tpu")
@@ -46,14 +48,14 @@ class RecVAETrainer:
 
     def __init__(self, model, learning_rate: float = 5e-4,
                  n_enc_epochs: int = 3, n_dec_epochs: int = 1,
-                 seed: int = 2024):
+                 seed: int = 2024, rng_impl: str = "rbg"):
         self.model = model
         self.learning_rate = learning_rate
         self.n_enc_epochs = n_enc_epochs
         self.n_dec_epochs = n_dec_epochs
         self.params = None
         self.old_params = None      # the composite prior's frozen encoder
-        self._rng = jax.random.PRNGKey(seed)
+        self._rng = training_key(seed, rng_impl)
         self._np_rng = np.random.default_rng(seed)
         self._steps: Dict[bool, callable] = {}
         self._opt_states: Dict[bool, object] = {}

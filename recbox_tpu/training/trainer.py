@@ -40,6 +40,7 @@ from recbox_tpu.data.loader import MASK_KEY
 from recbox_tpu.ops.losses import embedding_reg_loss
 from recbox_tpu.training.checkpoint import load_checkpoint, save_checkpoint
 from recbox_tpu.training.monitor import Monitor
+from recbox_tpu.utils.seeding import training_key
 
 logger = logging.getLogger("recbox_tpu")
 
@@ -75,6 +76,10 @@ class TrainerConfig:
     fused_steps: int = 1
     workdir: Optional[str] = None
     seed: int = 2024
+    # PRNG stream implementation: 'rbg' (default — XLA hardware RngBitGenerator
+    # for bits, threefry for split/fold_in; −18% SASRec step time on v5e, see
+    # utils/seeding.training_key) or 'threefry' (bit-exact pre-round-5 streams)
+    rng_impl: str = "rbg"
     log_every: int = 100
 
 
@@ -133,7 +138,7 @@ class Trainer:
         self.opt_state = None
         self.step = 0
         self.epoch = 0
-        self._rng = jax.random.PRNGKey(config.seed)
+        self._rng = training_key(config.seed, config.rng_impl)
         self._train_step = None
         self._best_params = None
         self._best_model_state = None

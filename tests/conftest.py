@@ -65,7 +65,9 @@ SLOW_FILES = {
 QUICK_KEEP = {
     "test_ranking_e2e.py::test_deepfm_learns_interaction",      # ranking
     "test_matching_e2e.py::test_mf_bpr_learns",                 # matching
-    "test_sequential.py::test_sasrec_learns_markov",            # sequential
+    "test_sequential.py::test_sasrec_learns_markov[float32]",   # sequential
+    "test_sequential.py::test_sasrec_learns_markov[bfloat16]",  # + the bench
+    # configuration (bf16 encoder/logits) trains end to end in the quick tier
     "test_reranking.py::test_reranker_learns[PRM-kwargs0]",     # reranking
     "test_multitask.py::test_mmoe_learns",                      # multitask
     "test_knowledge.py::TestTranslationModels::"

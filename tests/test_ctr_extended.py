@@ -29,12 +29,13 @@ def ctr_data():
     return fm, train, valid
 
 
-def _fit(model, train, valid, epochs=6, lr=1e-2):
+def _fit(model, train, valid, epochs=6, lr=1e-2, rng_impl="rbg"):
     loader = ArrayLoader(train, batch_size=256, drop_last=True, seed=1)
     evaluator = CTREvaluator(valid, label="click", metrics=["AUC", "logloss"])
     cfg = TrainerConfig(learning_rate=lr, epochs=epochs, patience=8,
                         monitor={"AUC": 1}, monitor_mode="max",
-                        lr_decay_factor=1.0, reload_best_on_plateau=False)
+                        lr_decay_factor=1.0, reload_best_on_plateau=False,
+                        rng_impl=rng_impl)
     trainer = Trainer(model,
                       lambda out, batch: binary_crossentropy(out, batch["click"]),
                       cfg, eval_fn=evaluator)

@@ -782,10 +782,14 @@ def test_mmoe_gates_specialize_per_task():
         return multitask_loss(outputs, y)
 
     ev = MultiTaskEvaluator(valid, labels, metrics=["AUC"])
+    # gate-divergence threshold (0.1) was measured under the threefry
+    # stream (rounds 1-4); the rbg stream's init draw for this seed lands
+    # at 0.024 — pin the stream rather than hunt a new seed
     t = Trainer(model, loss_fn,
                 TrainerConfig(learning_rate=1e-2, epochs=10, patience=12,
                               monitor="AUC", lr_decay_factor=1.0,
-                              reload_best_on_plateau=False), eval_fn=ev)
+                              reload_best_on_plateau=False,
+                              rng_impl="threefry"), eval_fn=ev)
     m = t.fit(ArrayLoader(train, batch_size=256, drop_last=True, seed=0))
     assert m["t0_AUC"] > 0.9 and m["t1_AUC"] > 0.8, m
 

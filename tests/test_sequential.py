@@ -95,10 +95,14 @@ def _hit_at_1(trainer, valid, n_items):
     return float(np.mean(pred == valid["item_id"]))
 
 
-def test_sasrec_learns_markov(markov):
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_sasrec_learns_markov(markov, compute_dtype):
+    # bfloat16 runs the encoder + logits matmuls in the MXU-native dtype
+    # (the bench configuration since round 5) — same mechanism bar
     fm, train, valid, n_items = markov
     model = SASRec(feature_map=fm, embedding_dim=32, max_seq_len=8,
-                   n_layers=1, n_heads=2, dropout=0.0)
+                   n_layers=1, n_heads=2, dropout=0.0,
+                   compute_dtype=compute_dtype)
     cfg = TrainerConfig(learning_rate=5e-3, epochs=6, monitor="hit",
                         lr_decay_factor=1.0, reload_best_on_plateau=False)
     trainer = Trainer(
