@@ -107,6 +107,27 @@ class SequentialRecommender(MatchingModel):
         return jnp.dot(user.astype(cd), self._table().astype(cd).T,
                        preferred_element_type=jnp.float32) / self.temperature
 
+    def fused_ce_loss(self, batch, train: bool = False) -> jnp.ndarray:
+        """Scalar CE loss over the full vocabulary WITHOUT materializing the
+        (B, vocab) logits: `ops/pallas/fused_ce.fused_softmax_ce` (flash-CE,
+        online logsumexp over corpus tiles). Numerically equivalent to
+        ``full_softmax_loss(self.full_scores(batch), batch[corpus_index])``
+        under the bf16 compute path. The LARGE-VOCAB train path: measured
+        v5e train steps (2026-08-20) — V=1M 31.7 ms vs 57.4 for the XLA
+        formulation (1.81x), B=8192xV=1M 164 ms where XLA cannot compile
+        at all (32 GB logits); below ~100k items keep `full_scores` +
+        `full_softmax_loss` (XLA's context sharing wins there — 7.25 vs
+        7.81 ms at the 60k bench regime). Use as the train method with an
+        identity loss adapter::
+
+            Trainer(model, lambda out, b: out, cfg,
+                    train_method="fused_ce_loss")
+        """
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        user = self.user_tower(batch, train)
+        return fused_softmax_ce(user / self.temperature, self._table(),
+                                batch[self.feature_map.corpus_index])
+
 
 # --- encoders ---------------------------------------------------------------
 

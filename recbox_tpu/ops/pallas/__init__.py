@@ -3,7 +3,7 @@ from recbox_tpu.ops.pallas.embedding_gather import (
 )
 
 __all__ = ["seq_embedding_pool", "seq_embedding_pool_xla",
-           "mips_fused_topk", "pallas_mips_topk"]
+           "mips_fused_topk", "pallas_mips_topk", "fused_softmax_ce"]
 
 
 def __getattr__(name):
@@ -15,4 +15,7 @@ def __getattr__(name):
     if name == "pallas_mips_topk":
         from recbox_tpu.ops.pallas.mips_topk import pallas_mips_topk
         return pallas_mips_topk
+    if name == "fused_softmax_ce":
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        return fused_softmax_ce
     raise AttributeError(name)

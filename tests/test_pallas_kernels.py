@@ -344,3 +344,60 @@ class TestBitonicTopK:
         # ties: the returned id SET at each score must be correct
         assert set(np.asarray(ti)[0, :3].tolist()) == {10, 20, 50}
         assert np.asarray(ti)[0, 3] in (30, 70)
+
+
+class TestFusedSoftmaxCE:
+    """Flash-CE (`ops/pallas/fused_ce.py`) — loss/grad equivalence against
+    the XLA bf16 logits + `full_softmax_loss` formulation, interpret mode.
+    Shapes cover: tile-aligned, unaligned V (pad-row correction), unaligned
+    B, multi-B-tile (nb > 1, the partials-buffer backward) and the direct
+    nb == 1 backward."""
+
+    @pytest.mark.parametrize("b,v,d,bt,vt", [
+        (64, 256, 16, 64, 128),     # aligned, nb=1 direct-dt backward
+        (70, 300, 32, 32, 128),     # both unaligned, nb=3 partials backward
+        (33, 1000, 8, 64, 256),     # unaligned B, nb=1
+        (128, 4096, 64, 128, 512),  # bench-like ratios
+    ])
+    def test_matches_xla_formulation(self, b, v, d, bt, vt):
+        import jax
+        from recbox_tpu.ops.losses import full_softmax_loss
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        rng = np.random.default_rng(b * v + d)
+        user = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, v, b), jnp.int32)
+
+        def ref(u, t):
+            s = jnp.dot(u.astype(jnp.bfloat16), t.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+            return full_softmax_loss(s, labels)
+
+        l_ref, (du_ref, dt_ref) = jax.value_and_grad(
+            ref, argnums=(0, 1))(user, table)
+        l_f, (du_f, dt_f) = jax.value_and_grad(
+            lambda u, t: fused_softmax_ce(u, t, labels, b_tile=bt,
+                                          v_tile=vt, interpret=True),
+            argnums=(0, 1))(user, table)
+        # bf16 probability casts in the backward dots bound grads at ~0.5%
+        assert abs(float(l_ref) - float(l_f)) < 2e-4 * abs(float(l_ref))
+        assert float(jnp.max(jnp.abs(du_f - du_ref))) < \
+            0.02 * float(jnp.max(jnp.abs(du_ref)))
+        assert float(jnp.max(jnp.abs(dt_f - dt_ref))) < \
+            0.02 * float(jnp.max(jnp.abs(dt_ref)))
+
+    def test_extreme_logits_stay_finite(self):
+        # online-max rescaling: rows whose max logit would overflow exp()
+        # without the running max (exp(100) > f32 max for a plain sum-exp)
+        import jax
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        user = jnp.full((8, 16), 10.0, jnp.float32)
+        table = jnp.full((256, 16), 1.0, jnp.float32)
+        labels = jnp.arange(8, dtype=jnp.int32)
+        loss = fused_softmax_ce(user, table, labels, b_tile=8, v_tile=128,
+                                interpret=True)
+        # all logits equal (160) -> exact CE = log(256)
+        np.testing.assert_allclose(float(loss), np.log(256.0), rtol=1e-3)
+        g = jax.grad(lambda u: fused_softmax_ce(
+            u, table, labels, b_tile=8, v_tile=128, interpret=True))(user)
+        assert np.isfinite(np.asarray(g)).all()

@@ -139,3 +139,25 @@ def test_encoder_smoke(markov, model_cls, kwargs):
     scores = model.apply({"params": params}, db, method=model.full_scores)
     assert scores.shape == (16, n_items + 1)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_sasrec_learns_markov_fused_ce(markov):
+    """Same markov bar through `train_method='fused_ce_loss'` (the flash-CE
+    pallas path, `ops/pallas/fused_ce.py`): the whole train loop runs with
+    the loss computed IN the kernel — no (B, vocab) logits tensor — and
+    must reach the same mechanism threshold as the XLA-CE variants above."""
+    fm, train, valid, n_items = markov
+    model = SASRec(feature_map=fm, embedding_dim=32, max_seq_len=8,
+                   n_layers=1, n_heads=2, dropout=0.0,
+                   compute_dtype="bfloat16")
+    cfg = TrainerConfig(learning_rate=5e-3, epochs=6, monitor="hit",
+                        lr_decay_factor=1.0, reload_best_on_plateau=False)
+    trainer = Trainer(model, lambda out, b: out, cfg,
+                      train_method="fused_ce_loss")
+    loader = ArrayLoader(train, batch_size=256, drop_last=True, seed=0)
+    for _ in range(6):
+        for batch in loader:
+            batch.pop("__mask__", None)
+            trainer.train_step(batch)
+    hit = _hit_at_1(trainer, valid, n_items)
+    assert hit > 0.8, f"SASRec fused-CE hit@1={hit}"

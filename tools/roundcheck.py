@@ -130,6 +130,7 @@ def main():
         "names = [e.get('metric') for e in sec]\n"
         "want = ['mips_serving_qps_bf16_k500', 'mips_serving_qps_int8_k500',\n"
         "        'sasrec_train_throughput_per_chip',\n"
+        "        'sasrec_1m_vocab_fused_ce_throughput_per_chip',\n"
         "        'lightgcn_train_throughput_per_chip']\n"
         "assert names == want, names\n"
         "bad = [e for e in sec if 'error' in e or 'skipped' in e]\n"
