@@ -55,6 +55,7 @@ class _BERT4RecEncoder(nn.Module):
     n_layers: int
     n_heads: int
     dropout: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, emb, mask, seq_len, train: bool = False):
@@ -66,7 +67,8 @@ class _BERT4RecEncoder(nn.Module):
         return TransformerEncoder(
             n_layers=self.n_layers, n_heads=self.n_heads,
             hidden_dropout=self.dropout, attn_dropout=self.dropout,
-            causal=False, name="encoder")(x, mask=mask, train=train)
+            causal=False, dtype=self.dtype,
+            name="encoder")(x, mask=mask, train=train)
 
 
 class BERT4Rec(SequentialRecommender):
@@ -93,7 +95,7 @@ class BERT4Rec(SequentialRecommender):
     def make_encoder(self):
         return _BERT4RecEncoder(self.embedding_dim, self.max_seq_len,
                                 self.n_layers, self.n_heads, self.dropout,
-                                name="bert4rec")
+                                dtype=self._enc_dtype(), name="bert4rec")
 
     @property
     def mask_token(self) -> int:
@@ -431,6 +433,7 @@ class _COREEncoder(nn.Module):
     n_heads: int
     dropout: float
     mode: str  # 'trm' | 'ave'
+    dtype: object = None
 
     @nn.compact
     def __call__(self, emb, mask, seq_len, train: bool = False):
@@ -443,7 +446,8 @@ class _COREEncoder(nn.Module):
             x = TransformerEncoder(
                 n_layers=self.n_layers, n_heads=self.n_heads,
                 hidden_dropout=self.dropout, attn_dropout=self.dropout,
-                causal=True, name="encoder")(x, mask=mask, train=train)
+                causal=True, dtype=self.dtype,
+                name="encoder")(x, mask=mask, train=train)
             alpha = nn.Dense(1, name="alpha")(x)[..., 0]
             alpha = _masked_softmax(alpha, mask)
         denom = jnp.maximum(jnp.sum(alpha, axis=1, keepdims=True), 1e-12)
@@ -463,7 +467,8 @@ class CORE(SequentialRecommender):
     def make_encoder(self):
         return _COREEncoder(self.embedding_dim, self.max_seq_len,
                             self.n_layers, self.n_heads, self.dropout,
-                            self.encoder_mode, name="core")
+                            self.encoder_mode, dtype=self._enc_dtype(),
+                            name="core")
 
     def full_scores(self, batch, train: bool = False):
         user = self.user_tower(batch, train)
@@ -573,6 +578,7 @@ class _FDSAEncoder(nn.Module):
     n_layers: int
     n_heads: int
     dropout: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, item_emb, feat_emb, mask, seq_len, train: bool = False):
@@ -583,7 +589,8 @@ class _FDSAEncoder(nn.Module):
             return TransformerEncoder(
                 n_layers=self.n_layers, n_heads=self.n_heads,
                 hidden_dropout=self.dropout, attn_dropout=self.dropout,
-                causal=True, name=name)(x, mask=mask, train=train)
+                causal=True, dtype=self.dtype,
+                name=name)(x, mask=mask, train=train)
 
         hi = stream(item_emb, "item_trm")[:, -1, :]
         hf = stream(feat_emb, "feat_trm")[:, -1, :]
@@ -616,7 +623,7 @@ class FDSA(SequentialRecommender):
         self.feat_proj = nn.Dense(self.embedding_dim, name="feat_from_item")
         self.encoder = _FDSAEncoder(self.embedding_dim, self.max_seq_len,
                                     self.n_layers, self.n_heads, self.dropout,
-                                    name="fdsa")
+                                    dtype=self._enc_dtype(), name="fdsa")
 
     def user_tower(self, batch, train: bool = False):
         item_seq, seq_len = batch["item_seq"], batch["seq_len"]

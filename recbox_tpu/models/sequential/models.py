@@ -64,13 +64,19 @@ class SequentialRecommender(MatchingModel):
     right_align: bool = False  # RNN/conv-style encoders want right padding
     # 'bfloat16' runs the encoder matmuls and the (B, vocab) full-softmax
     # logits matmul in bf16 with fp32 accumulation (params/loss stay fp32) —
-    # the MXU-native precision. Wired for the transformer encoder (SASRec);
-    # other encoders ignore it. 'float32' (default) = pre-round-5 numerics.
+    # the MXU-native precision. Wired through every transformer-based
+    # encoder (SASRec, BERT4Rec, CORE, FDSA, GCSAN, S3Rec); RNN/conv
+    # encoders ignore it. 'float32' (default) = pre-round-5 numerics.
     compute_dtype: str = "float32"
 
     @property
     def _cdtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def _enc_dtype(self):
+        """Encoder computation dtype: bf16 when opted in, None = flax default
+        (fp32). Passed by every transformer-based make_encoder."""
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         spec = self.feature_map[self.feature_map.corpus_index]
@@ -159,10 +165,9 @@ class SASRec(SequentialRecommender):
     n_heads: int = 2
 
     def make_encoder(self):
-        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         return _SASRecEncoder(self.embedding_dim, self.max_seq_len,
                               self.n_layers, self.n_heads, self.dropout,
-                              dtype=dt, name="sasrec")
+                              dtype=self._enc_dtype(), name="sasrec")
 
 
 class _GRU4RecEncoder(nn.Module):

@@ -55,11 +55,12 @@ class S3Rec(SequentialRecommender):
             "emb_item", init, (spec.vocab_size + 1, self.embedding_dim))
         self.encoder = _BERT4RecEncoder(
             self.embedding_dim, self.max_seq_len, self.n_layers,
-            self.n_heads, self.dropout, name="encoder")
+            self.n_heads, self.dropout, dtype=self._enc_dtype(),
+            name="encoder")
         self.causal_encoder = TransformerEncoder(
             n_layers=self.n_layers, n_heads=self.n_heads,
             hidden_dropout=self.dropout, attn_dropout=self.dropout,
-            causal=True, name="causal")
+            causal=True, dtype=self._enc_dtype(), name="causal")
         self.pos = PositionalEmbedding(self.max_seq_len, name="pos")
         self.sp_bilinear = nn.Dense(self.embedding_dim, use_bias=False,
                                     name="sp_w")

@@ -158,7 +158,7 @@ class GCSAN(SequentialRecommender):
         self.trm = TransformerEncoder(
             n_layers=self.n_layers, n_heads=self.n_heads,
             hidden_dropout=self.dropout, attn_dropout=self.dropout,
-            causal=True, name="trm")
+            causal=True, dtype=self._enc_dtype(), name="trm")
         self.encoder = None
 
     def user_tower(self, batch, train: bool = False):

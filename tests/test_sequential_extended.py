@@ -181,3 +181,29 @@ def test_fpmc_learns_markov(data):
         method=trainer.model.full_scores)
     hit = float(np.mean(np.asarray(scores).argmax(-1) == valid["item_id"]))
     assert hit > 0.5, f"FPMC hit@1={hit}"
+
+
+def test_transformer_family_bfloat16_param_compat(data):
+    """compute_dtype='bfloat16' (round 5) must not change the param tree of
+    any transformer-based model, and transplanted fp32 params must produce
+    close scores — the same transplant contract as SASRec's dtype test."""
+    fm, train, _ = data
+    db = {k: jnp.asarray(train[k][:4]) for k in ("item_seq", "seq_len")}
+    for cls in (CORE, FDSA):
+        m32 = cls(feature_map=fm, embedding_dim=16, max_seq_len=MAX_LEN,
+                  n_layers=1, n_heads=2, dropout=0.0)
+        m16 = cls(feature_map=fm, embedding_dim=16, max_seq_len=MAX_LEN,
+                  n_layers=1, n_heads=2, dropout=0.0,
+                  compute_dtype="bfloat16")
+        v = m32.init({"params": jax.random.PRNGKey(0)}, db,
+                     method=m32.full_scores)
+        v16 = m16.init({"params": jax.random.PRNGKey(0)}, db,
+                       method=m16.full_scores)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(v16), cls.__name__
+        params = nn.meta.unbox(v["params"])
+        s32 = m32.apply({"params": params}, db, method=m32.full_scores)
+        s16 = m16.apply({"params": params}, db, method=m16.full_scores)
+        err = float(jnp.max(jnp.abs(s32 - s16)) /
+                    (jnp.max(jnp.abs(s32)) + 1e-9))
+        assert err < 0.05, (cls.__name__, err)
