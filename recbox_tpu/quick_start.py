@@ -158,10 +158,25 @@ def run_matching_experiment(
     loss_name = config.get("loss", "PairwiseLogisticLoss")
     train_method = None
     if loss_name == "FullSoftmaxCE":
-        train_method = "full_scores"
+        # same large-vocab flash-CE auto-route as run_sequential_experiment
+        n_corpus = feature_map[feature_map.corpus_index].vocab_size
+        use_fused = bool(config.get("fused_ce",
+                                    n_corpus >= int(config.get(
+                                        "fused_ce_threshold", 150_000))))
+        if (use_fused and mesh is None
+                and hasattr(model, "fused_ce_loss")):
+            train_method = "fused_ce_loss"
+            logger.info("FullSoftmaxCE: flash-CE kernel path (%d items)",
+                        n_corpus)
 
-        def loss_fn(outputs, batch):
-            return full_softmax_loss(outputs, batch[feature_map.corpus_index])
+            def loss_fn(outputs, batch):
+                return outputs
+        else:
+            train_method = "full_scores"
+
+            def loss_fn(outputs, batch):
+                return full_softmax_loss(outputs,
+                                         batch[feature_map.corpus_index])
 
         loader = ArrayLoader(train_arrays,
                              batch_size=config.get("batch_size", 2048),
@@ -310,12 +325,29 @@ def run_sequential_experiment(
             out[f"NDCG(k={k})"] = float(np.where(pos >= 0, gains, 0.0).mean())
         return out
 
+    # large-vocab auto-route (mirrors BruteForceMIPS method='auto'): above
+    # the measured crossover the flash-CE kernel wins (1.81x at V=1M, the
+    # only feasible formulation far beyond — 32 GB logits at B=8192xV=1M);
+    # below it XLA's in-step sharing wins. Crossover ~100k items
+    # (`ops/pallas/fused_ce.py` envelope). Override with config
+    # 'fused_ce': True/False; single-shard kernel, so mesh runs keep the
+    # XLA formulation.
+    n_corpus = feature_map[feature_map.corpus_index].vocab_size
+    use_fused = bool(config.get("fused_ce",
+                                n_corpus >= int(config.get(
+                                    "fused_ce_threshold", 150_000))))
+    use_fused = use_fused and mesh is None and hasattr(model, "fused_ce_loss")
+    if use_fused:
+        logger.info("sequential CE: flash-CE kernel path (%d items)",
+                    n_corpus)
     trainer = Trainer(
         model,
-        lambda o, b: full_softmax_loss(o, b[feature_map.corpus_index]),
+        (lambda o, b: o) if use_fused else
+        (lambda o, b: full_softmax_loss(o, b[feature_map.corpus_index])),
         build_trainer_config(config),
         eval_fn=lambda tr: eval_split(tr, valid_arrays, split_id=0),
-        mesh=mesh, train_method="full_scores")
+        mesh=mesh,
+        train_method="fused_ce_loss" if use_fused else "full_scores")
     loader = ArrayLoader(train_arrays,
                          batch_size=config.get("batch_size", 2048),
                          drop_last=True, seed=config.get("seed", 2024))

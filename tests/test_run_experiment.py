@@ -77,6 +77,19 @@ class TestRunExperiment:
         assert "Recall(k=10)" in out and "test_Recall(k=10)" in out
         assert 0.0 <= out["Recall(k=10)"] <= 1.0
 
+    def test_sequential_stage_fused_ce_route(self, dataset):
+        """`fused_ce: True` forces the flash-CE kernel path (the large-vocab
+        auto-route, `quick_start` crossover gate) through the SAME one-call
+        surface: training runs with the loss computed in the kernel (no
+        (B, V) logits) and produces bounded metrics like the XLA path."""
+        name, data_dir = dataset
+        out = run_experiment(
+            "SASRec", name, data_dir=data_dir, embedding_dim=16,
+            max_seq_len=8, learning_rate=5e-3, epochs=1, batch_size=64,
+            monitor="NDCG(k=10)", min_rating=4.0, seed=1, fused_ce=True)
+        assert "Recall(k=10)" in out and "test_Recall(k=10)" in out
+        assert 0.0 <= out["Recall(k=10)"] <= 1.0
+
     def test_traditional_stage_closed_form(self, dataset):
         """Pop fits closed-form; the planted clusters make popularity
         uninformative (uniform), so this checks plumbing + bounded values
