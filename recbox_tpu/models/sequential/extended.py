@@ -130,6 +130,23 @@ class BERT4Rec(SequentialRecommender):
         return jnp.einsum("bpd,vd->bpv", gathered, self._table(),
                           preferred_element_type=jnp.float32)
 
+    def fused_cloze_loss(self, item_seq, seq_len, positions, labels,
+                         weights=None, train: bool = False) -> jnp.ndarray:
+        """Cloze CE over the full vocabulary WITHOUT the (B, P, vocab)
+        logits tensor (flash-CE, `ops/pallas/fused_ce.py`): the (B, P)
+        masked positions flatten to kernel rows, `weights` (B, P) masks
+        invalid/pad positions exactly (0-weight rows are no-ops in loss
+        and grads). The large-vocab cloze path — same crossover guidance
+        as `fused_ce_loss`."""
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        h = self._encode(item_seq, seq_len, train)
+        gathered = jnp.take_along_axis(
+            h, positions[..., None].astype(jnp.int32), axis=1)  # (B, P, D)
+        flat = gathered.reshape(-1, gathered.shape[-1])
+        w = None if weights is None else weights.reshape(-1)
+        return fused_softmax_ce(flat, self._table(),
+                                labels.reshape(-1).astype(jnp.int32), w)
+
 
 # ---------------------------------------------------------------------------
 # FPMC — factorized personalized Markov chain

@@ -132,7 +132,8 @@ def _prep(user, table, bt, vt):
     return u, t
 
 
-def _fwd_impl(user, table, labels, bt, vt, interpret, prepped=None):
+def _fwd_impl(user, table, labels, weights, bt, vt, interpret,
+              prepped=None):
     b, d = user.shape
     u, t = _prep(user, table, bt, vt) if prepped is None else prepped
     bp, vp = u.shape[0], t.shape[0]
@@ -165,7 +166,8 @@ def _fwd_impl(user, table, labels, bt, vt, interpret, prepped=None):
     # label logit via gather-dot, same bf16xbf16->f32 precision as the dot
     lbl = labels.astype(jnp.int32)
     ll = jnp.sum(u[:b] * t[lbl], axis=1, dtype=jnp.float32)
-    loss = jnp.mean(lse - ll)
+    w = weights.astype(jnp.float32)
+    loss = jnp.sum(w * (lse - ll)) / jnp.maximum(jnp.sum(w), 1e-12)
     return loss, lse, (u, t)
 
 
@@ -280,58 +282,75 @@ def _bwd_impl(u, t, b, n_valid, lse, bt, vt, interpret):
 # custom-vjp op
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_ce(user, table, labels, bt, vt, interpret):
-    loss, _, _ = _fwd_impl(user, table, labels, bt, vt, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_ce(user, table, labels, weights, bt, vt, interpret):
+    loss, _, _ = _fwd_impl(user, table, labels, weights, bt, vt, interpret)
     return loss
 
 
-def _fused_ce_fwd(user, table, labels, bt, vt, interpret):
-    loss, lse, (u, t) = _fwd_impl(user, table, labels, bt, vt, interpret)
+def _fused_ce_fwd(user, table, labels, weights, bt, vt, interpret):
+    loss, lse, (u, t) = _fwd_impl(user, table, labels, weights, bt, vt,
+                                  interpret)
     # residuals carry the padded bf16 operands so bwd re-sweeps without
     # re-casting/re-padding the (V, D) table; f32 user/table for the exact
     # onehot corrections and output dtypes
-    return loss, (user, table, labels, lse, u, t)
+    return loss, (user, table, labels, weights, lse, u, t)
 
 
 def _fused_ce_bwd(bt, vt, interpret, res, g):
-    user, table, labels, lse, u, t = res
+    user, table, labels, weights, lse, u, t = res
     b = user.shape[0]
-    du_raw, dt_raw = _bwd_impl(u, t, b, table.shape[0], lse, bt, vt,
+    w = weights.astype(jnp.float32)
+    # per-row weights fold into lse: p_w = exp(x - (lse - log w)) = w * p,
+    # so the SAME kernels produce weighted grad sums (w = 0 rows -> lse_eff
+    # = +inf -> p = 0 exactly); only the onehot corrections need explicit w
+    lse_eff = lse - jnp.log(w)
+    du_raw, dt_raw = _bwd_impl(u, t, b, table.shape[0], lse_eff, bt, vt,
                                interpret)
-    scale = (g / b).astype(jnp.float32)
+    scale = (g / jnp.maximum(jnp.sum(w), 1e-12)).astype(jnp.float32)
     lbl = labels.astype(jnp.int32)
-    du = (du_raw - table[lbl].astype(jnp.float32)) * scale
-    dt = dt_raw.at[lbl].add(-user.astype(jnp.float32)) * scale
-    return du.astype(user.dtype), dt.astype(table.dtype), None
+    du = (du_raw - w[:, None] * table[lbl].astype(jnp.float32)) * scale
+    dt = dt_raw.at[lbl].add(-w[:, None] * user.astype(jnp.float32)) * scale
+    return (du.astype(user.dtype), dt.astype(table.dtype), None,
+            jnp.zeros_like(weights))
 
 
 _fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
-def fused_softmax_ce(user, table, labels, b_tile: int = 1024,
-                     v_tile: int = 2048, interpret: bool = None):
-    """mean CE of ``user @ table.T`` against ``labels`` — logits stay in VMEM.
+def fused_softmax_ce(user, table, labels, weights=None,
+                     b_tile: int = 1024, v_tile: int = 2048,
+                     interpret: bool = None):
+    """Weighted-mean CE of ``user @ table.T`` vs ``labels`` — logits stay
+    in VMEM.
 
     Args:
       user: (B, D) query/user vectors (any float dtype; bf16 MXU compute).
       table: (V, D) item table (the full vocabulary; V needs no alignment —
         padding is handled and masked internally).
       labels: (B,) int target ids in [0, V).
+      weights: optional (B,) non-negative per-row weights; loss =
+        sum(w*(lse - label_logit)) / sum(w). ``w == 0`` rows are exact
+        no-ops in loss AND grads (the weight folds into the backward as
+        ``lse - log w``, so zero weight drives p to exactly 0) — use as a
+        validity mask for padded cloze positions. None = uniform (plain
+        mean, `full_softmax_loss` semantics exactly).
       b_tile / v_tile: kernel tile sizes (defaults sized for ~4 MB VMEM).
       interpret: pallas interpret mode; default auto (True off-TPU so the
         op — and models built on it — runs on the CPU test backend).
 
-    Returns the scalar fp32 loss, `full_softmax_loss(user @ table.T,
-    labels)` semantics exactly; differentiable w.r.t. user and table.
+    Returns the scalar fp32 loss; differentiable w.r.t. user and table.
 
     Single-shard op (like the other pallas kernels): under a mesh, call it
     per-shard from shard_map, or keep the classic `full_scores` path.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if weights is None:
+        weights = jnp.ones((user.shape[0],), jnp.float32)
     # clamp tiles to the (128-aligned) problem size so small batches/vocabs
     # don't pad up to the bench-tuned defaults
     b_tile = min(b_tile, -(-user.shape[0] // 128) * 128)
     v_tile = min(v_tile, -(-table.shape[0] // 128) * 128)
-    return _fused_ce(user, table, labels, b_tile, v_tile, bool(interpret))
+    return _fused_ce(user, table, labels, weights, b_tile, v_tile,
+                     bool(interpret))

@@ -401,3 +401,39 @@ class TestFusedSoftmaxCE:
         g = jax.grad(lambda u: fused_softmax_ce(
             u, table, labels, b_tile=8, v_tile=128, interpret=True))(user)
         assert np.isfinite(np.asarray(g)).all()
+
+    def test_weighted_matches_xla_weighted_ce(self):
+        # weights fold into lse as `lse - log w`; 0-weight rows must be
+        # EXACT no-ops in loss and grads (pad-position masking contract)
+        import jax
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        rng = np.random.default_rng(7)
+        b, v, d = 48, 300, 16
+        user = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, v, b), jnp.int32)
+        w = jnp.asarray(rng.random(b) * (rng.random(b) > 0.3), jnp.float32)
+
+        def ref(u, t):
+            s = jnp.dot(u.astype(jnp.bfloat16), t.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+            logp = jax.nn.log_softmax(s, axis=-1)
+            picked = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            return -jnp.sum(w * picked) / jnp.sum(w)
+
+        l_ref, (du_ref, dt_ref) = jax.value_and_grad(
+            ref, argnums=(0, 1))(user, table)
+        l_f, (du_f, dt_f) = jax.value_and_grad(
+            lambda u, t: fused_softmax_ce(u, t, labels, weights=w,
+                                          b_tile=16, v_tile=128,
+                                          interpret=True),
+            argnums=(0, 1))(user, table)
+        assert abs(float(l_ref) - float(l_f)) < 2e-4 * abs(float(l_ref))
+        assert float(jnp.max(jnp.abs(du_f - du_ref))) < \
+            0.02 * float(jnp.max(jnp.abs(du_ref)))
+        assert float(jnp.max(jnp.abs(dt_f - dt_ref))) < \
+            0.02 * float(jnp.max(jnp.abs(dt_ref)))
+        # zero-weight rows: exactly zero user-grad
+        zero_rows = np.asarray(w) == 0
+        assert zero_rows.any()
+        assert float(jnp.max(jnp.abs(du_f[zero_rows]))) == 0.0

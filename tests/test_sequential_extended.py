@@ -207,3 +207,34 @@ def test_transformer_family_bfloat16_param_compat(data):
         err = float(jnp.max(jnp.abs(s32 - s16)) /
                     (jnp.max(jnp.abs(s32)) + 1e-9))
         assert err < 0.05, (cls.__name__, err)
+
+
+def test_bert4rec_fused_cloze_matches_xla_ce(data):
+    """fused_cloze_loss == masked CE over masked_item_scores, with pad
+    positions (weight 0) excluded exactly — the large-vocab cloze path."""
+    fm, train, _ = data
+    model = BERT4Rec(feature_map=fm, embedding_dim=16, max_seq_len=MAX_LEN,
+                     n_layers=1, n_heads=2, dropout=0.0)
+    seq = jnp.asarray(train["item_seq"][:6].copy())
+    sl = jnp.asarray(train["seq_len"][:6])
+    mask_tok = N_ITEMS + 1
+    positions = jnp.stack([jnp.full(6, MAX_LEN - 1),
+                           jnp.full(6, MAX_LEN - 2)], axis=1)   # (6, 2)
+    labels = jnp.take_along_axis(seq, positions, axis=1)
+    masked = seq.at[:, -1].set(mask_tok).at[:, -2].set(mask_tok)
+    weights = jnp.asarray([[1.0, 1.0], [1.0, 0.0], [1.0, 1.0],
+                           [0.0, 1.0], [1.0, 1.0], [1.0, 1.0]])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, masked, sl,
+                           positions, method=model.masked_item_scores)
+    params = nn.meta.unbox(variables["params"])
+
+    scores = model.apply({"params": params}, masked, sl, positions,
+                         method=model.masked_item_scores)  # (6, 2, V)
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    picked = jnp.take_along_axis(logp, labels[..., None], axis=2)[..., 0]
+    ref = -jnp.sum(weights * picked) / jnp.sum(weights)
+
+    fused = model.apply({"params": params}, masked, sl, positions, labels,
+                        weights, method=model.fused_cloze_loss)
+    assert abs(float(ref) - float(fused)) < 2e-3 * abs(float(ref)), \
+        (float(ref), float(fused))
