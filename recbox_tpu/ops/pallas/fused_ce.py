@@ -132,10 +132,9 @@ def _prep(user, table, bt, vt):
     return u, t
 
 
-def _fwd_impl(user, table, labels, weights, bt, vt, interpret,
-              prepped=None):
+def _fwd_impl(user, table, labels, weights, bt, vt, interpret):
     b, d = user.shape
-    u, t = _prep(user, table, bt, vt) if prepped is None else prepped
+    u, t = _prep(user, table, bt, vt)
     bp, vp = u.shape[0], t.shape[0]
     n_pad = vp - table.shape[0]
     grid = (bp // bt, vp // vt)
