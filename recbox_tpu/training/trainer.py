@@ -130,6 +130,16 @@ class Trainer:
         # e.g. 'full_scores' for the full-softmax CE protocol of sequential
         # models (recbole loss_type='CE')
         self.train_method = train_method
+        if mesh is not None and train_method == "fused_ce_loss":
+            # the flash-CE pallas kernels are single-shard ops (no GSPMD
+            # sharding rules); under a mesh they would replicate or fail —
+            # quick_start's auto-route already falls back, this catches
+            # direct construction
+            logger.warning(
+                "train_method='fused_ce_loss' is a single-shard path; "
+                "with a mesh prefer train_method='full_scores' + "
+                "full_softmax_loss (the auto-route in quick_start does "
+                "this automatically)")
         self.tx = _make_optimizer(config)
         self.monitor = Monitor(config.monitor, config.monitor_mode,
                                patience=config.patience)
