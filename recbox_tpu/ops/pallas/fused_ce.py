@@ -56,7 +56,12 @@ infeasible tensor).
 
 Reference behavior replaced: torch F.cross_entropy over
 `model.full_sort_predict` logits (`sasrec.py:144-150`) — identical loss
-semantics, the logits tensor just never exists.
+semantics, the logits tensor just never exists. Two variants share the
+kernels: `fused_softmax_ce` (single-label, optional per-row weights —
+the weight folds into the backward as ``lse - log w``) and
+`fused_multinomial_ce` (multi-hot VAE-decoder likelihood,
+`multivae.py:126-128` — the per-row positive count folds the same way,
+and the multi-hot corrections are H-row gathers/scatters).
 """
 
 from __future__ import annotations
@@ -68,7 +73,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_softmax_ce"]
+__all__ = ["fused_softmax_ce", "fused_multinomial_ce"]
 
 _NEG = -1e30
 
@@ -132,7 +137,10 @@ def _prep(user, table, bt, vt):
     return u, t
 
 
-def _fwd_impl(user, table, labels, weights, bt, vt, interpret):
+def _lse_impl(user, table, bt, vt, interpret):
+    """Row logsumexp of ``user @ table.T`` via the online-sweep kernel;
+    returns (lse (B,), padded bf16 operands) — shared by the single-label
+    and multinomial ops."""
     b, d = user.shape
     u, t = _prep(user, table, bt, vt)
     bp, vp = u.shape[0], t.shape[0]
@@ -161,7 +169,12 @@ def _fwd_impl(user, table, labels, weights, bt, vt, interpret):
     # closed-form removal of the n_pad all-zero pad logits
     if n_pad:
         l = l - n_pad * jnp.exp(-m)
-    lse = m + jnp.log(l)                               # (B,)
+    return m + jnp.log(l), (u, t)
+
+
+def _fwd_impl(user, table, labels, weights, bt, vt, interpret):
+    b = user.shape[0]
+    lse, (u, t) = _lse_impl(user, table, bt, vt, interpret)
     # label logit via gather-dot, same bf16xbf16->f32 precision as the dot
     lbl = labels.astype(jnp.int32)
     ll = jnp.sum(u[:b] * t[lbl], axis=1, dtype=jnp.float32)
@@ -353,3 +366,93 @@ def fused_softmax_ce(user, table, labels, weights=None,
     v_tile = min(v_tile, -(-table.shape[0] // 128) * 128)
     return _fused_ce(user, table, labels, weights, b_tile, v_tile,
                      bool(interpret))
+
+
+# --------------------------------------------------------------------------
+# multinomial (multi-hot) variant — the VAE-decoder likelihood
+# --------------------------------------------------------------------------
+
+def _mce_fwd_impl(user, table, pos_ids, pos_mask, bt, vt, interpret):
+    b = user.shape[0]
+    lse, (u, t) = _lse_impl(user, table, bt, vt, interpret)
+    mm = pos_mask.astype(jnp.float32)                     # (B, H)
+    n = jnp.sum(mm, axis=1)                               # (B,)
+    ids = pos_ids.astype(jnp.int32)
+    # positive logits via gather-dot (B, H): same bf16 precision as kernel
+    ll = jnp.sum(u[:b, None, :] * t[ids], axis=2,
+                 dtype=jnp.float32)
+    loss = jnp.sum(n * lse - jnp.sum(mm * ll, axis=1)) / b
+    return loss, lse, (u, t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_mce(user, table, pos_ids, pos_mask, bt, vt, interpret):
+    loss, _, _ = _mce_fwd_impl(user, table, pos_ids, pos_mask, bt, vt,
+                               interpret)
+    return loss
+
+
+def _fused_mce_fwd(user, table, pos_ids, pos_mask, bt, vt, interpret):
+    loss, lse, (u, t) = _mce_fwd_impl(user, table, pos_ids, pos_mask, bt,
+                                      vt, interpret)
+    return loss, (user, table, pos_ids, pos_mask, lse, u, t)
+
+
+def _fused_mce_bwd(bt, vt, interpret, res, g):
+    user, table, pos_ids, pos_mask, lse, u, t = res
+    b = user.shape[0]
+    mm = pos_mask.astype(jnp.float32)
+    n = jnp.sum(mm, axis=1)
+    # dlogits = n_i * p - y: the per-row positive COUNT folds into lse the
+    # same way single-label weights do (lse - log n; n = 0 rows -> p = 0)
+    lse_eff = lse - jnp.log(n)
+    du_raw, dt_raw = _bwd_impl(u, t, b, table.shape[0], lse_eff, bt, vt,
+                               interpret)
+    scale = (g / b).astype(jnp.float32)
+    ids = pos_ids.astype(jnp.int32)
+    tg = table[ids].astype(jnp.float32)                   # (B, H, D)
+    du = (du_raw - jnp.einsum("bh,bhd->bd", mm, tg)) * scale
+    add = (mm[:, :, None] * user[:, None, :].astype(jnp.float32))
+    dt = dt_raw.at[ids.reshape(-1)].add(
+        -add.reshape(-1, user.shape[1])) * scale
+    return (du.astype(user.dtype), dt.astype(table.dtype), None,
+            jnp.zeros_like(pos_mask))
+
+
+_fused_mce.defvjp(_fused_mce_fwd, _fused_mce_bwd)
+
+
+def fused_multinomial_ce(user, table, pos_ids, pos_mask=None,
+                         b_tile: int = 1024, v_tile: int = 2048,
+                         interpret: bool = None):
+    """Multinomial log-likelihood over the full vocabulary — logits stay
+    in VMEM.
+
+    ``loss = mean_i [ n_i * lse_i - sum_h mask_ih * (user_i . table[pos_ih]) ]``
+    == ``-(log_softmax(user @ table.T) * multi_hot).sum(1).mean()`` — the
+    VAE-decoder likelihood (recbole MultiVAE/RecVAE/CDAE,
+    `third_party/recbole/model/general_recommender/multivae.py:126-128`),
+    but without the (B, V) logits tensor, so it scales to million-item
+    catalogs like `fused_softmax_ce`.
+
+    Args:
+      user: (B, D) latent/user vectors. A per-item decoder BIAS is
+        supported by the constant-column trick: pass
+        ``[user, ones(B, 1)]`` and ``[table, bias[:, None]]``.
+      table: (V, D) decoder weight rows (the item table).
+      pos_ids: (B, H) padded positive item ids.
+      pos_mask: optional (B, H) validity mask (float/bool; None = all
+        valid). Masked slots and all-empty rows are exact no-ops.
+
+    Returns the scalar fp32 loss; differentiable w.r.t. user and table.
+    Single-shard op, same crossover guidance as `fused_softmax_ce`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if pos_mask is None:
+        pos_mask = jnp.ones(pos_ids.shape, jnp.float32)
+    pos_mask = pos_mask.astype(jnp.float32)
+    b_tile = min(b_tile, -(-user.shape[0] // 128) * 128)
+    v_tile = min(v_tile, -(-table.shape[0] // 128) * 128)
+    return _fused_mce(user, table, pos_ids, pos_mask, b_tile, v_tile,
+                      bool(interpret))

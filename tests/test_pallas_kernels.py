@@ -437,3 +437,37 @@ class TestFusedSoftmaxCE:
         zero_rows = np.asarray(w) == 0
         assert zero_rows.any()
         assert float(jnp.max(jnp.abs(du_f[zero_rows]))) == 0.0
+
+    def test_multinomial_matches_xla_vae_likelihood(self):
+        # -(log_softmax(x) * multi_hot).sum(1).mean() — the recbole
+        # MultiVAE decoder likelihood (`multivae.py:126-128`) — with
+        # masked pad slots and an all-empty row as exact no-ops
+        import jax
+        from recbox_tpu.ops.pallas.fused_ce import fused_multinomial_ce
+        rng = np.random.default_rng(1)
+        b, v, d, h = 40, 300, 16, 5
+        user = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, v, (b, h)), jnp.int32)
+        mask = jnp.asarray(rng.random((b, h)) > 0.3, jnp.float32)
+        mask = mask.at[3].set(0.0)
+
+        def ref(u, t):
+            s = jnp.dot(u.astype(jnp.bfloat16), t.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+            logp = jax.nn.log_softmax(s, axis=-1)
+            y = jnp.zeros((b, v)).at[jnp.arange(b)[:, None], pos].add(mask)
+            return -jnp.sum(logp * y) / b
+
+        l_ref, (du_ref, dt_ref) = jax.value_and_grad(
+            ref, argnums=(0, 1))(user, table)
+        l_f, (du_f, dt_f) = jax.value_and_grad(
+            lambda u, t: fused_multinomial_ce(u, t, pos, mask, b_tile=16,
+                                              v_tile=128, interpret=True),
+            argnums=(0, 1))(user, table)
+        assert abs(float(l_ref) - float(l_f)) < 5e-4 * abs(float(l_ref))
+        assert float(jnp.max(jnp.abs(du_f - du_ref))) < \
+            0.02 * float(jnp.max(jnp.abs(du_ref)))
+        assert float(jnp.max(jnp.abs(dt_f - dt_ref))) < \
+            0.02 * float(jnp.max(jnp.abs(dt_ref)))
+        assert float(jnp.max(jnp.abs(du_f[3]))) == 0.0  # empty row: no-op
