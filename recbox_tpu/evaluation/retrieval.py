@@ -164,6 +164,10 @@ def evaluate_retrieval(
     max_topk = max(k for _, k in parsed)
     num_users = len(user_embs)
     num_items = item_embs.shape[0]
+    # large-catalog guard: the per-chunk score buffer is (chunk, V) fp32 —
+    # at V=1M a 4096-user chunk would be 16 GB. Clamp so the buffer stays
+    # <= ~1 GB (2^28 floats); exactness is unaffected, only chunking.
+    chunk_size = max(1, min(chunk_size, (1 << 28) // max(num_items, 1)))
     excl = list(exclude_items)
     train_lists = [list(train_user2items.get(q, ())) + excl
                    for q in query_indices]

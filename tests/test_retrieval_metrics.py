@@ -277,3 +277,21 @@ class TestCandidateProtocol:
         # user 1: three positives -> 30 valid negatives
         assert int(cvalid[1, P:].sum()) == 30
         assert int(cvalid[1, :P].sum()) == 3
+
+
+def test_large_catalog_chunk_clamp_preserves_metrics():
+    """The (chunk, V) score-buffer clamp (<= 2^28 floats, added for
+    million-item corpora) must be metrics-invariant: explicit tiny chunks
+    and the clamped default produce identical values."""
+    from recbox_tpu.evaluation.retrieval import evaluate_retrieval
+    rng = np.random.default_rng(0)
+    U, V, D = 37, 500, 8
+    ue = rng.normal(size=(U, D)).astype(np.float32)
+    ie = rng.normal(size=(V, D)).astype(np.float32)
+    t2i = {u: list(rng.integers(0, V, 3)) for u in range(U)}
+    v2i = {u: list(rng.integers(0, V, 2)) for u in range(U)}
+    q = list(range(U))
+    big = evaluate_retrieval(ue, ie, t2i, v2i, q, chunk_size=1024)
+    small = evaluate_retrieval(ue, ie, t2i, v2i, q, chunk_size=5)
+    for k in big:
+        assert big[k] == pytest.approx(small[k], abs=1e-12), k
