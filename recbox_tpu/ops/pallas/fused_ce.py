@@ -38,6 +38,9 @@ partials reduction and flatters the number by ~0.1 ms):
     the VPU — the kernel is VPU-bound (max+sub+exp), the MXU is idle.
   * combined du+dt backward saves a whole recompute sweep (dot+exp) vs
     separate d_user/d_table kernels.
+  * falsified: bf16-argument exp (7.92 vs 7.81 ms in-step — Mosaic's VPU
+    exp is not faster on bf16); per-tile masks (above); QKV-style input
+    re-use tricks don't apply (each tile is consumed once).
 
 MEASURED ENVELOPE (v5e, D=64, 2-layer SASRec train step, 2026-08-20):
     isolated logits+CE vg, B=1024 V=60k:  XLA 3.00 ms -> fused 1.29 (2.3x)
