@@ -88,7 +88,9 @@ SELF_BASELINE_EXAMPLES_PER_SEC = 1.0e6  # round-1 reference point
 # training path is visible round over round (VERDICT.md round-4 weak #1:
 # previously only tool-measured, unguarded). Everything lands in ONE JSON
 # line and is appended to bench_history.jsonl.
-SECONDARY_BUDGET_S = 900  # soft wall for all secondaries combined
+SECONDARY_BUDGET_S = 1320  # soft wall for all secondaries combined (5 regimes
+# incl. two ~1 min compiles; the round-5 solo run used ~800 s warm — a cold
+# driver run must not skip the tail regime)
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_history.jsonl")
