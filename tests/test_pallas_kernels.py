@@ -358,6 +358,8 @@ class TestFusedSoftmaxCE:
         (70, 300, 32, 32, 128),     # both unaligned, nb=3 partials backward
         (33, 1000, 8, 64, 256),     # unaligned B, nb=1
         (128, 4096, 64, 128, 512),  # bench-like ratios
+        (64, 500, 100, 64, 128),    # unaligned embedding dim (lane-padded
+                                    # internally by Mosaic; verified on-chip)
     ])
     def test_matches_xla_formulation(self, b, v, d, bt, vt):
         import jax
