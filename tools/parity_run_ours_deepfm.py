@@ -36,7 +36,9 @@ fm = FeatureMap("sctr", (
                 embedding_dim=16)), labels=("label",))
 model = DeepFM(feature_map=fm, embedding_dim=16, hidden_units=(64, 32),
                dropout=0.1)
-cfg = TrainerConfig(learning_rate=1e-3, epochs=30, patience=10,
+cfg = TrainerConfig(rng_impl="threefry",  # pre-round-5 stream: the recorded parity numbers
+        # (docs/QUALITY_PARITY.md) were measured under it
+        learning_rate=1e-3, epochs=30, patience=10,
                     monitor="AUC", lr_decay_factor=1.0,
                     reload_best_on_plateau=False)
 ev = CTREvaluator(valid, label="label", metrics=["AUC", "logloss"])

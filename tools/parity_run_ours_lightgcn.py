@@ -54,7 +54,9 @@ loader = MatchingLoader(fm, train_arrays, corpus, batch_size=512,
 vu = np.array(sorted(valid_u2i), np.int32)
 ev = RetrievalEvaluator({"user_id": vu}, corpus, vu, train_u2i, valid_u2i,
                         metrics=["Recall(k=20)", "NDCG(k=20)"])
-cfg = TrainerConfig(learning_rate=1e-3,
+cfg = TrainerConfig(rng_impl="threefry",  # pre-round-5 stream: the recorded parity numbers
+        # (docs/QUALITY_PARITY.md) were measured under it
+        learning_rate=1e-3,
                     epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="Recall(k=20)", lr_decay_factor=1.0,
                     reload_best_on_plateau=False,

@@ -36,7 +36,9 @@ if _MODEL == "GRU4Rec":
 else:
     model = SASRec(feature_map=fm, embedding_dim=32, max_seq_len=20,
                    n_layers=1, n_heads=2, dropout=0.2)
-cfg = TrainerConfig(learning_rate=1e-3,
+cfg = TrainerConfig(rng_impl="threefry",  # pre-round-5 stream: the recorded parity numbers
+        # (docs/QUALITY_PARITY.md) were measured under it
+        learning_rate=1e-3,
                     epochs=int(os.environ.get("OURS_EPOCHS", 30)), patience=10,
                     monitor="NDCG10", lr_decay_factor=1.0,
                     reload_best_on_plateau=False)
