@@ -118,7 +118,9 @@ ev = RetrievalEvaluator({"user_id": vu}, corpus, vu, train_u2i, valid_u2i,
 mf = MF(feature_map=fm, embedding_dim=32, emb_init_scheme="normal")
 t_match = Trainer(
     mf, lambda o, b: get_matching_loss("PairwiseLogisticLoss")(o),
-    TrainerConfig(learning_rate=1e-3, epochs=MF_EPOCHS, patience=10,
+    TrainerConfig(rng_impl="threefry",  # recorded cascade numbers (QUALITY_PARITY.md)
+        # were measured under the pre-round-5 stream
+        learning_rate=1e-3, epochs=MF_EPOCHS, patience=10,
                   monitor="Recall(k=20)", lr_decay_factor=1.0,
                   reload_best_on_plateau=False), eval_fn=ev)
 stage1_valid = t_match.fit(loader)
@@ -243,7 +245,9 @@ fm_rank = FeatureMap(
 dcn = DCN(feature_map=fm_rank, embedding_dim=32, num_cross_layers=2,
           hidden_units=(64, 32))
 t_rank = Trainer(dcn, lambda o, b: binary_crossentropy(o, b["click"]),
-                 TrainerConfig(learning_rate=1e-3, epochs=DCN_EPOCHS,
+                 TrainerConfig(rng_impl="threefry",  # recorded cascade numbers (QUALITY_PARITY.md)
+        # were measured under the pre-round-5 stream
+        learning_rate=1e-3, epochs=DCN_EPOCHS,
                                grad_clip_norm=10.0, monitor="x"))
 rank_loader = ArrayLoader(ctr_train, batch_size=8192, drop_last=True)
 for ep in range(DCN_EPOCHS):
