@@ -30,10 +30,13 @@ never lets the logits leave VMEM:
 Design notes proven by measurement (v5e, 2026-08-20, honest scan-chained
 vg with FULL gradient consumption — a `dt[:8]` slice lets XLA DCE the
 partials reduction and flatters the number by ~0.1 ms):
-  * NO masks/iotas in the hot loop: pad table rows are all-zero, so their
-    logits are exactly 0.0 — removed from l in closed form outside
-    (l - n_pad*exp(-m)); pad user rows contribute zeros to dt by the same
-    argument. The masked first formulation ran 1.17 ms fwd, this one 1.03.
+  * NO masks/iotas in the hot loop: a BIAS COLUMN appended to the
+    operands (u gains ones, t gains 0/real -1e9/pad) makes pad logits
+    exactly -1e9 inside the dot, so exp() kills them with ~1.5% extra
+    FLOPs; pad user rows contribute zeros to dt because their vectors are
+    zero. The masked first formulation ran 1.17 ms fwd, this one 1.03.
+    (An earlier closed-form correction l - n_pad*exp(-m) cancelled
+    catastrophically when all real logits sat far below 0 — self-review.)
   * the 61M-element row-sum rides the MXU (dot with a ones matrix), not
     the VPU — the kernel is VPU-bound (max+sub+exp), the MXU is idle.
   * combined du+dt backward saves a whole recompute sweep (dot+exp) vs
@@ -97,11 +100,10 @@ def _pad_to(x, mult, axis):
 def _fwd_kernel(u_ref, t_ref, m_ref, l_ref):
     """Pure online-logsumexp sweep: no masks, no iotas, no label logic.
 
-    Zero-padding makes masking unnecessary: pad TABLE rows are all-zero,
-    so their logits are exactly 0.0 — their contribution to the running
-    sum is the closed-form ``n_pad * exp(-m)`` subtracted outside (and
-    they can only raise the running max to 0, which costs nothing). The
-    label logit is a B-row gather-dot outside the kernel. Keeping the hot
+    The bias column (`_prep`) makes masking unnecessary: pad TABLE rows
+    carry a -1e9 bias so their logits vanish through exp() inside the
+    ordinary dot. The label logit is a B-row gather-dot outside the
+    kernel. Keeping the hot
     loop to dot + max + exp + sum matters: the first formulation carried
     per-tile iota/compare/select for col masking and label pickup and ran
     1.17 ms fwd; this one runs 1.03 (v5e, B=1024 V=60k, 2026-08-20)."""
@@ -130,24 +132,45 @@ def _fwd_kernel(u_ref, t_ref, m_ref, l_ref):
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
 
+_PAD_BIAS = -1e9  # pad-row logit via the bias column: exp() is exactly 0
+
+
 def _prep(user, table, bt, vt):
-    """Padded bf16 operands — computed once forward and carried to the
-    backward as residuals, so the (V, D) table is cast+padded ONCE per
-    step (at V=1M the table is 256 MB fp32; a second cast in bwd would be
-    ~0.5 ms of pure HBM traffic)."""
+    """Padded bf16 operands + the pad-row BIAS COLUMN — computed once
+    forward and carried to the backward as residuals, so the (V, D) table
+    is cast+padded ONCE per step (at V=1M the table is 256 MB fp32; a
+    second cast in bwd would be ~0.5 ms of pure HBM traffic).
+
+    The bias column makes padding exact with zero hot-loop cost: u gains
+    an all-ones column, t gains a column that is 0 for real rows and
+    -1e9 for pad rows, so pad logits are -1e9 (exp = 0 exactly) INSIDE
+    the dot itself. The previous closed-form correction
+    ``l - n_pad*exp(-m)`` cancelled catastrophically when every real
+    logit sat far below the pads' implicit 0 (all-real-mass under the
+    fp32 rounding error of the pad mass -> lse = -inf, NaN grads;
+    found in round-5 self-review). Gradients w.r.t. the appended
+    columns are simply sliced off (the ones column is a constant; the
+    bias column belongs to no real parameter)."""
     u = _pad_to(user.astype(jnp.bfloat16), bt, 0)
     t = _pad_to(table.astype(jnp.bfloat16), vt, 0)
-    return u, t
+    n_pad = t.shape[0] - table.shape[0]
+    ones_col = jnp.ones((u.shape[0], 1), jnp.bfloat16)
+    bias_col = jnp.zeros((t.shape[0], 1), jnp.bfloat16)
+    if n_pad:
+        bias_col = bias_col.at[table.shape[0]:].set(
+            jnp.bfloat16(_PAD_BIAS))
+    return (jnp.concatenate([u, ones_col], axis=1),
+            jnp.concatenate([t, bias_col], axis=1))
 
 
 def _lse_impl(user, table, bt, vt, interpret):
     """Row logsumexp of ``user @ table.T`` via the online-sweep kernel;
-    returns (lse (B,), padded bf16 operands) — shared by the single-label
-    and multinomial ops."""
-    b, d = user.shape
+    returns (lse (B,), padded bf16 operands incl. the bias column) —
+    shared by the single-label and multinomial ops."""
+    b = user.shape[0]
     u, t = _prep(user, table, bt, vt)
+    d = u.shape[1]                       # original dim + the bias column
     bp, vp = u.shape[0], t.shape[0]
-    n_pad = vp - table.shape[0]
     grid = (bp // bt, vp // vt)
     stat = jax.ShapeDtypeStruct((bp, 128), jnp.float32)
     m, l = pl.pallas_call(
@@ -168,11 +191,7 @@ def _lse_impl(user, table, bt, vt, interpret):
         out_shape=[stat, stat],
         interpret=interpret,
     )(u, t)
-    m, l = m[:b, 0], l[:b, 0]
-    # closed-form removal of the n_pad all-zero pad logits
-    if n_pad:
-        l = l - n_pad * jnp.exp(-m)
-    return m + jnp.log(l), (u, t)
+    return m[:b, 0] + jnp.log(l[:b, 0]), (u, t)
 
 
 def _fwd_impl(user, table, labels, weights, bt, vt, interpret):
@@ -314,7 +333,7 @@ def _fused_ce_fwd(user, table, labels, weights, bt, vt, interpret):
 
 def _fused_ce_bwd(bt, vt, interpret, res, g):
     user, table, labels, weights, lse, u, t = res
-    b = user.shape[0]
+    b, d = user.shape
     w = weights.astype(jnp.float32)
     # per-row weights fold into lse: p_w = exp(x - (lse - log w)) = w * p,
     # so the SAME kernels produce weighted grad sums (w = 0 rows -> lse_eff
@@ -322,12 +341,20 @@ def _fused_ce_bwd(bt, vt, interpret, res, g):
     lse_eff = lse - jnp.log(w)
     du_raw, dt_raw = _bwd_impl(u, t, b, table.shape[0], lse_eff, bt, vt,
                                interpret)
-    scale = (g / jnp.maximum(jnp.sum(w), 1e-12)).astype(jnp.float32)
+    # drop the appended bias-column gradients (constant/-1e9 columns)
+    du_raw, dt_raw = du_raw[:, :d], dt_raw[:, :d]
+    sw = jnp.maximum(jnp.sum(w), 1e-12)
+    scale = (g / sw).astype(jnp.float32)
     lbl = labels.astype(jnp.int32)
     du = (du_raw - w[:, None] * table[lbl].astype(jnp.float32)) * scale
     dt = dt_raw.at[lbl].add(-w[:, None] * user.astype(jnp.float32)) * scale
-    return (du.astype(user.dtype), dt.astype(table.dtype), None,
-            jnp.zeros_like(weights))
+    # TRUE cotangent for the weights (was a hard zero — round-5
+    # self-review): L = sum(w a)/sum(w), a = lse - ll
+    # -> dL/dw_i = (a_i - L)/sum(w)
+    a = lse - jnp.sum(u[:b] * t[lbl], axis=1, dtype=jnp.float32)
+    loss = jnp.sum(w * a) / sw
+    dw = (g * (a - loss) / sw).astype(weights.dtype)
+    return du.astype(user.dtype), dt.astype(table.dtype), None, dw
 
 
 _fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
@@ -403,7 +430,7 @@ def _fused_mce_fwd(user, table, pos_ids, pos_mask, bt, vt, interpret):
 
 def _fused_mce_bwd(bt, vt, interpret, res, g):
     user, table, pos_ids, pos_mask, lse, u, t = res
-    b = user.shape[0]
+    b, d = user.shape
     mm = pos_mask.astype(jnp.float32)
     n = jnp.sum(mm, axis=1)
     # dlogits = n_i * p - y: the per-row positive COUNT folds into lse the
@@ -411,15 +438,21 @@ def _fused_mce_bwd(bt, vt, interpret, res, g):
     lse_eff = lse - jnp.log(n)
     du_raw, dt_raw = _bwd_impl(u, t, b, table.shape[0], lse_eff, bt, vt,
                                interpret)
+    # drop the appended bias-column gradients
+    du_raw, dt_raw = du_raw[:, :d], dt_raw[:, :d]
     scale = (g / b).astype(jnp.float32)
     ids = pos_ids.astype(jnp.int32)
     tg = table[ids].astype(jnp.float32)                   # (B, H, D)
     du = (du_raw - jnp.einsum("bh,bhd->bd", mm, tg)) * scale
     add = (mm[:, :, None] * user[:, None, :].astype(jnp.float32))
     dt = dt_raw.at[ids.reshape(-1)].add(
-        -add.reshape(-1, user.shape[1])) * scale
-    return (du.astype(user.dtype), dt.astype(table.dtype), None,
-            jnp.zeros_like(pos_mask))
+        -add.reshape(-1, d)) * scale
+    # TRUE cotangent for the mask (was a hard zero — round-5 self-review):
+    # L = (1/B) sum_i (n_i lse_i - sum_h m_ih ll_ih), n_i = sum_h m_ih
+    # -> dL/dm_ih = (lse_i - ll_ih)/B
+    ll = jnp.sum(u[:b, None, :] * t[ids], axis=2, dtype=jnp.float32)
+    dm = (g * (lse[:, None] - ll) / b).astype(pos_mask.dtype)
+    return du.astype(user.dtype), dt.astype(table.dtype), None, dm
 
 
 _fused_mce.defvjp(_fused_mce_fwd, _fused_mce_bwd)

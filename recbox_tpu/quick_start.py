@@ -38,6 +38,49 @@ __all__ = ["build_model", "build_trainer_config", "run_ranking_experiment",
            "run_cascade_experiment"]
 
 
+def _use_fused_ce(config, feature_map, model, mesh) -> bool:
+    """Gate for the large-vocab flash-CE auto-route (mirrors
+    `BruteForceMIPS(method='auto')`): above the measured crossover the
+    kernel wins (1.81x at V=1M; the only feasible formulation far beyond
+    — 32 GB logits at B=8192xV=1M), below it XLA's in-step sharing wins
+    (`ops/pallas/fused_ce.py` envelope, crossover ~100k items).
+
+    CORRECTNESS gates come first and also override an explicit
+    ``fused_ce: True`` (round-5 self-review):
+    * the kernel replicates the BASE ``full_scores`` protocol (plain
+      dot / temperature), so models that override it — CORE's cosine
+      scoring, RepeatNet's repeat/explore mixture — must keep the XLA
+      path or they would train a different objective than they serve;
+    * single-shard kernels, so mesh runs keep the XLA formulation.
+    The threshold-triggered route additionally requires the model to
+    already run ``compute_dtype='bfloat16'`` — the kernel computes in
+    bf16, and silently switching an fp32 model's loss precision at a
+    vocab threshold would be a numerics change with no config change
+    (explicit ``fused_ce: True`` accepts the bf16 numerics as-is)."""
+    from recbox_tpu.models.sequential.models import SequentialRecommender
+
+    if not isinstance(model, SequentialRecommender):
+        return False
+    overridden = (
+        type(model).full_scores is not SequentialRecommender.full_scores
+        or type(model).fused_ce_loss
+        is not SequentialRecommender.fused_ce_loss)
+    if overridden or mesh is not None:
+        if config.get("fused_ce"):
+            logger.warning(
+                "fused_ce requested but %s — keeping the XLA "
+                "full_scores path",
+                "the model overrides full_scores (its scoring protocol "
+                "is not the plain dot the kernel computes)" if overridden
+                else "the flash-CE kernel is single-shard (mesh run)")
+        return False
+    if "fused_ce" in config:
+        return bool(config["fused_ce"])
+    n_corpus = feature_map[feature_map.corpus_index].vocab_size
+    return (n_corpus >= int(config.get("fused_ce_threshold", 150_000))
+            and getattr(model, "compute_dtype", None) == "bfloat16")
+
+
 def build_model(config: Mapping[str, Any], feature_map: FeatureMap):
     """Instantiate the configured model, passing config keys that match its
     dataclass fields (embedding_dim, hidden_units, …)."""
@@ -159,15 +202,10 @@ def run_matching_experiment(
     train_method = None
     if loss_name == "FullSoftmaxCE":
         # same large-vocab flash-CE auto-route as run_sequential_experiment
-        n_corpus = feature_map[feature_map.corpus_index].vocab_size
-        use_fused = bool(config.get("fused_ce",
-                                    n_corpus >= int(config.get(
-                                        "fused_ce_threshold", 150_000))))
-        if (use_fused and mesh is None
-                and hasattr(model, "fused_ce_loss")):
+        if _use_fused_ce(config, feature_map, model, mesh):
             train_method = "fused_ce_loss"
             logger.info("FullSoftmaxCE: flash-CE kernel path (%d items)",
-                        n_corpus)
+                        feature_map[feature_map.corpus_index].vocab_size)
 
             def loss_fn(outputs, batch):
                 return outputs
@@ -325,21 +363,10 @@ def run_sequential_experiment(
             out[f"NDCG(k={k})"] = float(np.where(pos >= 0, gains, 0.0).mean())
         return out
 
-    # large-vocab auto-route (mirrors BruteForceMIPS method='auto'): above
-    # the measured crossover the flash-CE kernel wins (1.81x at V=1M, the
-    # only feasible formulation far beyond — 32 GB logits at B=8192xV=1M);
-    # below it XLA's in-step sharing wins. Crossover ~100k items
-    # (`ops/pallas/fused_ce.py` envelope). Override with config
-    # 'fused_ce': True/False; single-shard kernel, so mesh runs keep the
-    # XLA formulation.
-    n_corpus = feature_map[feature_map.corpus_index].vocab_size
-    use_fused = bool(config.get("fused_ce",
-                                n_corpus >= int(config.get(
-                                    "fused_ce_threshold", 150_000))))
-    use_fused = use_fused and mesh is None and hasattr(model, "fused_ce_loss")
+    use_fused = _use_fused_ce(config, feature_map, model, mesh)
     if use_fused:
         logger.info("sequential CE: flash-CE kernel path (%d items)",
-                    n_corpus)
+                    feature_map[feature_map.corpus_index].vocab_size)
     trainer = Trainer(
         model,
         (lambda o, b: o) if use_fused else

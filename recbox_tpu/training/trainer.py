@@ -132,14 +132,15 @@ class Trainer:
         self.train_method = train_method
         if mesh is not None and train_method == "fused_ce_loss":
             # the flash-CE pallas kernels are single-shard ops (no GSPMD
-            # sharding rules); under a mesh they would replicate or fail —
-            # quick_start's auto-route already falls back, this catches
-            # direct construction
-            logger.warning(
-                "train_method='fused_ce_loss' is a single-shard path; "
-                "with a mesh prefer train_method='full_scores' + "
-                "full_softmax_loss (the auto-route in quick_start does "
-                "this automatically)")
+            # sharding rules); under a mesh they would replicate or produce
+            # silently wrong per-shard losses — quick_start's auto-route
+            # already falls back, this catches direct construction
+            raise ValueError(
+                "train_method='fused_ce_loss' is a single-shard path and "
+                "cannot run under a mesh; use train_method='full_scores' "
+                "+ full_softmax_loss (quick_start's auto-route does this "
+                "automatically), or call the kernel per-shard from "
+                "shard_map")
         self.tx = _make_optimizer(config)
         self.monitor = Monitor(config.monitor, config.monitor_mode,
                                patience=config.patience)

@@ -473,3 +473,69 @@ class TestFusedSoftmaxCE:
         assert float(jnp.max(jnp.abs(dt_f - dt_ref))) < \
             0.02 * float(jnp.max(jnp.abs(dt_ref)))
         assert float(jnp.max(jnp.abs(du_f[3]))) == 0.0  # empty row: no-op
+
+    def test_deeply_negative_logits_with_unaligned_vocab(self):
+        # round-5 self-review regression: the earlier closed-form pad
+        # correction returned lse = -inf (NaN grads) when every real logit
+        # sat far below the zero-pad rows' implicit 0-logit; the bias
+        # column keeps it exact. All logits -40, V=300 (pads to 384):
+        # exact CE = log(300).
+        import jax
+        from recbox_tpu.ops.pallas.fused_ce import fused_softmax_ce
+        user = jnp.full((8, 16), 2.0, jnp.float32)
+        table = jnp.full((300, 16), -0.125, jnp.float32)   # logits = -4
+        table = table * 10.0                               # logits = -40
+        labels = jnp.arange(8, dtype=jnp.int32)
+        loss = fused_softmax_ce(user, table, labels, b_tile=8, v_tile=128,
+                                interpret=True)
+        np.testing.assert_allclose(float(loss), np.log(300.0), rtol=1e-3)
+        g = jax.grad(lambda u: fused_softmax_ce(
+            u, table, labels, b_tile=8, v_tile=128, interpret=True))(user)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_weight_and_mask_cotangents_are_true_gradients(self):
+        # round-5 self-review: the weights/pos_mask cotangents were hard
+        # zeros; now dL/dw_i = (a_i - L)/sum(w) and dL/dm_ih =
+        # (lse_i - ll_ih)/B — checked against the XLA formulation's grads
+        import jax
+        from recbox_tpu.ops.pallas.fused_ce import (
+            fused_multinomial_ce, fused_softmax_ce)
+        rng = np.random.default_rng(2)
+        b, v, d, h = 24, 200, 8, 3
+        user = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, v, b), jnp.int32)
+        w = jnp.asarray(0.2 + rng.random(b), jnp.float32)
+
+        def ref_w(wv):
+            s = jnp.dot(user.astype(jnp.bfloat16),
+                        table.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+            logp = jax.nn.log_softmax(s, axis=-1)
+            picked = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            return -jnp.sum(wv * picked) / jnp.sum(wv)
+
+        dw_ref = jax.grad(ref_w)(w)
+        dw_f = jax.grad(lambda wv: fused_softmax_ce(
+            user, table, labels, weights=wv, b_tile=32, v_tile=128,
+            interpret=True))(w)
+        np.testing.assert_allclose(np.asarray(dw_f), np.asarray(dw_ref),
+                                   atol=2e-3)
+
+        pos = jnp.asarray(rng.integers(0, v, (b, h)), jnp.int32)
+        m = jnp.asarray(0.2 + rng.random((b, h)), jnp.float32)
+
+        def ref_m(mv):
+            s = jnp.dot(user.astype(jnp.bfloat16),
+                        table.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+            logp = jax.nn.log_softmax(s, axis=-1)
+            y = jnp.zeros((b, v)).at[jnp.arange(b)[:, None], pos].add(mv)
+            return -jnp.sum(logp * y) / b
+
+        dm_ref = jax.grad(ref_m)(m)
+        dm_f = jax.grad(lambda mv: fused_multinomial_ce(
+            user, table, pos, mv, b_tile=32, v_tile=128,
+            interpret=True))(m)
+        np.testing.assert_allclose(np.asarray(dm_f), np.asarray(dm_ref),
+                                   atol=2e-3)

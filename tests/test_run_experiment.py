@@ -253,3 +253,49 @@ class TestRunCliDatasetRoute:
                         overrides={"data_dir": "", "epochs": 1,
                                    "dataset_dir": data_dir})
         assert out["model"] == "BPR" and "Recall(k=20)" in out
+
+
+class TestFusedCERouteGate:
+    """Correctness gates of the flash-CE auto-route (round-5 self-review):
+    models overriding full_scores train a DIFFERENT objective than the
+    kernel computes and must be excluded even when forced."""
+
+    def _fm_model(self, cls, **kw):
+        from recbox_tpu.features import FeatureMap, FeatureSpec
+        fm = FeatureMap(
+            "gate", (FeatureSpec("item_id", "categorical", source="item",
+                                 vocab_size=50, embedding_dim=16),),
+            query_index="user_id", corpus_index="item_id", num_items=50)
+        return fm, cls(feature_map=fm, embedding_dim=16, max_seq_len=8, **kw)
+
+    def test_full_scores_override_excluded_even_when_forced(self):
+        from recbox_tpu.models.sequential.extended import CORE
+        from recbox_tpu.quick_start import _use_fused_ce
+        fm, model = self._fm_model(CORE, n_layers=1, n_heads=2)
+        # CORE scores by cosine at temperature 0.07 (overrides full_scores)
+        assert not _use_fused_ce({"fused_ce": True}, fm, model, None)
+
+    def test_threshold_route_requires_bf16(self):
+        from recbox_tpu.models.sequential.models import SASRec
+        from recbox_tpu.quick_start import _use_fused_ce
+        fm, m32 = self._fm_model(SASRec, n_layers=1, n_heads=2)
+        _, m16 = self._fm_model(SASRec, n_layers=1, n_heads=2,
+                                compute_dtype="bfloat16")
+        cfg = {"fused_ce_threshold": 10}   # vocab 50 >= 10
+        # auto route: only the bf16 model switches precision-compatibly
+        assert not _use_fused_ce(cfg, fm, m32, None)
+        assert _use_fused_ce(cfg, fm, m16, None)
+        # explicit force works for the fp32 model (user accepts bf16 CE)
+        assert _use_fused_ce({**cfg, "fused_ce": True}, fm, m32, None)
+
+    def test_trainer_raises_on_mesh_plus_fused(self):
+        import jax
+        from jax.sharding import Mesh
+        from recbox_tpu.models.sequential.models import SASRec
+        from recbox_tpu.training import Trainer, TrainerConfig
+        fm, model = self._fm_model(SASRec, n_layers=1, n_heads=2)
+        devs = np.array(jax.devices()[:1]).reshape(1, 1)
+        mesh = Mesh(devs, ("data", "model"))
+        with pytest.raises(ValueError, match="single-shard"):
+            Trainer(model, lambda o, b: o, TrainerConfig(),
+                    mesh=mesh, train_method="fused_ce_loss")
